@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory demanded by SURVEY.md §2: each
+  * entry is one operator (or operator family) exercised end-to-end on
+  * the driver's testdata; `oracleSql` carries the DuckDB-equivalent SQL
+  * for the correctness gate. Column names/aliases are kept identical on
+  * both sides (the driver sorts columns by name before hashing).
+  *
+  * Determinism rules used throughout:
+  *   - every money/double aggregate is `round(..., 2..6)` on BOTH sides
+  *     so accumulation-order ulps can't flip the hash;
+  *   - every result has a total ORDER BY (all key columns) in case the
+  *     driver hashes row order;
+  *   - raw timestamps are never emitted — always cast to date/string.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region with
+    * broadcast dims, revenue per region/year.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.starJoin(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.registry
+
+  def oracleSql: Map[String, String] = Queries.oracles
 }
