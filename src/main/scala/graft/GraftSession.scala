@@ -31,6 +31,9 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // testdata `events.ts` is parquet TIMESTAMP(NANOS); Spark has no
+      // ns timestamps — read as long, converted in Tables.read.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {
@@ -49,9 +52,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** Read one parquet table from an sf directory. */
-  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Read one parquet table from an sf directory.
+    *
+    * `events.ts` is stored as parquet TIMESTAMP(NANOS,false), which
+    * Spark reads as a nanosecond long (nanosAsLong); convert to a
+    * microsecond-truncated TimestampType so downstream time ops see a
+    * real timestamp (matches DuckDB `CAST(ts AS TIMESTAMP)`).
+    */
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.LongType
+    if (name == "events" &&
+        df.schema.find(_.name == "ts").exists(_.dataType == LongType))
+      df.withColumn("ts", expr("timestamp_micros(CAST(floor(ts / 1000) AS BIGINT))"))
+    else df
+  }
 
   /** Register all tables in the sf directory as temp views; idempotent. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -1,0 +1,304 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second batch of relational operators (SURVEY.md §2.4): windows,
+  * grouping sets, set ops, semi/anti joins, subqueries, outer joins.
+  * All delegated-to-Athena capabilities in the reference, native
+  * Catalyst plans here.
+  */
+object QueriesRelational2 {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(spark, dir, name)
+
+  /** q08 — ranking window: top-3 orders per market segment.
+    * Partial ranking is shuffle-bounded by segment cardinality (5), so
+    * at 100 TB the win is filtering rank<=3 BEFORE any later join.
+    */
+  def q08WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("c_mktsegment"), col("rnk").cast("long").as("rnk"),
+              col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+      .orderBy("c_mktsegment", "rnk")
+  }
+
+  /** q09 — running aggregate + lag over event streams per user.
+    * Explicit ROWS frame on both sides (default RANGE differs on ties).
+    */
+  def q09WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .withColumn("running_value", round(sum("value").over(wf), 2))
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .select(col("user_id"), col("event_id"), col("running_value"),
+              col("prev_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q10 — ROLLUP: hierarchical subtotals (status -> priority). */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           round(sum("o_totalprice"), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  /** q11 — CUBE over nation x segment via a broadcast dim chain. */
+  def q11Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment"), col("c_acctbal"))
+      .cube(col("n_name").as("nation"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+           round(avg("c_acctbal"), 4).as("avg_bal"))
+      .na.fill("ALL", Seq("nation", "segment"))
+      .orderBy("nation", "segment")
+
+  /** q12 — set operations: INTERSECT / EXCEPT (distinct semantics). */
+  def q12SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val y94 = o.filter(year(col("o_orderdate")) === 1994).select("o_custkey")
+    val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+    val both = y94.intersect(y95).agg(count(lit(1)).as("cnt"))
+      .select(lit("both_94_95").as("cohort"), col("cnt"))
+    val only94 = y94.except(y95).agg(count(lit(1)).as("cnt"))
+      .select(lit("only_94").as("cohort"), col("cnt"))
+    val union = y94.union(y95).distinct().agg(count(lit(1)).as("cnt"))
+      .select(lit("union_94_95").as("cohort"), col("cnt"))
+    both.unionByName(only94).unionByName(union).orderBy("cohort")
+  }
+
+  /** q13 — left-semi / left-anti joins (EXISTS / NOT EXISTS shape). */
+  def q13SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("cnt")).select(lit("with_orders").as("grp"), col("cnt"))
+    val noOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("cnt")).select(lit("no_orders").as("grp"), col("cnt"))
+    withOrders.unionByName(noOrders).orderBy("grp")
+  }
+
+  /** q14 — correlated EXISTS + scalar subquery through spark.sql (the
+    * engine's Athena-equivalent SQL entry point).
+    */
+  def q14SqlSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql("""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS big_spenders
+      FROM customer
+      WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_totalprice > (SELECT avg(o_totalprice) FROM orders))
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")
+  }
+
+  /** q15 — left outer join with null-side aggregation: order counts per
+    * customer including zero-order customers, histogrammed.
+    */
+  def q15OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_orders")
+  }
+
+  /** q16 — conditional aggregation + HAVING. */
+  def q16CaseHaving(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum(when(col("l_discount") > 0.05,
+                       col("l_extendedprice") * col("l_discount"))
+                  .otherwise(0.0)), 2).as("hi_disc_revenue"),
+        sum(when(col("l_quantity") >= 25, 1L).otherwise(0L)).as("bulk_lines"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 100)
+      .orderBy("l_returnflag")
+
+  /** q17 — date functions: monthly revenue time series. */
+  def q17DateFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("month")
+
+  /** q18 — IN-list + BETWEEN + LIKE predicate mix. */
+  def q18PredicateMix(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+              col("p_size").between(5, 25) &&
+              col("p_type").like("%R%"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+           round(avg("p_retailprice"), 4).as("avg_price"))
+      .orderBy("p_brand")
+
+  /** q19 — full outer join + coalesced keys (supplier/customer nations). */
+  def q19FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cn = t(spark, dir, "customer").groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"))
+    val sn = t(spark, dir, "supplier").groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).cast("long").as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** q20 — ntile + percent_rank distribution buckets. */
+  def q20Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n"),
+           round(min("o_totalprice"), 2).as("min_price"),
+           round(max("o_totalprice"), 2).as("max_price"))
+      .orderBy("quartile")
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q08_window_rank"    -> (q08WindowRank _),
+    "q09_window_running" -> (q09WindowRunning _),
+    "q10_rollup"         -> (q10Rollup _),
+    "q11_cube"           -> (q11Cube _),
+    "q12_setops"         -> (q12SetOps _),
+    "q13_semi_anti"      -> (q13SemiAnti _),
+    "q14_sql_subquery"   -> (q14SqlSubquery _),
+    "q15_outer_join"     -> (q15OuterJoin _),
+    "q16_case_having"    -> (q16CaseHaving _),
+    "q17_date_fns"       -> (q17DateFns _),
+    "q18_predicate_mix"  -> (q18PredicateMix _),
+    "q19_full_outer"     -> (q19FullOuter _),
+    "q20_ntile"          -> (q20Ntile _))
+
+  val oracles: Map[String, String] = Map(
+    "q08_window_rank" ->
+      """SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+                round(o_totalprice, 2) AS total
+         FROM (
+           SELECT c_mktsegment, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""",
+    "q09_window_running" ->
+      """SELECT user_id, event_id,
+                round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS running_value,
+                lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+                  AS prev_value
+         FROM events ORDER BY user_id, event_id""",
+    "q10_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "q11_cube" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+                coalesce(c_mktsegment, 'ALL') AS segment,
+                count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY CUBE (n_name, c_mktsegment)
+         ORDER BY nation, segment""",
+    "q12_setops" ->
+      """WITH y94 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994),
+              y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+         SELECT 'both_94_95' AS cohort,
+                (SELECT count(*) FROM (SELECT * FROM y94 INTERSECT SELECT * FROM y95)) AS cnt
+         UNION ALL
+         SELECT 'only_94',
+                (SELECT count(*) FROM (SELECT * FROM y94 EXCEPT SELECT * FROM y95))
+         UNION ALL
+         SELECT 'union_94_95',
+                (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM
+                  (SELECT * FROM y94 UNION ALL SELECT * FROM y95)))
+         ORDER BY cohort""",
+    "q13_semi_anti" ->
+      """SELECT 'with_orders' AS grp, count(*) AS cnt FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT 'no_orders', count(*) FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY grp""",
+    "q14_sql_subquery" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS big_spenders
+         FROM customer
+         WHERE EXISTS (
+           SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey
+             AND o_totalprice > (SELECT avg(o_totalprice) FROM orders))
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q15_outer_join" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+           SELECT c_custkey, count(o_orderkey) AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY n_orders ORDER BY n_orders""",
+    "q16_case_having" ->
+      """SELECT l_returnflag,
+                round(sum(CASE WHEN l_discount > 0.05
+                          THEN l_extendedprice * l_discount ELSE 0.0 END), 2)
+                  AS hi_disc_revenue,
+                CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS bulk_lines,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag
+         HAVING count(*) > 100 ORDER BY l_returnflag""",
+    "q17_date_fns" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                round(sum(o_totalprice), 2) AS revenue,
+                count(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q18_predicate_mix" ->
+      """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+         FROM part
+         WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+           AND p_size BETWEEN 5 AND 25
+           AND p_type LIKE '%R%'
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q19_full_outer" ->
+      """SELECT CAST(coalesce(c_nationkey, s_nationkey) AS BIGINT) AS nationkey,
+                coalesce(n_cust, 0) AS n_cust,
+                coalesce(n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) cn
+         FULL OUTER JOIN
+              (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) sn
+         ON c_nationkey = s_nationkey
+         ORDER BY nationkey""",
+    "q20_ntile" ->
+      """SELECT quartile, count(*) AS n,
+                round(min(o_totalprice), 2) AS min_price,
+                round(max(o_totalprice), 2) AS max_price
+         FROM (SELECT o_totalprice,
+                      CAST(ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+                           AS BIGINT) AS quartile
+               FROM orders)
+         GROUP BY quartile ORDER BY quartile""")
+}

@@ -27,7 +27,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.starJoin(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.registry
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.registry ++ QueriesRelational2.registry
 
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] =
+    Queries.oracles ++ QueriesRelational2.oracles
 }
