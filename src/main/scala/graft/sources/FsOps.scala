@@ -1,0 +1,177 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, FileUtil, Path}
+import org.apache.spark.sql.SparkSession
+
+import graft.exceptions._
+
+/** Filesystem maintenance operators (SURVEY.md §2.6; reference
+  * awswrangler/s3/_list.py, _delete.py, _copy.py, _describe.py,
+  * _wait.py). Path-scheme-agnostic: Hadoop `FileSystem` resolves
+  * local/S3A/HDFS from the URI, and S3A supplies the multipart
+  * upload / ranged-read machinery the reference hand-rolled in
+  * s3/_fs.py (597 LoC — deleted from scope by design, SURVEY §2.7).
+  *
+  * All of these are driver-side control-plane calls by nature (they
+  * were in the reference too); none touch data through Spark jobs.
+  */
+object FsOps {
+
+  private def fs(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(hadoopConf(spark)), p)
+  }
+
+  private def hadoopConf(spark: SparkSession): Configuration =
+    spark.sparkContext.hadoopConfiguration
+
+  case class ObjectInfo(path: String, size: Long, modifiedMs: Long,
+                        isDirectory: Boolean)
+
+  private def toInfo(st: FileStatus): ObjectInfo =
+    ObjectInfo(st.getPath.toString, st.getLen, st.getModificationTime,
+               st.isDirectory)
+
+  /** List leaf objects under a path/glob, with suffix keep/drop filters
+    * and a last-modified window (reference: s3/_list.py:209-274).
+    * `_SUCCESS`/`_started`/`_committed` marker files always excluded,
+    * matching the reference's `_SUCCESS` rule (s3/_read.py:22-29).
+    */
+  def listObjects(spark: SparkSession, path: String,
+                  suffix: Seq[String] = Nil,
+                  ignoreSuffix: Seq[String] = Nil,
+                  lastModifiedBegin: Option[Long] = None,
+                  lastModifiedEnd: Option[Long] = None): Seq[ObjectInfo] = {
+    val (filesystem, p) = fs(spark, path)
+    val statuses: Seq[FileStatus] = {
+      val globbed = Option(filesystem.globStatus(p)).getOrElse(Array.empty)
+      val roots =
+        if (globbed.nonEmpty) globbed.toSeq
+        else if (filesystem.exists(p)) Seq(filesystem.getFileStatus(p))
+        else Seq.empty
+      roots.flatMap { st =>
+        if (st.isDirectory) {
+          val it = filesystem.listFiles(st.getPath, true)
+          val buf = mutable.Buffer.empty[FileStatus]
+          while (it.hasNext) buf += it.next()
+          buf.toSeq
+        } else Seq(st)
+      }
+    }
+    statuses.iterator
+      .filter(st => !st.isDirectory)
+      .map(toInfo)
+      .filter(o => !isMarker(o.path))
+      .filter(o => suffix.isEmpty || suffix.exists(o.path.endsWith))
+      .filter(o => !ignoreSuffix.exists(o.path.endsWith))
+      .filter(o => lastModifiedBegin.forall(o.modifiedMs >= _))
+      .filter(o => lastModifiedEnd.forall(o.modifiedMs <= _))
+      .toSeq.sortBy(_.path)
+  }
+
+  private def isMarker(path: String): Boolean = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    name == "_SUCCESS" || name.startsWith("_started") ||
+      name.startsWith("_committed") || name.startsWith(".")
+  }
+
+  /** Immediate child directories (reference: s3.list_directories). */
+  def listDirectories(spark: SparkSession, path: String): Seq[String] = {
+    val (filesystem, p) = fs(spark, path)
+    if (!filesystem.exists(p)) Seq.empty
+    else filesystem.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.toString).sorted
+  }
+
+  def doesObjectExist(spark: SparkSession, path: String): Boolean = {
+    val (filesystem, p) = fs(spark, path)
+    filesystem.exists(p)
+  }
+
+  /** {path -> size} for a path/glob (reference: s3.size_objects). */
+  def sizeObjects(spark: SparkSession, path: String): Map[String, Long] =
+    listObjects(spark, path).map(o => o.path -> o.size).toMap
+
+  /** Full metadata per object (reference: s3.describe_objects). */
+  def describeObjects(spark: SparkSession, path: String): Map[String, ObjectInfo] =
+    listObjects(spark, path).map(o => o.path -> o).toMap
+
+  /** Recursive delete of paths/prefixes (reference: s3.delete_objects;
+    * batching/retry are Hadoop-FS concerns here).
+    */
+  def deleteObjects(spark: SparkSession, paths: Seq[String]): Unit =
+    paths.foreach { path =>
+      val (filesystem, p) = fs(spark, path)
+      if (filesystem.exists(p)) filesystem.delete(p, true)
+    }
+
+  /** Copy a list of objects under targetDir, keeping file names
+    * (reference: s3.copy_objects).
+    */
+  def copyObjects(spark: SparkSession, paths: Seq[String],
+                  sourceDir: String, targetDir: String): Seq[String] = {
+    val conf = hadoopConf(spark)
+    val srcRoot = normalized(sourceDir)
+    paths.map { src =>
+      if (!normalized(src).startsWith(srcRoot))
+        throw InvalidArgumentValue(s"$src not under source_path $sourceDir")
+      val rel = normalized(src).stripPrefix(srcRoot).stripPrefix("/")
+      val dst = s"${normalized(targetDir)}/$rel"
+      val (sFs, sP) = fs(spark, src)
+      val (dFs, dP) = fs(spark, dst)
+      dFs.mkdirs(dP.getParent)
+      FileUtil.copy(sFs, sP, dFs, dP, false, true, conf)
+      dst
+    }
+  }
+
+  private def normalized(p: String): String = p.stripSuffix("/")
+
+  /** Mirror a dataset prefix into another with the three reference
+    * write modes (reference: s3.merge_datasets, s3/_copy.py:44-151):
+    * append (add files), overwrite (delete target first),
+    * overwrite_partitions (delete only the `k=v` partition dirs that
+    * exist in the source).
+    */
+  def mergeDatasets(spark: SparkSession, sourcePath: String,
+                    targetPath: String, mode: String = "append"): Seq[String] = {
+    val src = normalized(sourcePath)
+    val dst = normalized(targetPath)
+    val objects = listObjects(spark, src)
+    if (objects.isEmpty) return Seq.empty
+    mode match {
+      case "append" => ()
+      case "overwrite" => deleteObjects(spark, Seq(dst))
+      case "overwrite_partitions" =>
+        val partitionDirs = objects.map(_.path)
+          .map(p => p.stripPrefix(src + "/"))
+          .filter(_.contains('/'))
+          .map(rel => rel.substring(0, rel.lastIndexOf('/')))
+          .distinct
+        deleteObjects(spark, partitionDirs.map(d => s"$dst/$d"))
+      case other =>
+        throw InvalidArgumentValue(
+          s"mode must be append|overwrite|overwrite_partitions, got $other")
+    }
+    copyObjects(spark, objects.map(_.path), src, dst)
+  }
+
+  /** Poll-wait for object existence (reference: s3.wait_objects_exist;
+    * mostly obsolete under strongly-consistent stores — kept for parity).
+    */
+  def waitObjects(spark: SparkSession, paths: Seq[String], exist: Boolean,
+                  delayMs: Long = 200, maxAttempts: Int = 20): Unit = {
+    paths.foreach { path =>
+      var attempt = 0
+      while (doesObjectExist(spark, path) != exist) {
+        attempt += 1
+        if (attempt >= maxAttempts)
+          throw ServiceApiError(s"timeout waiting for $path exist=$exist")
+        Thread.sleep(delayMs)
+      }
+    }
+  }
+}

@@ -1,0 +1,197 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, substring}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.exceptions._
+import graft.types.AthenaTypes
+
+/** Read-side operators (SURVEY.md §2.1; reference awswrangler/s3/
+  * _read_parquet.py, _read_text.py).
+  *
+  * Spark-first mapping: the reference's hand-rolled listing/pruning/
+  * union machinery collapses into one declarative scan — Hadoop globs
+  * do the listing, Catalyst does partition pruning (partitionFilter
+  * becomes a `Column` predicate on partition columns, pruned BEFORE
+  * any data read, same guarantee as the reference's path callback),
+  * and column pruning/predicate pushdown reach the parquet reader
+  * automatically. Nothing here materializes on the driver.
+  */
+object Reader {
+
+  /** Options mirroring the reference's read_parquet surface
+    * (s3/_read_parquet.py:400-576), re-expressed for Catalyst:
+    *
+    * @param columns          projection (column pruning pushed to scan)
+    * @param partitionFilter  predicate over partition columns —
+    *                         replaces the reference's per-path callback;
+    *                         Catalyst prunes directories before reading
+    * @param dataset          treat path as a partitioned dataset root
+    * @param mergeSchema      union schemas across files (reference's
+    *                         validate_schema=False merge behavior)
+    * @param validateSchema   strict: all files must share one schema
+    *                         (reference: s3/_read_parquet.py:83-109)
+    * @param pathSuffix       keep only files ending with one of these
+    * @param pathIgnoreSuffix drop files ending with one of these
+    * @param lastModifiedBegin/End epoch-ms window on file mtime
+    *                         (reference: s3/_list.py:99-104)
+    */
+  case class ReadOptions(
+      columns: Seq[String] = Nil,
+      partitionFilter: Option[Column] = None,
+      dataset: Boolean = false,
+      mergeSchema: Boolean = false,
+      validateSchema: Boolean = false,
+      pathSuffix: Seq[String] = Nil,
+      pathIgnoreSuffix: Seq[String] = Nil,
+      lastModifiedBegin: Option[java.time.Instant] = None,
+      lastModifiedEnd: Option[java.time.Instant] = None,
+      options: Map[String, String] = Map.empty)
+
+  def readParquet(spark: SparkSession, paths: Seq[String],
+                  opts: ReadOptions = ReadOptions()): DataFrame = {
+    if (paths.isEmpty) throw InvalidArgumentValue("paths must be non-empty")
+    var reader = spark.read
+    if (opts.mergeSchema) reader = reader.option("mergeSchema", "true")
+    opts.pathSuffix match {
+      case Seq(one) => reader = reader.option("pathGlobFilter", s"*$one")
+      case _ => () // multiple suffixes filtered below via listing
+    }
+    opts.lastModifiedBegin.foreach(i =>
+      reader = reader.option("modifiedAfter", i.toString))
+    opts.lastModifiedEnd.foreach(i =>
+      reader = reader.option("modifiedBefore", i.toString))
+    reader = reader.options(opts.options)
+
+    val resolvedPaths =
+      if (opts.pathSuffix.size > 1 || opts.pathIgnoreSuffix.nonEmpty) {
+        // multi-suffix filters need explicit listing (still driver-side
+        // metadata only, no data read)
+        paths.flatMap(p => FsOps.listObjects(spark, p,
+          suffix = opts.pathSuffix, ignoreSuffix = opts.pathIgnoreSuffix)
+          .map(_.path))
+      } else paths
+
+    if (resolvedPaths.isEmpty) throw NoFilesFound(s"no files under $paths")
+
+    if (opts.validateSchema) validateEqualSchemas(spark, resolvedPaths)
+
+    var df = reader.parquet(resolvedPaths: _*)
+    opts.partitionFilter.foreach(pf => df = df.filter(pf))
+    if (opts.columns.nonEmpty)
+      df = df.select(opts.columns.map(col): _*)
+    df
+  }
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    readParquet(spark, Seq(path))
+
+  def readParquet(spark: SparkSession, path: String, opts: ReadOptions): DataFrame =
+    readParquet(spark, Seq(path), opts)
+
+  /** Strict schema-equality pre-pass (reference raises on divergence,
+    * s3/_read_parquet.py:83-121). Footer-only reads, one per file.
+    */
+  private def validateEqualSchemas(spark: SparkSession, paths: Seq[String]): Unit = {
+    val schemas = paths.map { p =>
+      p -> spark.read.parquet(p).schema
+    }
+    val distinct = schemas.map(_._2).distinct
+    if (distinct.size > 1)
+      throw InvalidSchemaConvergence(
+        s"schemas diverge across files: ${schemas.map { case (p, s) =>
+          s"$p -> ${s.simpleString}" }.mkString("; ")}")
+  }
+
+  /** Schema + partition types without reading data (reference:
+    * s3.read_parquet_metadata). Returns (columnsTypes, partitionsTypes)
+    * as Athena type strings; partition columns are detected from the
+    * dataset layout.
+    */
+  def readParquetMetadata(spark: SparkSession, path: String,
+                          dataset: Boolean = false)
+      : (Map[String, String], Map[String, String]) = {
+    val df = spark.read.parquet(path)
+    val partitionCols: Set[String] =
+      if (dataset) partitionColumnsOf(spark, path) else Set.empty
+    val all = AthenaTypes.fromSchema(df.schema).toMap
+    (all.view.filterKeys(!partitionCols.contains(_)).toMap,
+     all.view.filterKeys(partitionCols.contains).toMap)
+  }
+
+  /** Partition column names inferred from `k=v` directory layout. */
+  def partitionColumnsOf(spark: SparkSession, root: String): Set[String] =
+    FsOps.listObjects(spark, root).map(_.path).flatMap { p =>
+      p.stripPrefix(root.stripSuffix("/") + "/").split('/').dropRight(1)
+        .filter(_.contains('=')).map(_.split('=')(0))
+    }.toSet
+
+  /** CSV reader with pandas-kwargs-style passthrough (reference:
+    * s3.read_csv; kwargs become DataFrameReader options).
+    */
+  def readCsv(spark: SparkSession, paths: Seq[String],
+              schema: Option[StructType] = None,
+              options: Map[String, String] = Map.empty,
+              opts: ReadOptions = ReadOptions()): DataFrame = {
+    var reader = spark.read
+      .option("header", "true")
+      .options(options)
+    schema match {
+      case Some(s) => reader = reader.schema(s)
+      case None    => reader = reader.option("inferSchema", "true")
+    }
+    var df = reader.csv(paths: _*)
+    opts.partitionFilter.foreach(pf => df = df.filter(pf))
+    if (opts.columns.nonEmpty) df = df.select(opts.columns.map(col): _*)
+    df
+  }
+
+  /** JSON / JSON-lines (reference: s3.read_json; lines=True default,
+    * non-lines orients → multiLine).
+    */
+  def readJson(spark: SparkSession, paths: Seq[String],
+               lines: Boolean = true,
+               schema: Option[StructType] = None,
+               options: Map[String, String] = Map.empty): DataFrame = {
+    var reader = spark.read.options(options)
+    if (!lines) reader = reader.option("multiLine", "true")
+    schema.foreach(s => reader = reader.schema(s))
+    reader.json(paths: _*)
+  }
+
+  /** Fixed-width files (reference: s3.read_fwf). Spark has no native
+    * FWF source: read as text and generate substring projections from
+    * (name, width) specs — stays fully codegen'd and distributed.
+    */
+  def readFwf(spark: SparkSession, paths: Seq[String],
+              widths: Seq[Int], names: Seq[String],
+              dtype: Map[String, String] = Map.empty): DataFrame = {
+    if (widths.size != names.size)
+      throw InvalidArgumentCombination(
+        s"widths(${widths.size}) and names(${names.size}) must align")
+    val starts = widths.scanLeft(1)(_ + _)
+    val projections = names.zip(widths).zip(starts).map {
+      case ((name, width), start) =>
+        val c = substring(col("value"), start, width).as(name)
+        dtype.get(name) match {
+          case Some(t) =>
+            // trim then cast via the Athena type bridge
+            org.apache.spark.sql.functions.trim(substring(col("value"), start, width))
+              .cast(AthenaTypes.toSpark(t)).as(name)
+          case None => c
+        }
+    }
+    spark.read.text(paths: _*).select(projections: _*)
+  }
+
+  /** Driver-side bounded iteration adapter for the reference's
+    * `chunked=N` generators (s3/_read_parquet.py:257-325). The lazy
+    * DataFrame replaces the need in pipelines; this exists for parity
+    * where a caller genuinely wants bounded-memory local iteration.
+    */
+  def toLocalChunks(df: DataFrame, chunkRows: Int): Iterator[Seq[Row]] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala.grouped(chunkRows)
+  }
+}
