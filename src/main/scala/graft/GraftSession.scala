@@ -65,7 +65,9 @@ object Tables {
     import org.apache.spark.sql.types.LongType
     if (name == "events" &&
         df.schema.find(_.name == "ts").exists(_.dataType == LongType))
-      df.withColumn("ts", expr("timestamp_micros(CAST(floor(ts / 1000) AS BIGINT))"))
+      // integer division: ns epoch values (~1.7e18) exceed double's 2^53
+      // mantissa, so `/ 1000` + floor can be off by 1µs vs DuckDB's CAST
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
   }
 

@@ -74,7 +74,9 @@ object Queries {
         upper(col("p_brand")).as("brand_u"),
         length(col("p_name")).cast("long").as("name_len"),
         substring(col("p_type"), 1, 5).as("type5"),
-        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        // concat (NULL-propagating) matches the oracle's `||`; concat_ws
+        // would skip NULL operands and diverge on null brand/type
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
         (col("p_size") % 7).cast("long").as("size_mod"),
         round(abs(col("p_retailprice") - 1000.0), 2).as("price_dist"))
       .orderBy("p_partkey")

@@ -113,11 +113,15 @@ object QueriesRelational2 {
     * customer including zero-order customers, histogrammed.
     */
   def q15OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    // aggregate-pushdown: pre-aggregate orders per custkey BEFORE the
+    // join so the shuffle carries one row per customer, not the full
+    // fact table (null-extension via left join + coalesce(0) preserves
+    // zero-order customers exactly as count(o_orderkey) would)
     val c = t(spark, dir, "customer")
-    val o = t(spark, dir, "orders")
-    c.join(o, col("c_custkey") === col("o_custkey"), "left")
-      .groupBy("c_custkey")
-      .agg(count(col("o_orderkey")).as("n_orders"))
+    val perCust = t(spark, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    c.join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("n_orders"))
       .groupBy("n_orders")
       .agg(count(lit(1)).as("n_customers"))
       .orderBy("n_orders")
@@ -169,17 +173,21 @@ object QueriesRelational2 {
       .orderBy("nationkey")
   }
 
-  /** q20 — ntile + percent_rank distribution buckets. */
-  def q20Ntile(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    t(spark, dir, "orders")
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+  /** q20 — quartile distribution buckets. A naive `ntile(4) OVER
+    * (ORDER BY …)` collapses the whole table to ONE partition (Spark
+    * warns and OOMs at scale); `Relational.ntileBucketed` keeps the
+    * exact ntile semantics on a range-partitioned distributed plan.
+    */
+  def q20Ntile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational
+      .ntileBucketed(
+        t(spark, dir, "orders").select("o_orderkey", "o_totalprice"),
+        4, Seq(col("o_totalprice").asc, col("o_orderkey").asc), "quartile")
       .groupBy("quartile")
       .agg(count(lit(1)).as("n"),
            round(min("o_totalprice"), 2).as("min_price"),
            round(max("o_totalprice"), 2).as("max_price"))
       .orderBy("quartile")
-  }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_window_rank"    -> (q08WindowRank _),

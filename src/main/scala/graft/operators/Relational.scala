@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.exceptions._
+
+/** Relational helpers for operations Spark only offers as
+  * single-partition global windows (`Window.orderBy` with no
+  * partitionBy moves ALL rows to one partition — a guaranteed OOM at
+  * scale). These stay distributed:
+  *
+  *   range-shuffle on the sort keys → per-partition local sort →
+  *   per-partition sequential index + partition-size offsets (one
+  *   lightweight count job) → global index.
+  *
+  * The reference delegates these to Athena/Presto (SURVEY.md §2.4);
+  * here they are the 100 TB-safe equivalents of `row_number()/ntile()
+  * OVER (ORDER BY …)`.
+  */
+object Relational {
+
+  /** Append a 0-based globally-ordered row index without ever
+    * collapsing to one partition.
+    *
+    * `sortCols` must define a TOTAL order (include a tiebreaker key);
+    * with ties the index assignment between tied rows is
+    * partitioner-dependent.
+    *
+    * Implementation: `repartitionByRange` gives ordered disjoint key
+    * ranges per partition, `sortWithinPartitions` orders locally, and
+    * `zipWithIndex` assigns the global index distributively (it runs
+    * one extra job to collect per-partition counts — O(numPartitions)
+    * driver memory, never row data).
+    */
+  def withGlobalIndex(df: DataFrame, sortCols: Seq[Column],
+                      indexCol: String = "row_idx",
+                      numPartitions: Option[Int] = None): DataFrame = {
+    if (sortCols.isEmpty)
+      throw InvalidArgumentValue("sortCols must be non-empty")
+    val parts = numPartitions.getOrElse(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val sorted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema.add(indexCol, LongType, nullable = false)
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ idx)
+    }
+    df.sparkSession.createDataFrame(indexed, schema)
+  }
+
+  /** Distributed equivalent of `ntile(k) OVER (ORDER BY sortCols)`:
+    * same bucket semantics (first `n % k` buckets get the extra row),
+    * no single-partition window. Costs one extra pass for the total
+    * count; at scale, persist `df` first if it is expensive to
+    * recompute.
+    */
+  def ntileBucketed(df: DataFrame, k: Int, sortCols: Seq[Column],
+                    bucketCol: String = "bucket",
+                    numPartitions: Option[Int] = None): DataFrame = {
+    if (k <= 0) throw InvalidArgumentValue(s"k must be positive, got $k")
+    val n = df.count()
+    val idxCol = "__graft_idx"
+    val indexed = withGlobalIndex(df, sortCols, idxCol, numPartitions)
+    val base = n / k
+    val rem = n % k
+    val cut = rem * (base + 1) // first `rem` buckets carry base+1 rows
+    val bucket =
+      if (base == 0) col(idxCol) + 1L // n < k: one row per bucket
+      else
+        when(col(idxCol) < cut, expr(s"$idxCol div ${base + 1}") + 1L)
+          .otherwise(lit(rem) + expr(s"($idxCol - $cut) div $base") + 1L)
+    indexed.withColumn(bucketCol, bucket.cast("long")).drop(idxCol)
+  }
+}

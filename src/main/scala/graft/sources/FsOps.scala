@@ -116,9 +116,12 @@ object FsOps {
     val conf = hadoopConf(spark)
     val srcRoot = normalized(sourceDir)
     paths.map { src =>
-      if (!normalized(src).startsWith(srcRoot))
+      // containment must be segment-aligned: /data/ab/f is NOT under
+      // /data/a, so compare against the root plus a trailing separator
+      val s = normalized(src)
+      if (!(s.startsWith(srcRoot + "/") || s == srcRoot))
         throw InvalidArgumentValue(s"$src not under source_path $sourceDir")
-      val rel = normalized(src).stripPrefix(srcRoot).stripPrefix("/")
+      val rel = s.stripPrefix(srcRoot).stripPrefix("/")
       val dst = s"${normalized(targetDir)}/$rel"
       val (sFs, sP) = fs(spark, src)
       val (dFs, dP) = fs(spark, dst)
@@ -146,10 +149,14 @@ object FsOps {
       case "append" => ()
       case "overwrite" => deleteObjects(spark, Seq(dst))
       case "overwrite_partitions" =>
+        // only true Hive `k=v` partition dirs are replaced (reference:
+        // s3/_copy.py:131-138); arbitrary nesting in the target survives
         val partitionDirs = objects.map(_.path)
           .map(p => p.stripPrefix(src + "/"))
           .filter(_.contains('/'))
           .map(rel => rel.substring(0, rel.lastIndexOf('/')))
+          .filter(_.split('/').forall(seg =>
+            seg.indexOf('=') > 0 && seg.indexOf('=') < seg.length - 1))
           .distinct
         deleteObjects(spark, partitionDirs.map(d => s"$dst/$d"))
       case other =>

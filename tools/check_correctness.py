@@ -91,7 +91,15 @@ def main():
             extra = f"  (dtype diff: {dt_mismatch})" if dt_mismatch else ""
             print(f"PASS     {name} ({len(spark_df)} rows){extra}")
             n_pass += 1
-    only_spark = set(glob.glob(f"{out_dir}/*/")) and None
+    # Spark outputs with no oracle entry would silently dodge the gate —
+    # surface them and count them as skips so coverage gaps are visible.
+    import os
+    spark_outputs = {os.path.basename(d.rstrip("/"))
+                     for d in glob.glob(f"{out_dir}/*/")}
+    no_oracle = sorted(spark_outputs - set(oracles))
+    for name in no_oracle:
+        print(f"NO_ORACLE {name}: spark output has no oracle_sql entry")
+        n_skip += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} skip; "
           f"{len(oracles)} oracles")
     sys.exit(1 if n_fail else 0)
