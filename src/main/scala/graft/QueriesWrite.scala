@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sinks.Writer
+import graft.sinks.Writer.WriteOptions
+import graft.sources.Reader
+import graft.sources.Reader.ReadOptions
+
+/** Write-path operators exercised end-to-end (SURVEY.md §2.2): each
+  * query writes a dataset with `Writer`, reads it back with `Reader`
+  * (partition pruning included), and aggregates — so the oracle over
+  * the ORIGINAL table proves the round trip byte-preserving.
+  *
+  * Scratch space lives under target/ (never the read-only testdata);
+  * every query starts with a full-overwrite write, so re-runs are
+  * idempotent.
+  */
+object QueriesWrite {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(spark, dir, name)
+
+  /** Per-(scale-factor, query) scratch dataset root. */
+  private def rt(dir: String, name: String): String =
+    s"/root/repo/target/graft-rt/${new java.io.File(dir).getName}/$name"
+
+  /** q21 — partitioned parquet dataset round trip + partition-filter
+    * pruning: only the `l_returnflag=R` directory is scanned on read.
+    */
+  def q21WriteDatasetRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = rt(dir, "q21")
+    Writer.toParquet(spark, t(spark, dir, "lineitem"), root,
+      WriteOptions(dataset = true, partitionCols = Seq("l_returnflag"),
+        mode = "overwrite"))
+    Reader.readParquet(spark, Seq(root),
+        ReadOptions(dataset = true,
+          partitionFilter = Some(col("l_returnflag") === "R")))
+      .groupBy("l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+           round(sum("l_extendedprice"), 2).as("sum_price"),
+           count(lit(1)).as("n"))
+      .orderBy("l_linestatus")
+  }
+
+  /** q22 — overwrite_partitions: full write, then replace ONLY the
+    * `o_orderstatus=F` partition with doubled prices (dynamic partition
+    * overwrite — untouched partitions must survive byte-identical).
+    */
+  def q22WriteOverwritePartitions(spark: SparkSession, dir: String): DataFrame = {
+    val root = rt(dir, "q22")
+    val orders = t(spark, dir, "orders")
+    val opts = WriteOptions(dataset = true,
+      partitionCols = Seq("o_orderstatus"), mode = "overwrite",
+      filesPerPartition = Some(4))
+    Writer.toParquet(spark, orders, root, opts)
+    Writer.toParquet(spark,
+      orders.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      root, opts.copy(mode = "overwrite_partitions"))
+    Reader.readParquet(spark, Seq(root), ReadOptions(dataset = true))
+      .groupBy("o_orderstatus")
+      .agg(round(sum("o_totalprice"), 2).as("total"),
+           count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** q23 — append mode with the schema-evolution guard active: two
+    * disjoint year slices appended into one dataset must reassemble
+    * the full table.
+    */
+  def q23WriteAppend(spark: SparkSession, dir: String): DataFrame = {
+    val root = rt(dir, "q23")
+    val orders = t(spark, dir, "orders")
+    val early = orders.filter(year(col("o_orderdate")) < 1995)
+    val late  = orders.filter(year(col("o_orderdate")) >= 1995)
+    Writer.toParquet(spark, early, root,
+      WriteOptions(dataset = true, partitionCols = Seq("o_orderpriority"),
+        mode = "overwrite"))
+    Writer.toParquet(spark, late, root,
+      WriteOptions(dataset = true, partitionCols = Seq("o_orderpriority"),
+        mode = "append", schemaEvolution = false))
+    Reader.readParquet(spark, Seq(root), ReadOptions(dataset = true))
+      .groupBy("o_orderpriority")
+      .agg(round(sum("o_totalprice"), 2).as("total"),
+           count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q24 — CSV dataset round trip (text serialization + schema
+    * inference on read, reference s3.to_csv/read_csv surface).
+    */
+  def q24WriteCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = rt(dir, "q24")
+    Writer.toCsv(spark, t(spark, dir, "customer"), root,
+      WriteOptions(dataset = true, partitionCols = Seq("c_mktsegment"),
+        mode = "overwrite"))
+    Reader.readCsv(spark, Seq(root))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+           round(sum("c_acctbal"), 2).as("total_bal"),
+           countDistinct("c_nationkey").as("n_nations"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q25 — JSON-lines dataset round trip (timestamp-free projection:
+    * JSON schema inference reads timestamps back as strings, so the
+    * year is materialized before writing).
+    */
+  def q25WriteJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = rt(dir, "q25")
+    val slim = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              year(col("o_orderdate")).cast("long").as("o_year"))
+    Writer.toJson(spark, slim, root,
+      WriteOptions(dataset = true, partitionCols = Seq("o_year"),
+        mode = "overwrite", filesPerPartition = Some(4)))
+    Reader.readJson(spark, Seq(root))
+      .groupBy(col("o_year").cast("long").as("o_year"))
+      .agg(round(sum("o_totalprice"), 2).as("total"),
+           countDistinct("o_custkey").as("n_cust"))
+      .orderBy("o_year")
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_write_dataset_roundtrip"   -> (q21WriteDatasetRoundtrip _),
+    "q22_write_overwrite_partitions"-> (q22WriteOverwritePartitions _),
+    "q23_write_append"              -> (q23WriteAppend _),
+    "q24_write_csv_roundtrip"       -> (q24WriteCsvRoundtrip _),
+    "q25_write_json_roundtrip"      -> (q25WriteJsonRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "q21_write_dataset_roundtrip" ->
+      """SELECT l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_price,
+                count(*) AS n
+         FROM lineitem WHERE l_returnflag = 'R'
+         GROUP BY 1 ORDER BY 1""",
+    "q22_write_overwrite_partitions" ->
+      """SELECT o_orderstatus,
+                round(sum(CASE WHEN o_orderstatus = 'F'
+                          THEN o_totalprice * 2 ELSE o_totalprice END), 2)
+                  AS total,
+                count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q23_write_append" ->
+      """SELECT o_orderpriority, round(sum(o_totalprice), 2) AS total,
+                count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q24_write_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                round(sum(c_acctbal), 2) AS total_bal,
+                count(DISTINCT c_nationkey) AS n_nations
+         FROM customer GROUP BY 1 ORDER BY 1""",
+    "q25_write_json_roundtrip" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                round(sum(o_totalprice), 2) AS total,
+                count(DISTINCT o_custkey) AS n_cust
+         FROM orders GROUP BY 1 ORDER BY 1""")
+}

@@ -28,8 +28,8 @@ object SparkEntry {
     Queries.starJoin(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.registry ++ QueriesRelational2.registry
+    Queries.registry ++ QueriesRelational2.registry ++ QueriesWrite.registry
 
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ QueriesRelational2.oracles
+    Queries.oracles ++ QueriesRelational2.oracles ++ QueriesWrite.oracles
 }

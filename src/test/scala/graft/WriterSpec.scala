@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.exceptions._
+import graft.sinks.Writer
+import graft.sinks.Writer.WriteOptions
+import graft.sources.{FsOps, Reader}
+import graft.sources.Reader.ReadOptions
+
+/** Dataset-write lifecycle mirroring the reference's routine suite
+  * (reference: tests/test__routines.py:13-263): overwrite → append →
+  * schema-evolution guard → overwrite_partitions, plus file-mode and
+  * maxRowsByFile sizing.
+  */
+class WriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def orders = Tables.read(spark, sf, "orders")
+
+  test("dataset overwrite then append doubles the row count") {
+    val root = tmpDir("writer-lifecycle")
+    val opts = WriteOptions(dataset = true,
+      partitionCols = Seq("o_orderstatus"), mode = "overwrite")
+    Writer.toParquet(spark, orders, root, opts)
+    val n1 = spark.read.parquet(root).count()
+    assert(n1 == orders.count())
+    Writer.toParquet(spark, orders, root, opts.copy(mode = "append"))
+    assert(spark.read.parquet(root).count() == 2 * n1)
+  }
+
+  test("overwrite after append resets the dataset") {
+    val root = tmpDir("writer-reset")
+    val opts = WriteOptions(dataset = true, mode = "overwrite")
+    Writer.toParquet(spark, orders, root, opts)
+    Writer.toParquet(spark, orders, root, opts.copy(mode = "append"))
+    Writer.toParquet(spark, orders.limit(10), root, opts)
+    assert(spark.read.parquet(root).count() == 10)
+  }
+
+  test("overwrite_partitions replaces only touched partitions") {
+    val root = tmpDir("writer-owp")
+    val opts = WriteOptions(dataset = true,
+      partitionCols = Seq("o_orderstatus"), mode = "overwrite")
+    Writer.toParquet(spark, orders, root, opts)
+    val fCount = orders.filter($"o_orderstatus" === "F").count()
+    val otherCount = orders.filter($"o_orderstatus" =!= "F").count()
+    // replace partition F with just one row
+    Writer.toParquet(spark,
+      orders.filter($"o_orderstatus" === "F").limit(1), root,
+      opts.copy(mode = "overwrite_partitions"))
+    val back = spark.read.parquet(root)
+    assert(back.filter($"o_orderstatus" === "F").count() == 1)
+    assert(back.filter($"o_orderstatus" =!= "F").count() == otherCount)
+    assert(fCount > 1) // the test is vacuous otherwise
+  }
+
+  test("schema_evolution=false rejects a new column on append") {
+    val root = tmpDir("writer-evolve")
+    Writer.toParquet(spark, orders, root,
+      WriteOptions(dataset = true, mode = "overwrite"))
+    val widened = orders.withColumn("extra", lit(1))
+    val e = intercept[InvalidArgumentValue] {
+      Writer.toParquet(spark, widened, root,
+        WriteOptions(dataset = true, mode = "append",
+          schemaEvolution = false))
+    }
+    assert(e.getMessage.contains("extra"))
+  }
+
+  test("schema_evolution=false rejects a changed column type") {
+    val root = tmpDir("writer-evolve-type")
+    Writer.toParquet(spark, orders, root,
+      WriteOptions(dataset = true, mode = "overwrite"))
+    val retyped = orders.withColumn("o_totalprice",
+      $"o_totalprice".cast("string"))
+    val e = intercept[InvalidArgumentValue] {
+      Writer.toParquet(spark, retyped, root,
+        WriteOptions(dataset = true, mode = "append",
+          schemaEvolution = false))
+    }
+    assert(e.getMessage.contains("o_totalprice"))
+  }
+
+  test("schema_evolution=true allows appending a widened frame") {
+    val root = tmpDir("writer-evolve-ok")
+    Writer.toParquet(spark, orders.limit(5), root,
+      WriteOptions(dataset = true, mode = "overwrite"))
+    Writer.toParquet(spark, orders.limit(5).withColumn("extra", lit(1)),
+      root, WriteOptions(dataset = true, mode = "append"))
+    val merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(merged.columns.contains("extra"))
+    assert(merged.count() == 10)
+  }
+
+  test("file mode with singleFile writes exactly one data file") {
+    val root = tmpDir("writer-single")
+    Writer.toParquet(spark, orders, root,
+      WriteOptions(singleFile = true, mode = "overwrite"))
+    val files = FsOps.listObjects(spark, root,
+      suffix = Seq(".parquet"))
+    assert(files.size == 1)
+  }
+
+  test("maxRowsByFile splits output into bounded files") {
+    val root = tmpDir("writer-maxrows")
+    val n = orders.count()
+    Writer.toParquet(spark, orders.repartition(1), root,
+      WriteOptions(mode = "overwrite", maxRowsByFile = Some(100)))
+    val files = FsOps.listObjects(spark, root, suffix = Seq(".parquet"))
+    assert(files.size >= (n / 100).toInt)
+    assert(spark.read.parquet(root).count() == n)
+  }
+
+  test("empty/duplicate/mode validation raises the reference errors") {
+    val root = tmpDir("writer-validate")
+    intercept[InvalidDataFrame] {
+      Writer.toParquet(spark,
+        orders.select($"o_orderkey", $"o_orderkey"), root)
+    }
+    intercept[InvalidArgumentValue] {
+      Writer.toParquet(spark, orders, root,
+        WriteOptions(dataset = true, mode = "nope"))
+    }
+    intercept[InvalidArgumentCombination] {
+      Writer.toParquet(spark, orders, root,
+        WriteOptions(partitionCols = Seq("o_orderstatus")))
+    }
+    intercept[InvalidArgumentCombination] {
+      Writer.toParquet(spark, orders, root,
+        WriteOptions(mode = "overwrite_partitions"))
+    }
+  }
+
+  test("csv and json dataset round trips preserve values") {
+    val csvRoot = tmpDir("writer-csv")
+    val df = orders.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+      $"o_totalprice")
+    Writer.toCsv(spark, df, csvRoot,
+      WriteOptions(dataset = true, partitionCols = Seq("o_orderstatus"),
+        mode = "overwrite"))
+    val csvBack = Reader.readCsv(spark, Seq(csvRoot))
+    assert(csvBack.count() == df.count())
+    assert(csvBack.agg(round(sum("o_totalprice"), 2)).head.getDouble(0) ==
+      df.agg(round(sum("o_totalprice"), 2)).head.getDouble(0))
+
+    val jsonRoot = tmpDir("writer-json")
+    Writer.toJson(spark, df, jsonRoot,
+      WriteOptions(dataset = true, mode = "overwrite"))
+    val jsonBack = Reader.readJson(spark, Seq(jsonRoot))
+    assert(jsonBack.count() == df.count())
+  }
+
+  test("partition filter on read prunes to the selected partition") {
+    val root = tmpDir("writer-prune")
+    Writer.toParquet(spark, orders, root,
+      WriteOptions(dataset = true, partitionCols = Seq("o_orderstatus"),
+        mode = "overwrite"))
+    val back = Reader.readParquet(spark, Seq(root),
+      ReadOptions(dataset = true,
+        partitionFilter = Some(col("o_orderstatus") === "F")))
+    assert(back.count() ==
+      orders.filter($"o_orderstatus" === "F").count())
+    // the physical plan must contain the partition filter (pruned scan)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("o_orderstatus"))
+  }
+}
