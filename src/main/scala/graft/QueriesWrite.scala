@@ -123,12 +123,33 @@ object QueriesWrite {
       .orderBy("o_year")
   }
 
+  /** q26 — write → catalog registration → read back via `spark.table`
+    * (the reference's to_parquet(database=, table=) + read_parquet_table
+    * lifecycle, including MSCK-style partition recovery).
+    */
+  def q26CatalogTable(spark: SparkSession, dir: String): DataFrame = {
+    val root = rt(dir, "q26")
+    val db = "graft_" + new java.io.File(dir).getName.replace('.', '_')
+    graft.catalog.Catalog.createDatabase(spark, db)
+    Writer.toParquetCataloged(spark, t(spark, dir, "lineitem"), root,
+      db, "lineitem_ds",
+      WriteOptions(partitionCols = Seq("l_returnflag"),
+        mode = "overwrite", filesPerPartition = Some(4)))
+    graft.catalog.Catalog.readParquetTable(spark, db, "lineitem_ds")
+      .filter(col("l_returnflag") =!= "N")
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_extendedprice"), 2).as("sum_price"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_write_dataset_roundtrip"   -> (q21WriteDatasetRoundtrip _),
     "q22_write_overwrite_partitions"-> (q22WriteOverwritePartitions _),
     "q23_write_append"              -> (q23WriteAppend _),
     "q24_write_csv_roundtrip"       -> (q24WriteCsvRoundtrip _),
-    "q25_write_json_roundtrip"      -> (q25WriteJsonRoundtrip _))
+    "q25_write_json_roundtrip"      -> (q25WriteJsonRoundtrip _),
+    "q26_catalog_table"             -> (q26CatalogTable _))
 
   val oracles: Map[String, String] = Map(
     "q21_write_dataset_roundtrip" ->
@@ -157,5 +178,10 @@ object QueriesWrite {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
                 round(sum(o_totalprice), 2) AS total,
                 count(DISTINCT o_custkey) AS n_cust
-         FROM orders GROUP BY 1 ORDER BY 1""")
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q26_catalog_table" ->
+      """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS sum_price,
+                count(*) AS n
+         FROM lineitem WHERE l_returnflag <> 'N'
+         GROUP BY 1 ORDER BY 1""")
 }

@@ -134,6 +134,38 @@ object Writer {
     }
   }
 
+  /** Dataset write + catalog registration in one call, with the
+    * reference's rollback contract (s3/_write_parquet.py:534-572): if
+    * the catalog commit fails, the files THIS call wrote are deleted
+    * before the error is rethrown, so data and metadata never diverge.
+    */
+  def toParquetCataloged(spark: SparkSession, df: DataFrame, path: String,
+                         database: String, table: String,
+                         opts: WriteOptions = WriteOptions()): Unit = {
+    val effective = opts.copy(dataset = true)
+    val before: Set[String] =
+      if (FsOps.doesObjectExist(spark, path))
+        FsOps.listObjects(spark, path).map(_.path).toSet
+      else Set.empty
+    toParquet(spark, df, path, effective)
+    try {
+      val (cols, parts) =
+        graft.catalog.Catalog.extractAthenaTypes(df, effective.partitionCols)
+      val catalogMode =
+        if (effective.mode == "overwrite") "overwrite" else "append"
+      graft.catalog.Catalog.createParquetTable(spark, database, table, path,
+        cols, parts, catalogMode)
+      if (effective.partitionCols.nonEmpty)
+        graft.catalog.Catalog.repairTable(spark, database, table)
+    } catch {
+      case e: Throwable =>
+        val fresh = FsOps.listObjects(spark, path).map(_.path)
+          .filterNot(before)
+        FsOps.deleteObjects(spark, fresh)
+        throw e
+    }
+  }
+
   private def validate(df: DataFrame, opts: WriteOptions): Unit = {
     if (df.schema.isEmpty)
       throw EmptyDataFrame("DataFrame has no columns")
