@@ -98,7 +98,7 @@ object QueriesRelational2 {
     */
   def q14SqlSubquery(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
-    spark.sql("""
+    graft.sql.Sql.readSqlQuery(spark, """
       SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS big_spenders
       FROM customer
       WHERE EXISTS (
@@ -106,7 +106,7 @@ object QueriesRelational2 {
         WHERE o_custkey = c_custkey
           AND o_totalprice > (SELECT avg(o_totalprice) FROM orders))
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment""")
+      ORDER BY c_mktsegment""").df
   }
 
   /** q15 — left outer join with null-side aggregation: order counts per

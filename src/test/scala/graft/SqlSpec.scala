@@ -1,0 +1,77 @@
+package graft
+
+import graft.sql.Sql
+
+/** Canonical-SQL result cache semantics (reference:
+  * athena/_read.py:80-96,146-203 + tests/test_athena_cache.py).
+  */
+class SqlSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Tables.registerAll(spark, sf)
+  }
+
+  test("canonicalization collapses whitespace, case, and semicolons") {
+    assert(Sql.canonicalize("SELECT  *\n FROM orders ;") ==
+      Sql.canonicalize("select * from orders"))
+    assert(Sql.canonicalize("SELECT 1") != Sql.canonicalize("SELECT 2"))
+  }
+
+  test("within TTL an equivalent query is a cache hit") {
+    var now = 1_000_000L
+    val clock = () => now
+    val r1 = Sql.readSqlQuery(spark,
+      "SELECT count(*) AS n FROM orders", Some(60), clock)
+    assert(!r1.metadata.cacheHit)
+    now += 30_000 // 30s later, TTL 60s
+    val r2 = Sql.readSqlQuery(spark,
+      "select   count(*) as n from orders;", Some(60), clock)
+    assert(r2.metadata.cacheHit)
+    assert(r2.metadata.queryId == r1.metadata.queryId)
+    assert(r2.df.head().getLong(0) == r1.df.head().getLong(0))
+  }
+
+  test("past TTL the entry expires and the query re-executes") {
+    var now = 2_000_000L
+    val clock = () => now
+    val r1 = Sql.readSqlQuery(spark,
+      "SELECT count(*) AS n FROM customer", Some(10), clock)
+    now += 11_000 // 11s later, TTL 10s
+    val r2 = Sql.readSqlQuery(spark,
+      "SELECT count(*) AS n FROM customer", Some(10), clock)
+    assert(!r2.metadata.cacheHit)
+    assert(r2.metadata.queryId != r1.metadata.queryId)
+  }
+
+  test("ttl=0 disables caching entirely") {
+    val r1 = Sql.readSqlQuery(spark, "SELECT count(*) AS n FROM nation")
+    val r2 = Sql.readSqlQuery(spark, "SELECT count(*) AS n FROM nation")
+    assert(!r1.metadata.cacheHit && !r2.metadata.cacheHit)
+  }
+
+  test("the graft.sql.maxCacheSeconds conf drives the default TTL") {
+    spark.conf.set(GraftSession.confKeys.cacheSeconds, "300")
+    try {
+      val r1 = Sql.readSqlQuery(spark, "SELECT count(*) AS n FROM region")
+      val r2 = Sql.readSqlQuery(spark, "SELECT count(*) AS n FROM region")
+      assert(!r1.metadata.cacheHit && r2.metadata.cacheHit)
+    } finally {
+      spark.conf.set(GraftSession.confKeys.cacheSeconds, "0")
+      Sql.invalidateCache(spark)
+    }
+  }
+
+  test("readSqlTable resolves through the configured default database") {
+    graft.catalog.Catalog.createDatabase(spark, "graft_sql_db")
+    try {
+      spark.sql(
+        "CREATE TABLE graft_sql_db.t AS SELECT 1 AS one")
+      spark.conf.set(GraftSession.confKeys.database, "graft_sql_db")
+      assert(Sql.readSqlTable(spark, "t").head().getInt(0) == 1)
+    } finally {
+      spark.conf.unset(GraftSession.confKeys.database)
+      graft.catalog.Catalog.deleteDatabase(spark, "graft_sql_db")
+    }
+  }
+}
