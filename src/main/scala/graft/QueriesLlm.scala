@@ -1,0 +1,298 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators exercised end-to-end over the
+  * `documents` / `embeddings` testdata (SURVEY.md §7.2 M8 — the
+  * BASELINE extensions beyond the reference surface).
+  *
+  * Oracle notes:
+  *   - the documents table ships PLANTED near-duplicates: 25 pairs at
+  *     char-4-gram Jaccard ≥ 0.8 (none in [0.75, 0.85] — clean margin)
+  *     and 20 pairs at SimHash Hamming ≤ 3;
+  *   - exact-duplicate / jitter corpora are CONSTRUCTED identically on
+  *     both sides (Spark + oracle SQL), since the raw tables contain
+  *     no exact dups and no high-cosine pairs;
+  *   - every hash the oracle must reproduce is md5-based (DuckDB can't
+  *     compute xxhash64); xxhash64 appears only where the oracle never
+  *     sees it (MinHash signatures — verified by exact Jaccard).
+  */
+object QueriesLlm {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(spark, dir, name)
+
+  /** q30 — exact dedup metrics on documents ∪ re-keyed copies of the
+    * first 100 docs (the constructed corpus has exactly 100 dup groups).
+    */
+  def q30DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    Dedup.exactDupStats(corpus, "text")
+  }
+
+  /** q31 — MinHash-LSH near-dup pairs (banded candidates, exact
+    * Jaccard verify) finding the planted near-duplicates.
+    */
+  def q31DedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(t(spark, dir, "documents"), "doc_id", "text",
+        shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8,
+        minBandMatches = 3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  /** q32 — SimHash near-dup pairs; pigeonhole chunking makes the
+    * candidate set a guaranteed superset at Hamming ≤ 3.
+    */
+  def q32DedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(t(spark, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** q33 — exact cosine top-10: first five vectors query the rest. */
+  def q33AnnTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") >= 5), emb.filter(col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", k = 10)
+      .select(col("qid"), col("rnk"), col("cid"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** q34 — IVF top-10 with nprobe == nlist (exhaustive ⇒ must equal
+    * brute force, which is what the oracle computes); the same plan
+    * with nprobe < nlist is the 100 TB approximate path.
+    */
+  def q34AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 495), emb.filter(col("vec_id") >= 495),
+        "vec_id", "vec_id", "embedding", k = 10, nlist = 8, nprobe = 8)
+      .select(col("qid"), col("rnk"), col("cid"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** q35 — embedding near-dup pairs ≥ 0.9 cosine via hyperplane LSH +
+    * exact verify, on embeddings ∪ jittered copies (+0.05 per element)
+    * of the first 50 vectors.
+    */
+  def q35CosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val corpus = emb.unionByName(
+      emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("v"), x => x + 0.05).as("v")))
+    Similarity.cosineNearDups(corpus, "vec_id", "v", threshold = 0.9)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q36 — per-document text-quality statistics. */
+  def q36TextStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stats(
+        t(spark, dir, "documents").filter(col("doc_id") < 250),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** q37 — stopword-argmax language ID with per-language scores. */
+  def q37LangId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** q38 — normalized-fingerprint dup groups: case/punctuation
+    * variants of the first 80 docs must collapse onto their originals.
+    */
+  def q38Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") < 80)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(upper(col("text")), lit("  !!")).as("text")))
+    TextAnalysis.fingerprintDupStats(corpus, "text")
+  }
+
+  /** q39 — multimodal binary plumbing: text payloads as binary
+    * columns with extracted metadata, aggregated.
+    */
+  def q39MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withMeta(
+      t(spark, dir, "documents")
+        .withColumn("content", col("text").cast("binary")),
+      "doc_id", "content", "text/plain")
+    media.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("meta.size_bytes")).as("total_bytes"),
+      countDistinct(col("meta.sha")).as("n_distinct_sha"))
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact"    -> (q30DedupExact _),
+    "q31_dedup_minhash"  -> (q31DedupMinhash _),
+    "q32_dedup_simhash"  -> (q32DedupSimhash _),
+    "q33_ann_topk"       -> (q33AnnTopk _),
+    "q34_ann_ivf"        -> (q34AnnIvf _),
+    "q35_cosine_neardup" -> (q35CosineNearDup _),
+    "q36_text_stats"     -> (q36TextStats _),
+    "q37_langid"         -> (q37LangId _),
+    "q38_fingerprint"    -> (q38Fingerprint _),
+    "q39_multimodal_meta"-> (q39MultimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100),
+         g AS (SELECT md5(text) AS h, count(*) AS cnt FROM corpus GROUP BY 1)
+         SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+                count(*) AS n_unique,
+                CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_groups,
+                CAST(sum(cnt) - count(*) AS BIGINT) AS n_removed
+         FROM g""",
+    "q31_dedup_minhash" ->
+      """WITH pos AS (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(length(text) - 3, 1))) AS i
+              FROM documents),
+         sh AS (SELECT DISTINCT doc_id, substr(lower(text), i::INT, 4) AS s
+                FROM pos),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(ix * 1.0 / (sa.n + sb.n - ix), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.8
+         ORDER BY id_a, id_b""",
+    "q32_dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents),
+         h AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th
+               FROM toks),
+         bits AS (SELECT doc_id, b,
+                 CASE WHEN 2 * count(*) FILTER (((th >> b) & 1) = 1)
+                           >= count(*)
+                      THEN (1::BIGINT << b) ELSE 0 END AS bv
+                 FROM h CROSS JOIN
+                      (SELECT unnest(generate_series(0, 59)) AS b)
+                 GROUP BY doc_id, b),
+         sig AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS s
+                 FROM bits GROUP BY 1)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.s, b.s)) <= 3
+         ORDER BY id_a, id_b""",
+    "q33_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                    FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+               FROM embeddings WHERE vec_id >= 5),
+         s AS (SELECT qid, cid, list_cosine_similarity(qe, ce) AS sim
+               FROM q CROSS JOIN c),
+         r AS (SELECT qid, cid, sim,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, cid ASC) AS rnk
+               FROM s)
+         SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 4) AS sim
+         FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "q34_ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                    FROM embeddings WHERE vec_id >= 495),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+               FROM embeddings WHERE vec_id < 495),
+         s AS (SELECT qid, cid, list_cosine_similarity(qe, ce) AS sim
+               FROM q CROSS JOIN c),
+         r AS (SELECT qid, cid, sim,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, cid ASC) AS rnk
+               FROM s)
+         SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 4) AS sim
+         FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "q35_cosine_neardup" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000,
+                  list_transform(embedding::DOUBLE[], x -> x + 0.05)
+           FROM embeddings WHERE vec_id < 50),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      list_cosine_similarity(a.v, b.v) AS sim
+               FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(sim, 4) AS sim
+         FROM p WHERE sim >= 0.9 ORDER BY id_a, id_b""",
+    "q36_text_stats" ->
+      """WITH t AS (SELECT doc_id, text,
+                string_split_regex(lower(text), '\s+') AS toks
+              FROM documents WHERE doc_id < 250)
+         SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                round(len(list_distinct(toks)) * 1.0 / len(toks), 6)
+                  AS type_token_ratio,
+                round(list_aggregate(list_transform(toks, x -> length(x)),
+                        'sum') * 1.0 / len(toks), 6) AS avg_token_len,
+                round(least(len(toks) / 100.0, 1.0) *
+                        (len(list_distinct(toks)) * 1.0 / len(toks)), 6)
+                  AS quality_score
+         FROM t ORDER BY doc_id""",
+    "q37_langid" ->
+      """WITH t AS (SELECT doc_id,
+                string_split_regex(lower(text), '\s+') AS toks
+              FROM documents),
+         s AS (SELECT doc_id,
+           CAST(len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','in','is'], x))) AS BIGINT) AS s_en,
+           CAST(len(list_filter(toks, x -> list_contains(
+             ['der','die','das','und','ist','von','mit'], x))) AS BIGINT) AS s_de,
+           CAST(len(list_filter(toks, x -> list_contains(
+             ['el','la','de','y','en','que','los'], x))) AS BIGINT) AS s_es,
+           CAST(len(list_filter(toks, x -> list_contains(
+             ['le','la','de','et','les','des','un'], x))) AS BIGINT) AS s_fr
+           FROM t)
+         SELECT doc_id, s_en, s_de, s_es, s_fr,
+                CASE
+                  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND s_en > 0
+                    THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND s_de > 0
+                    THEN 'de'
+                  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND s_es > 0
+                    THEN 'es'
+                  WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND s_fr > 0
+                    THEN 'fr'
+                  ELSE 'und' END AS predicted
+         FROM s ORDER BY doc_id""",
+    "q38_fingerprint" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, upper(text) || '  !!'
+           FROM documents WHERE doc_id < 80),
+         g AS (SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                 AS fp, count(*) AS cnt
+               FROM corpus GROUP BY 1)
+         SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+                count(*) AS n_fingerprints,
+                CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_groups
+         FROM g""",
+    "q39_multimodal_meta" ->
+      """SELECT count(*) AS n_docs,
+                CAST(sum(octet_length(encode(text))) AS BIGINT)
+                  AS total_bytes,
+                count(DISTINCT md5(text)) AS n_distinct_sha
+         FROM documents""")
+}

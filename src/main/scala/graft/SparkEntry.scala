@@ -28,8 +28,10 @@ object SparkEntry {
     Queries.starJoin(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.registry ++ QueriesRelational2.registry ++ QueriesWrite.registry
+    Queries.registry ++ QueriesRelational2.registry ++
+      QueriesWrite.registry ++ QueriesLlm.registry
 
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ QueriesRelational2.oracles ++ QueriesWrite.oracles
+    Queries.oracles ++ QueriesRelational2.oracles ++
+      QueriesWrite.oracles ++ QueriesLlm.oracles
 }

@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality analysis for training-data pipelines: token counts,
+  * type/token ratios, quality scoring, stopword-based language ID, and
+  * content fingerprinting. Every metric is a pure codegen'd column
+  * expression (no UDFs), so the whole projection is row-parallel and
+  * reproducible in any SQL engine — the correctness oracle recomputes
+  * the same formulas in DuckDB.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Per-document statistics:
+    * n_chars, n_tokens, n_types (distinct tokens), type_token_ratio,
+    * avg_token_len, and a [0,1] quality score combining length and
+    * lexical diversity (longer docs with diverse vocabulary score
+    * higher — the usual cheap pre-filter before model-based scoring).
+    */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nToks = size(toks).cast("long")
+    val nTypes = size(array_distinct(toks)).cast("long")
+    val ttr = nTypes.cast("double") / nToks.cast("double")
+    val avgLen =
+      aggregate(transform(toks, t => length(t).cast("double")),
+        lit(0.0), (acc, x) => acc + x) / nToks.cast("double")
+    val lenScore = least(nToks.cast("double") / lit(100.0), lit(1.0))
+    df.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      nToks.as("n_tokens"),
+      nTypes.as("n_types"),
+      round(ttr, 6).as("type_token_ratio"),
+      round(avgLen, 6).as("avg_token_len"),
+      round(lenScore * ttr, 6).as("quality_score"))
+  }
+
+  /** Stopword sets for the n-gram-free language heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"))
+
+  private val langOrder = Seq("en", "de", "es", "fr")
+
+  /** Count of tokens belonging to a stopword set (duplicates count —
+    * frequency matters for the score).
+    */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val set = stopwords(lang)
+    size(filter(tokens(text),
+      t => set.map(s => t === s).reduce(_ || _))).cast("long")
+  }
+
+  /** Language ID by stopword-hit argmax; ties resolve in fixed order
+    * en > de > es > fr, zero hits everywhere → "und". Returns the
+    * per-language scores alongside the prediction so downstream
+    * filters can threshold on confidence.
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = df.select(
+      (col(idCol) +: langOrder.map(l =>
+        stopwordHits(col(textCol), l).as(s"s_$l"))): _*)
+    val best = langOrder.map(l => col(s"s_$l"))
+      .reduce((a, b) => greatest(a, b))
+    val predicted = langOrder.foldRight(lit("und"): Column) { (l, els) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(els)
+    }
+    // foldRight builds en-first precedence: en wins ties over de, etc.
+    scored.withColumn("predicted", predicted)
+  }
+
+  /** Normalized content fingerprint: lowercase, strip every
+    * non-alphanumeric character, md5. Catches duplicates that differ
+    * only in case/whitespace/punctuation — the cheap complement to
+    * MinHash.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  /** Fingerprint duplicate-group metrics (same shape as
+    * Dedup.exactDupStats but on the normalized fingerprint).
+    */
+  def fingerprintDupStats(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum("cnt").as("n_total"),
+        count(lit(1)).as("n_fingerprints"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
+}

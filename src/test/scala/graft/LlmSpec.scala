@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Unit coverage for the LLM-pipeline operators beyond what the
+  * correctness gate proves: deterministic winners, LSH recall under
+  * approximation (nprobe < nlist), and the multimodal batch path.
+  */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.read(spark, sf, "documents")
+  private def emb = Tables.read(spark, sf, "embeddings")
+
+  test("exactDedup keeps the smallest id per duplicated content") {
+    val corpus = docs.select("doc_id", "text").unionByName(
+      docs.filter($"doc_id" < 10)
+        .select(($"doc_id" + 1000).as("doc_id"), $"text"))
+    val deduped = Dedup.exactDedup(corpus, "doc_id", "text")
+    assert(deduped.count() == docs.count())
+    // every surviving duplicate must be the original (small) id
+    assert(deduped.filter($"doc_id" >= 1000).count() == 0)
+  }
+
+  test("minhash candidates never include a sub-threshold false positive") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.8).collect()
+    assert(pairs.forall(_.getDouble(2) >= 0.8))
+    assert(pairs.nonEmpty)
+  }
+
+  test("shingles are distinct lowercase k-grams") {
+    val row = Seq(("AbAb")).toDF("t")
+      .select(Dedup.shingles($"t", 2).as("s")).head()
+    assert(row.getSeq[String](0).sorted == Seq("ab", "ba"))
+  }
+
+  test("simhash of identical texts is identical; near texts are close") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "completely different words entirely unrelated content")
+    ).toDF("id", "text")
+    val sigs = df.select($"id", Dedup.simhash($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("ivf with nprobe < nlist recalls most of the exact top-k") {
+    val queries = emb.filter($"vec_id" < 3)
+    val corpus = emb.filter($"vec_id" >= 3)
+    val exact = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "vec_id", "embedding", k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(corpus, queries,
+        "vec_id", "vec_id", "embedding", k = 5, nlist = 4, nprobe = 2)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(approx.size == exact.size)
+    // recall need not be perfect (that's the point of nprobe<nlist),
+    // but probing half the cells on near-random data should find >40%
+    assert(approx.intersect(exact).size >= exact.size * 2 / 5)
+  }
+
+  test("cosine of a vector with a scaled copy is exactly 1") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(2.0f, 4.0f, 6.0f)))
+      .toDF("a", "b")
+    val c = df.select(Similarity.cosine($"a", $"b")).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("language id predicts via stopword argmax with fixed tiebreak") {
+    val df = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "der hund und die katze ist von mir"),
+      (3L, "xyzzy plugh")).toDF("id", "text")
+    val out = TextAnalysis.languageId(df, "id", "text")
+      .select("id", "predicted").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+
+  test("fingerprint ignores case, whitespace, and punctuation") {
+    val df = Seq(("Hello,   World!"), ("hello world"), ("other"))
+      .toDF("t").select(TextAnalysis.fingerprint($"t").as("fp"))
+    val fps = df.as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("multimodal extractFeatures runs batched over binary payloads") {
+    implicit val s = spark
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3, 4), "image/png"),
+      Multimodal.MediaRow(2L, Array[Byte](5, 6), "image/png"))
+    val out = Multimodal.extractFeatures(rows.toDS()).collect()
+      .sortBy(_.id)
+    assert(out.map(_.sizeBytes).toSeq == Seq(4L, 2L))
+    assert(out.forall(_.features.length == Multimodal.FakeDecoder.FeatureDim))
+    // deterministic: same payload → same features
+    val again = Multimodal.extractFeatures(rows.toDS()).collect()
+      .sortBy(_.id)
+    assert(out.map(_.features.toSeq).toSeq ==
+      again.map(_.features.toSeq).toSeq)
+  }
+
+  test("withMeta extracts size and hash without decoding") {
+    val df = docs.limit(3).withColumn("content", $"text".cast("binary"))
+    val m = Multimodal.withMeta(df, "doc_id", "content", "text/plain")
+    val r = m.select($"meta.mime", $"meta.size_bytes", $"meta.sha").head()
+    assert(r.getString(0) == "text/plain")
+    assert(r.getLong(1) > 0)
+    assert(r.getString(2).length == 32)
+  }
+}
