@@ -143,13 +143,32 @@ object QueriesWrite {
       .orderBy("l_returnflag")
   }
 
+  /** q40 — JDBC round trip through embedded Derby: to_sql →
+    * read_sql_table → aggregate (the reference's db module lifecycle,
+    * db.py:269-522, with Derby standing in for Postgres/Redshift).
+    */
+  def q40JdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val con = graft.db.Db.Connection(
+      url = "jdbc:derby:memory:graftq40;create=true",
+      driver = Some("org.apache.derby.iapi.jdbc.AutoloadedDriver"))
+    graft.db.Db.toSql(t(spark, dir, "customer"), "customer_rt", con,
+      mode = "overwrite",
+      columnTypes = Some("c_name VARCHAR(64), c_mktsegment VARCHAR(32)"))
+    graft.db.Db.readSqlTable(spark, "customer_rt", con)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+           round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_write_dataset_roundtrip"   -> (q21WriteDatasetRoundtrip _),
     "q22_write_overwrite_partitions"-> (q22WriteOverwritePartitions _),
     "q23_write_append"              -> (q23WriteAppend _),
     "q24_write_csv_roundtrip"       -> (q24WriteCsvRoundtrip _),
     "q25_write_json_roundtrip"      -> (q25WriteJsonRoundtrip _),
-    "q26_catalog_table"             -> (q26CatalogTable _))
+    "q26_catalog_table"             -> (q26CatalogTable _),
+    "q40_jdbc_roundtrip"            -> (q40JdbcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q21_write_dataset_roundtrip" ->
@@ -183,5 +202,9 @@ object QueriesWrite {
       """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS sum_price,
                 count(*) AS n
          FROM lineitem WHERE l_returnflag <> 'N'
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+    "q40_jdbc_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                round(sum(c_acctbal), 2) AS total_bal
+         FROM customer GROUP BY 1 ORDER BY 1""")
 }
