@@ -109,29 +109,54 @@ object FsOps {
     }
 
   /** Copy a list of objects under targetDir, keeping file names
-    * (reference: s3.copy_objects).
+    * (reference: s3.copy_objects). Copies fan out on a driver thread
+    * pool (the reference used a ThreadPoolExecutor the same way) —
+    * serial byte-copy through one thread is a scale killer on object
+    * stores; containment is validated for ALL paths before any byte
+    * moves.
     */
   def copyObjects(spark: SparkSession, paths: Seq[String],
                   sourceDir: String, targetDir: String): Seq[String] = {
     val conf = hadoopConf(spark)
-    val srcRoot = normalized(sourceDir)
-    paths.map { src =>
+    val srcRoot = qualified(spark, sourceDir)
+    val dstRoot = qualified(spark, targetDir)
+    val planned = paths.map { src =>
       // containment must be segment-aligned: /data/ab/f is NOT under
       // /data/a, so compare against the root plus a trailing separator
-      val s = normalized(src)
+      val s = qualified(spark, src)
       if (!(s.startsWith(srcRoot + "/") || s == srcRoot))
         throw InvalidArgumentValue(s"$src not under source_path $sourceDir")
       val rel = s.stripPrefix(srcRoot).stripPrefix("/")
-      val dst = s"${normalized(targetDir)}/$rel"
-      val (sFs, sP) = fs(spark, src)
-      val (dFs, dP) = fs(spark, dst)
-      dFs.mkdirs(dP.getParent)
-      FileUtil.copy(sFs, sP, dFs, dP, false, true, conf)
-      dst
+      s -> s"$dstRoot/$rel"
     }
+    if (planned.isEmpty) return Seq.empty
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(math.min(planned.size, 16))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(planned.map { case (src, dst) =>
+      Future {
+        val (sFs, sP) = fs(spark, src)
+        val (dFs, dP) = fs(spark, dst)
+        dFs.mkdirs(dP.getParent)
+        FileUtil.copy(sFs, sP, dFs, dP, false, true, conf)
+        dst
+      }
+    }), Duration.Inf)
+    finally pool.shutdown()
   }
 
   private def normalized(p: String): String = p.stripSuffix("/")
+
+  /** Fully-qualified URI form (adds the `file:`/`s3a:` scheme), so
+    * bare paths and listing output compare equal.
+    */
+  private def qualified(spark: SparkSession, p: String): String = {
+    val (filesystem, path) = fs(spark, p)
+    normalized(path.makeQualified(
+      filesystem.getUri, filesystem.getWorkingDirectory).toString)
+  }
 
   /** Mirror a dataset prefix into another with the three reference
     * write modes (reference: s3.merge_datasets, s3/_copy.py:44-151):
@@ -141,8 +166,8 @@ object FsOps {
     */
   def mergeDatasets(spark: SparkSession, sourcePath: String,
                     targetPath: String, mode: String = "append"): Seq[String] = {
-    val src = normalized(sourcePath)
-    val dst = normalized(targetPath)
+    val src = qualified(spark, sourcePath)
+    val dst = qualified(spark, targetPath)
     val objects = listObjects(spark, src)
     if (objects.isEmpty) return Seq.empty
     mode match {

@@ -91,12 +91,22 @@ object Reader {
     readParquet(spark, Seq(path), opts)
 
   /** Strict schema-equality pre-pass (reference raises on divergence,
-    * s3/_read_parquet.py:83-121). Footer-only reads, one per file.
+    * s3/_read_parquet.py:83-121). Footer-only reads, fanned out on a
+    * driver thread pool — the reference read footers concurrently too
+    * (s3/_read_parquet.py:83-109); serial reads over thousands of
+    * objects would make the pre-pass the bottleneck.
     */
   private def validateEqualSchemas(spark: SparkSession, paths: Seq[String]): Unit = {
-    val schemas = paths.map { p =>
-      p -> spark.read.parquet(p).schema
-    }
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(math.min(paths.size, 16))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val schemas =
+      try Await.result(
+        Future.sequence(paths.map(p =>
+          Future(p -> spark.read.parquet(p).schema))), Duration.Inf)
+      finally pool.shutdown()
     val distinct = schemas.map(_._2).distinct
     if (distinct.size > 1)
       throw InvalidSchemaConvergence(

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured Streaming operators over event streams.
+  *
+  * The reference has NO streaming surface (SURVEY.md §2.8 — its
+  * nearest analogs are chunked generators and bounded CloudWatch
+  * time-range reads); this module is the engine extension the
+  * `events` table exists for. Every transform below works identically
+  * on a batch DataFrame and a streaming one — the functions take the
+  * frame, not the source, so tests can validate stream-vs-batch
+  * equivalence and production can swap `read` for `readStream`.
+  */
+object Streaming {
+
+  /** File-source stream over a parquet directory (the streaming twin
+    * of Tables.read; `maxFilesPerTrigger` bounds micro-batch size).
+    */
+  def readParquetStream(spark: SparkSession, path: String,
+                        schemaFrom: DataFrame,
+                        maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  /** Tumbling/sliding windowed aggregation with a watermark for state
+    * cleanup: counts + value sum per (window, event_type).
+    */
+  def windowedCounts(events: DataFrame, tsCol: String,
+                     windowDuration: String,
+                     slideDuration: Option[String] = None,
+                     watermark: String = "10 minutes"): DataFrame = {
+    val wm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark)
+      else events
+    val win = slideDuration match {
+      case Some(slide) => window(col(tsCol), windowDuration, slide)
+      case None        => window(col(tsCol), windowDuration)
+    }
+    wm.groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("event_type"),
+        col("n"), col("total"))
+  }
+
+  /** Session windows per user: gap-based sessionization. */
+  def sessionized(events: DataFrame, tsCol: String, gap: String,
+                  watermark: String = "10 minutes"): DataFrame = {
+    val wm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark)
+      else events
+    wm.groupBy(session_window(col(tsCol), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total"))
+      .select(col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("user_id"),
+        col("n_events"), col("total"))
+  }
+
+  /** Late-duplicate removal bounded by the watermark (streaming) or
+    * plain dropDuplicates (batch) — same semantics on in-order data.
+    */
+  def dedupedWithinWatermark(events: DataFrame, tsCol: String,
+                             keys: Seq[String],
+                             watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
+  /** Drain a (bounded) stream into an in-memory table and return the
+    * result — the test/verify harness for stream-vs-batch equivalence.
+    */
+  def runToMemory(spark: SparkSession, streamed: DataFrame,
+                  name: String): DataFrame = {
+    val q: StreamingQuery = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streaming
+
+/** Stream-vs-batch equivalence over the events table: the same
+  * windowed aggregation through a file-source stream must match the
+  * batch plan exactly.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val events: DataFrame = Tables.read(spark, sf, "events")
+
+  /** Copy the events parquet into a directory usable as a stream
+    * source (file streams need a directory, not a single file).
+    */
+  private lazy val streamDir: String = {
+    val dir = tmpDir("stream-events")
+    // rewrite through Spark so the stream source sees µs timestamps,
+    // not the raw ns column the nanosAsLong conf handles in Tables.read
+    events.write.mode("overwrite").parquet(dir + "/data")
+    dir + "/data"
+  }
+
+  test("streamed windowed counts equal the batch aggregation") {
+    val streamed = Streaming.windowedCounts(
+      Streaming.readParquetStream(spark, streamDir, events),
+      "ts", "5 minutes")
+    val got = Streaming.runToMemory(spark, streamed, "win_counts")
+      .orderBy("window_start", "event_type")
+    val want = Streaming.windowedCounts(events, "ts", "5 minutes")
+      .orderBy("window_start", "event_type")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    assert(got.count() > 0)
+  }
+
+  test("sessionization works identically on batch frames") {
+    val sessions = Streaming.sessionized(events, "ts", "30 minutes")
+    assert(sessions.count() > 0)
+    // every session must contain at least one event and end after start
+    assert(sessions.filter(col("session_end") <= col("session_start"))
+      .count() == 0)
+    assert(sessions.filter(col("n_events") < 1).count() == 0)
+  }
+
+  test("dedup within watermark drops injected duplicates") {
+    val dup = events.limit(100)
+    val withDups = events.unionByName(dup)
+    val deduped = Streaming.dedupedWithinWatermark(withDups, "ts",
+      Seq("event_id"))
+    assert(deduped.count() == events.count())
+  }
+}
