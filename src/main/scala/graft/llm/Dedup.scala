@@ -102,7 +102,8 @@ object Dedup {
     val params = hashParams(numHashes, seed)
 
     // distinct (id, shingle) rows via explode + dynamic substring —
-    // stays inside whole-stage codegen, unlike transform()-built arrays
+    // stays inside whole-stage codegen, unlike transform()-built
+    // arrays. Persisted: signatures and the exact-verify both read it.
     val shingleRows = df
       .select(col(idCol).cast("long").as("id"),
         lower(col(textCol)).as("txt"))
@@ -114,7 +115,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // signatures via numHashes codegen'd MIN aggregates over the
-    // hashed shingles — one shuffle, keyed by doc id
+    // hashed shingles — partial (map-side) aggregation shrinks the
+    // shuffle to |docs|·numHashes longs
     val hashed = shingleRows
       .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
@@ -141,20 +143,27 @@ object Dedup {
       .agg(count(lit(1)).as("mb"))
       .filter(col("mb") >= minBandMatches)
       .select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // exact verification on the prefiltered candidates only
-    val sets = shingleRows.groupBy("id")
-      .agg(collect_list(col("s")).as("sh")) // rows already distinct
-    candidates
-      .join(sets.withColumnRenamed("sh", "sh_a"),
-        col("id_a") === col("id"))
-      .drop("id")
-      .join(sets.withColumnRenamed("sh", "sh_b"),
-        col("id_b") === col("id"))
-      .drop("id")
+    // exact verification, join-based: |A ∩ B| is a count over the
+    // shingle rows of both candidate sides, |A ∪ B| = |A|+|B|−|A∩B| —
+    // set sizes come from one aggregation. No arrays are materialized
+    // or carried through shuffles, and every step is codegen'd. (At
+    // production scale with rare near-dups, semi-join shingleRows down
+    // to candidate ids first; on this corpus ~every doc is a
+    // candidate, so the restriction would only add shuffles.)
+    val sizes = shingleRows.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(shingleRows.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(shingleRows.select(col("id").as("id_b"), col("s")),
+        Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ix"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("ix").cast("double") / (col("na") + col("nb") - col("ix"))
+          .cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
