@@ -39,8 +39,22 @@ object GraftSession {
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    applyEngineConf(spark)
     spark
   }
+
+  /** Propagate engine conf into the places that consume it:
+    * `graft.fs.blockSize` reaches the Hadoop S3A client (the
+    * reference's s3_block_size, _config.py:25-42 — its hand-rolled
+    * block cache is S3A's readahead here). `graft.sql.maxCacheSeconds`
+    * is read by Sql.readSqlQuery and `graft.write.concurrent` by
+    * Writer at call time; `graft.catalog.database` by Sql.readSqlTable.
+    */
+  def applyEngineConf(spark: SparkSession): Unit =
+    spark.conf.getOption(confKeys.s3BlockSize).foreach { v =>
+      spark.sparkContext.hadoopConfiguration.set("fs.s3a.block.size", v)
+      spark.sparkContext.hadoopConfiguration.set("fs.s3a.readahead.range", v)
+    }
 }
 
 /** Helpers to expose the driver's testdata star schema as temp views so

@@ -60,8 +60,10 @@ object Catalog {
     *
     * reference: catalog.create_parquet_table
     * (catalog/_create.py:513-637); modes: `overwrite` drops and
-    * recreates, `append`/`update` keep an existing table.
-    * Types are Athena type strings (the reference's contract),
+    * recreates (archiving the old schema into the version log, the
+    * engine's emulation of Glue table versioning —
+    * catalog/_get.py:896-969), `append`/`update` keep an existing
+    * table. Types are Athena type strings (the reference's contract),
     * bridged through AthenaTypes.
     */
   def createParquetTable(spark: SparkSession, database: String,
@@ -70,9 +72,11 @@ object Catalog {
                          partitionsTypes: Seq[(String, String)] = Nil,
                          mode: String = "overwrite",
                          description: String = "",
-                         parameters: Map[String, String] = Map.empty): Unit =
+                         parameters: Map[String, String] = Map.empty,
+                         columnsComments: Map[String, String] = Map.empty): Unit =
     createTable(spark, database, table, path, columnsTypes,
-      partitionsTypes, mode, description, parameters, "PARQUET", Map.empty)
+      partitionsTypes, mode, description, parameters, "PARQUET",
+      Map.empty, columnsComments)
 
   /** reference: catalog.create_csv_table (catalog/_create.py:640-773) */
   def createCsvTable(spark: SparkSession, database: String, table: String,
@@ -85,7 +89,8 @@ object Catalog {
                      parameters: Map[String, String] = Map.empty): Unit =
     createTable(spark, database, table, path, columnsTypes,
       partitionsTypes, mode, "", parameters, "CSV",
-      Map("sep" -> sep, "header" -> (skipHeaderLines > 0).toString))
+      Map("sep" -> sep, "header" -> (skipHeaderLines > 0).toString),
+      Map.empty)
 
   private def createTable(spark: SparkSession, database: String,
                           table: String, path: String,
@@ -94,13 +99,26 @@ object Catalog {
                           mode: String, description: String,
                           parameters: Map[String, String],
                           format: String,
-                          formatOptions: Map[String, String]): Unit = {
+                          formatOptions: Map[String, String],
+                          columnsComments: Map[String, String]): Unit = {
     if (columnsTypes.isEmpty)
       throw InvalidArgumentValue("columnsTypes must be non-empty")
     val exists = doesTableExist(spark, database, table)
+    // version-log emulation of Glue table versioning: on overwrite of
+    // an existing table, archive the outgoing schema into properties
+    var archived: Map[String, String] = Map.empty
     mode match {
       case "overwrite" =>
-        if (exists) deleteTableIfExists(spark, database, table)
+        if (exists) {
+          val prev = getTableParameters(spark, database, table)
+          val prevVersion = prev.getOrElse("graft.version", "1").toInt
+          archived = prev.view.filterKeys(_.startsWith("graft.version"))
+            .toMap ++ Map(
+            "graft.version" -> (prevVersion + 1).toString,
+            s"graft.version.$prevVersion.schema" ->
+              spark.table(s"$database.$table").schema.toDDL)
+          deleteTableIfExists(spark, database, table)
+        }
       case "append" | "update" =>
         if (exists) return // keep the existing definition
       case other =>
@@ -111,7 +129,9 @@ object Catalog {
     // sanitized + bridged through the Athena type grammar
     def colsDdl(cols: Seq[(String, String)]): String =
       cols.map { case (n, t) =>
-        s"${q(AthenaTypes.sanitizeName(n))} ${AthenaTypes.toSpark(t).sql}"
+        val comment = columnsComments.get(n)
+          .map(c => s" COMMENT '${c.replace("'", "''")}'").getOrElse("")
+        s"${q(AthenaTypes.sanitizeName(n))} ${AthenaTypes.toSpark(t).sql}$comment"
       }.mkString(", ")
     val partClause =
       if (partitionsTypes.isEmpty) ""
@@ -125,10 +145,12 @@ object Catalog {
       if (description.nonEmpty)
         s" COMMENT '${description.replace("'", "''")}'"
       else ""
+    val allProps = parameters ++ archived
     val propsClause =
-      if (parameters.isEmpty) ""
-      else s" TBLPROPERTIES (${parameters
-        .map { case (k, v) => s"'$k'='$v'" }.mkString(", ")})"
+      if (allProps.isEmpty) ""
+      else s" TBLPROPERTIES (${allProps
+        .map { case (k, v) => s"'$k'='${v.replace("'", "''")}'" }
+        .mkString(", ")})"
     spark.sql(
       s"CREATE TABLE ${qt(database, table)} " +
         s"(${colsDdl(columnsTypes ++ partitionsTypes)}) " +
@@ -136,6 +158,28 @@ object Catalog {
         s" LOCATION '$path'$propsClause")
     if (partitionsTypes.nonEmpty) repairTable(spark, database, table)
   }
+
+  /** Glue-table-version emulation: the current version number plus the
+    * archived schemas recorded by overwrites (reference:
+    * catalog.get_table_versions, catalog/_get.py:896-969 — a
+    * documented Glue-only feature reproduced via table properties).
+    */
+  def getTableVersions(spark: SparkSession, database: String,
+                       table: String): Seq[(Int, String)] = {
+    val props = getTableParameters(spark, database, table)
+    val current = props.getOrElse("graft.version", "1").toInt
+    val past = props.collect {
+      case (k, v) if k.startsWith("graft.version.") &&
+          k.endsWith(".schema") =>
+        k.stripPrefix("graft.version.").stripSuffix(".schema").toInt -> v
+    }.toSeq
+    (past :+ (current -> spark.table(s"$database.$table").schema.toDDL))
+      .sortBy(_._1)
+  }
+
+  def getTableNumberOfVersions(spark: SparkSession, database: String,
+                               table: String): Int =
+    getTableVersions(spark, database, table).size
 
   /** Register partitions discovered on disk (the reference's
     * "no MSCK REPAIR needed" add-all path, catalog/_add.py:38-159,
@@ -186,6 +230,75 @@ object Catalog {
     */
   def getTables(spark: SparkSession, database: String): DataFrame =
     spark.sql(s"SHOW TABLES IN ${q(database)}")
+
+  /** Rich table listing across one or all databases (reference:
+    * catalog.tables, catalog/_get.py:253-322): database, table,
+    * description, type, temporary flag.
+    */
+  def tables(spark: SparkSession,
+             database: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val dbs = database.map(Seq(_)).getOrElse(
+      spark.catalog.listDatabases().collect().map(_.name).toSeq)
+    dbs.flatMap { db =>
+      spark.catalog.listTables(db).collect().map { t =>
+        (Option(t.database).getOrElse(""), t.name,
+          Option(t.description).getOrElse(""), t.tableType,
+          t.isTemporary)
+      }
+    }.toDF("database", "table", "description", "table_type",
+      "is_temporary")
+  }
+
+  /** Substring search over table names + descriptions (reference:
+    * catalog.search_tables, catalog/_get.py:323-380).
+    */
+  def searchTables(spark: SparkSession, text: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lower => lc, lit}
+    tables(spark).filter(
+      lc(col("table")).contains(text.toLowerCase) ||
+        lc(col("description")).contains(text.toLowerCase))
+  }
+
+  /** Table-level description/comment (reference:
+    * catalog.get_table_description).
+    */
+  def getTableDescription(spark: SparkSession, database: String,
+                          table: String): Option[String] =
+    Option(spark.catalog.getTable(database, table).description)
+      .filter(_.nonEmpty)
+
+  /** {column -> comment} (reference: catalog.get_columns_comments). */
+  def getColumnsComments(spark: SparkSession, database: String,
+                         table: String): Map[String, String] =
+    spark.catalog.listColumns(s"$database.$table").collect()
+      .flatMap(c => Option(c.description).filter(_.nonEmpty)
+        .map(c.name -> _)).toMap
+
+  /** Athena partition-projection properties (reference:
+    * catalog/_create.py:56-95): stored as TBLPROPERTIES passthrough —
+    * meaningful to Athena readers of the same metastore; Spark itself
+    * prunes from discovered partitions, so these are interop metadata
+    * (SURVEY.md §4 item 12).
+    */
+  def buildProjectionParameters(
+      types: Map[String, String] = Map.empty,
+      ranges: Map[String, String] = Map.empty,
+      values: Map[String, String] = Map.empty,
+      intervals: Map[String, String] = Map.empty,
+      digits: Map[String, String] = Map.empty,
+      formats: Map[String, String] = Map.empty): Map[String, String] = {
+    val enabled =
+      if (types.nonEmpty) Map("projection.enabled" -> "true")
+      else Map.empty[String, String]
+    enabled ++
+      types.map { case (c, v) => s"projection.$c.type" -> v } ++
+      ranges.map { case (c, v) => s"projection.$c.range" -> v } ++
+      values.map { case (c, v) => s"projection.$c.values" -> v } ++
+      intervals.map { case (c, v) => s"projection.$c.interval" -> v } ++
+      digits.map { case (c, v) => s"projection.$c.digits" -> v } ++
+      formats.map { case (c, v) => s"projection.$c.format" -> v }
+  }
 
   /** reference: catalog.get_table_location (catalog/_get.py:455-484) */
   def getTableLocation(spark: SparkSession, database: String,

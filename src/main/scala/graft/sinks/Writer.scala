@@ -89,7 +89,13 @@ object Writer {
 
     var out = df
     if (opts.singleFile && !opts.dataset) out = out.coalesce(1)
-    opts.filesPerPartition.foreach { n =>
+    // graft.write.concurrent supplies the default file fan-out per
+    // partition when the caller doesn't pass one (the reference's
+    // concurrent_partitioning config, _config.py:25-42)
+    val filesPerPartition = opts.filesPerPartition.orElse(
+      spark.conf.getOption(graft.GraftSession.confKeys.concurrentWrites)
+        .flatMap(v => scala.util.Try(v.toInt).toOption))
+    filesPerPartition.foreach { n =>
       if (n <= 0) throw InvalidArgumentValue(
         s"filesPerPartition must be positive, got $n")
       if (opts.dataset && opts.partitionCols.nonEmpty) {

@@ -114,4 +114,59 @@ class CatalogSpec extends SparkSpec {
       Catalog.readParquetTable(spark, db, "nope_t")
     }
   }
+
+  test("overwrite archives the outgoing schema as a table version") {
+    val root = tmpDir("cat-ver")
+    Writer.toParquet(spark, orders.limit(5), root,
+      WriteOptions(dataset = true, mode = "overwrite"))
+    val (cols, _) = Catalog.extractAthenaTypes(orders)
+    Catalog.createParquetTable(spark, db, "ver_t", root, cols)
+    assert(Catalog.getTableNumberOfVersions(spark, db, "ver_t") == 1)
+    // second overwrite with fewer columns bumps the version
+    Catalog.createParquetTable(spark, db, "ver_t", root,
+      cols.take(2))
+    val versions = Catalog.getTableVersions(spark, db, "ver_t")
+    assert(versions.size == 2)
+    assert(versions.last._2.split(",").length == 2)
+    assert(versions.head._2.contains("o_totalprice"))
+  }
+
+  test("tables/searchTables list and filter table metadata") {
+    val root = tmpDir("cat-search")
+    Writer.toParquet(spark, orders.limit(5), root,
+      WriteOptions(dataset = true, mode = "overwrite"))
+    val (cols, _) = Catalog.extractAthenaTypes(orders)
+    Catalog.createParquetTable(spark, db, "searchable_orders", root, cols)
+    val all = Catalog.tables(spark, Some(db))
+    assert(all.filter(col("table") === "searchable_orders").count() == 1)
+    assert(Catalog.searchTables(spark, "searchable")
+      .filter(col("database") === db).count() == 1)
+    assert(Catalog.searchTables(spark, "zzz_nothing").count() == 0)
+  }
+
+  test("column comments round-trip through table creation") {
+    val root = tmpDir("cat-comments")
+    Writer.toParquet(spark, orders.limit(5), root,
+      WriteOptions(dataset = true, mode = "overwrite"))
+    val (cols, _) = Catalog.extractAthenaTypes(orders)
+    Catalog.createParquetTable(spark, db, "commented_t", root, cols,
+      description = "orders snapshot",
+      columnsComments = Map("o_totalprice" -> "gross order value"))
+    val comments = Catalog.getColumnsComments(spark, db, "commented_t")
+    assert(comments("o_totalprice") == "gross order value")
+    assert(Catalog.getTableDescription(spark, db, "commented_t")
+      .contains("orders snapshot"))
+  }
+
+  test("projection parameters build the Athena property map") {
+    val props = Catalog.buildProjectionParameters(
+      types = Map("dt" -> "date", "region" -> "enum"),
+      ranges = Map("dt" -> "2020-01-01,NOW"),
+      values = Map("region" -> "us,eu"),
+      formats = Map("dt" -> "yyyy-MM-dd"))
+    assert(props("projection.enabled") == "true")
+    assert(props("projection.dt.type") == "date")
+    assert(props("projection.region.values") == "us,eu")
+    assert(props("projection.dt.format") == "yyyy-MM-dd")
+  }
 }

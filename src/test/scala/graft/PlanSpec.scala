@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression guards: the scale properties that make
+  * these queries viable at 100 TB must be visible in the plan, not
+  * assumed. If a refactor silently turns a broadcast join into a
+  * shuffle join or un-pushes a filter, these fail.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02 pushes predicates into the parquet scan") {
+    val p = planOf(Queries.q02FilterPushdown(spark, sf))
+    assert(p.contains("PushedFilters: ["))
+    // plan strings truncate long filter lists — match the prefix
+    assert(p.contains("GreaterThanOrEqual(l_shipda"),
+      s"expected l_shipdate pushdown in:\n$p")
+  }
+
+  test("q02 prunes columns at the scan (ReadSchema)") {
+    val p = planOf(Queries.q02FilterPushdown(spark, sf))
+    // only the four referenced lineitem columns should be read
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_orderkey"),
+      s"unexpected column in scan: $readSchema")
+  }
+
+  test("q04 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf(Queries.q04TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"plan was:\n$p")
+  }
+
+  test("q07 star join broadcasts every dimension") {
+    val p = planOf(Queries.starJoin(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3,
+      s"expected >=3 broadcast joins (customer/nation/region), got $broadcasts")
+  }
+
+  test("q20 has no single-partition global window") {
+    val p = planOf(QueriesRelational2.q20Ntile(spark, sf))
+    assert(!p.contains("Window"),
+      s"global-window ntile crept back in:\n$p")
+  }
+
+  test("q08 window is partitioned (never empty partition spec)") {
+    val p = planOf(QueriesRelational2.q08WindowRank(spark, sf))
+    // Spark prints windows as [..., windowspecdefinition(col, ...)];
+    // an empty spec would print windowspecdefinition(o_totalprice...
+    // with no partition column before the ORDER BY list
+    assert(p.contains("c_mktsegment"),
+      s"expected window partitioned by c_mktsegment:\n$p")
+  }
+
+  test("partitioned dataset read back prunes by partition filter") {
+    import graft.sinks.Writer
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("plan-prune")
+    Writer.toParquet(spark, Tables.read(spark, sf, "orders"), root,
+      Writer.WriteOptions(dataset = true,
+        partitionCols = Seq("o_orderstatus"), mode = "overwrite"))
+    val back = graft.sources.Reader.readParquet(spark, Seq(root),
+      graft.sources.Reader.ReadOptions(dataset = true,
+        partitionFilter = Some(col("o_orderstatus") === "F")))
+    val p = planOf(back)
+    assert(p.contains("PartitionFilters") &&
+      p.contains("o_orderstatus"), s"no partition pruning in:\n$p")
+  }
+
+  test("q15 pre-aggregates orders before the outer join") {
+    val p = planOf(QueriesRelational2.q15OuterJoin(spark, sf))
+    // the orders-side aggregate must sit below the join: the plan
+    // should contain an aggregate on o_custkey feeding the join
+    val joinIdx = p.indexOf("Join")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"expected aggregate below the join in:\n$p")
+  }
+}

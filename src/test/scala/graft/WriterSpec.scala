@@ -112,6 +112,20 @@ class WriterSpec extends SparkSpec {
     assert(spark.read.parquet(root).count() == n)
   }
 
+  test("graft.write.concurrent conf drives the default file fan-out") {
+    val root = tmpDir("writer-conf-fpp")
+    spark.conf.set(GraftSession.confKeys.concurrentWrites, "2")
+    try {
+      Writer.toParquet(spark, orders, root,
+        WriteOptions(dataset = true, partitionCols = Seq("o_orderstatus"),
+          mode = "overwrite"))
+      val perPartition = FsOps.listObjects(spark, root,
+          suffix = Seq(".parquet"))
+        .groupBy(_.path.split('/').takeRight(2).head)
+      assert(perPartition.values.forall(_.size <= 2))
+    } finally spark.conf.unset(GraftSession.confKeys.concurrentWrites)
+  }
+
   test("empty/duplicate/mode validation raises the reference errors") {
     val root = tmpDir("writer-validate")
     intercept[InvalidDataFrame] {
