@@ -132,6 +132,31 @@ object QueriesLlm {
       countDistinct(col("meta.sha")).as("n_distinct_sha"))
   }
 
+  /** q41 — sliding-window document chunking (64-token chunks, 16-token
+    * overlap) — the chunk fan-out that feeds tokenizers at scale.
+    */
+  def q41Chunking(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(
+        t(spark, dir, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** q42 — windowed event aggregation through the streaming module's
+    * batch path (the stream path is proven equivalent in
+    * StreamingSpec); window bounds emitted as strings for a stable
+    * hash.
+    */
+  def q42StreamWindow(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming
+      .windowedCounts(t(spark, dir, "events"), "ts", "5 minutes")
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_end"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("window_start", "event_type")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -142,7 +167,9 @@ object QueriesLlm {
     "q36_text_stats"     -> (q36TextStats _),
     "q37_langid"         -> (q37LangId _),
     "q38_fingerprint"    -> (q38Fingerprint _),
-    "q39_multimodal_meta"-> (q39MultimodalMeta _))
+    "q39_multimodal_meta"-> (q39MultimodalMeta _),
+    "q41_chunking"       -> (q41Chunking _),
+    "q42_stream_window"  -> (q42StreamWindow _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -294,5 +321,30 @@ object QueriesLlm {
                 CAST(sum(octet_length(encode(text))) AS BIGINT)
                   AS total_bytes,
                 count(DISTINCT md5(text)) AS n_distinct_sha
-         FROM documents""")
+         FROM documents""",
+    "q41_chunking" ->
+      """WITH t AS (SELECT doc_id,
+                string_split_regex(lower(text), '\s+') AS toks
+              FROM documents WHERE doc_id < 50),
+         n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+         c AS (SELECT doc_id, toks, nt,
+                 unnest(generate_series(0,
+                   greatest(CAST(ceil((nt - 64) / 48.0) AS INT), 0)))
+                   AS ci
+               FROM n)
+         SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+                array_to_string(toks[ci*48+1 : ci*48+64], ' ')
+                  AS chunk_text,
+                CAST(len(toks[ci*48+1 : ci*48+64]) AS BIGINT)
+                  AS n_chunk_tokens
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "q42_stream_window" ->
+      """SELECT strftime(make_timestamp(
+                  CAST(floor(epoch(ts)/300)*300*1000000 AS BIGINT)),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+                strftime(make_timestamp(
+                  CAST((floor(epoch(ts)/300)*300+300)*1000000 AS BIGINT)),
+                  '%Y-%m-%d %H:%M:%S') AS window_end,
+                event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""")
 }

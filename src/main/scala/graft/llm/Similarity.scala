@@ -112,7 +112,10 @@ object Similarity {
       throw InvalidArgumentValue(s"nprobe ($nprobe) > nlist ($nlist)")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // persisted: every k-means iteration plus the final bucketing
+    // re-reads the corpus vectors
     val c = asDoubleVec(corpus, corpusId, vecCol, "cid", "cv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // deterministic init: the nlist lowest-id vectors
     var centroids: Array[Array[Double]] = c.orderBy("cid").limit(nlist)

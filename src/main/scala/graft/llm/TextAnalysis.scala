@@ -75,6 +75,45 @@ object TextAnalysis {
     scored.withColumn("predicted", predicted)
   }
 
+  /** Cheap BPE-style token-count estimate (≈ 4 chars per token, the
+    * usual planning heuristic when the real tokenizer is too expensive
+    * to run over the whole corpus).
+    */
+  def approxBpeTokens(text: Column): Column =
+    ceil(length(text).cast("double") / 4.0).cast("long")
+
+  /** Sliding-window document chunking for training pipelines: token
+    * windows of `chunkTokens` advancing by `chunkTokens − overlap`,
+    * one output row per (doc, chunk). Implemented as
+    * explode(sequence) + slice so chunk fan-out happens row-parallel
+    * with no shuffle; the final chunk may be shorter.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 &&
+      overlapTokens < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlapTokens/$chunkTokens")
+    val step = chunkTokens - overlapTokens
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // number of windows covering all tokens: ceil((n - chunk)/step)+1,
+    // floored at 1 for docs shorter than one chunk
+    val nChunks = greatest(
+      (ceil((n - chunkTokens).cast("double") / step) + 1).cast("int"),
+      lit(1))
+    df.select(col(idCol), toks.as("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("__toks"),
+            col("chunk_idx") * step + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        size(slice(col("__toks"),
+            col("chunk_idx") * step + 1, lit(chunkTokens))).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
   /** Normalized content fingerprint: lowercase, strip every
     * non-alphanumeric character, md5. Catches duplicates that differ
     * only in case/whitespace/punctuation — the cheap complement to

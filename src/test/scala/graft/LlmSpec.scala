@@ -93,6 +93,28 @@ class LlmSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("chunking covers every token with the configured overlap") {
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("id", "text")
+    val chunks = TextAnalysis.chunk(df, "id", "text",
+        chunkTokens = 4, overlapTokens = 1)
+      .orderBy("chunk_idx")
+      .select("chunk_text").as[String].collect().toSeq
+    assert(chunks == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    // short doc → exactly one (shorter) chunk
+    val short = TextAnalysis.chunk(
+      Seq((2L, "a b")).toDF("id", "text"), "id", "text", 4, 1)
+    assert(short.count() == 1)
+    assert(short.head().getAs[String]("chunk_text") == "a b")
+  }
+
+  test("approx BPE token count is ceil(chars/4)") {
+    val df = Seq(("abcdefgh"), ("abc")).toDF("t")
+    assert(df.select(TextAnalysis.approxBpeTokens($"t"))
+      .as[Long].collect().toSeq == Seq(2L, 1L))
+  }
+
   test("multimodal extractFeatures runs batched over binary payloads") {
     implicit val s = spark
     val rows = Seq(
