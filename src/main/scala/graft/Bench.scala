@@ -24,10 +24,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.applyEngineConf(spark)
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             dir: String): Unit =
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
+      // LLM operators persist() intermediates their lazy result plans
+      // reference; free them between queries so 39 queries don't
+      // accumulate cached blocks across the run
+      finally spark.catalog.clearCache()
 
     // warmup (untimed, small scale)
     SparkEntry.queries.foreach { case (_, fn) =>

@@ -54,7 +54,7 @@ object Catalog {
   /** reference: catalog.does_table_exist (catalog/_utils.py:39-67) */
   def doesTableExist(spark: SparkSession, database: String,
                      table: String): Boolean =
-    spark.catalog.tableExists(s"$database.$table")
+    spark.catalog.tableExists(qt(database, table))
 
   /** Create an external table over an existing path.
     *
@@ -116,7 +116,7 @@ object Catalog {
             .toMap ++ Map(
             "graft.version" -> (prevVersion + 1).toString,
             s"graft.version.$prevVersion.schema" ->
-              spark.table(s"$database.$table").schema.toDDL)
+              spark.table(qt(database, table)).schema.toDDL)
           deleteTableIfExists(spark, database, table)
         }
       case "append" | "update" =>
@@ -173,7 +173,7 @@ object Catalog {
           k.endsWith(".schema") =>
         k.stripPrefix("graft.version.").stripSuffix(".schema").toInt -> v
     }.toSeq
-    (past :+ (current -> spark.table(s"$database.$table").schema.toDDL))
+    (past :+ (current -> spark.table(qt(database, table)).schema.toDDL))
       .sortBy(_._1)
   }
 
@@ -194,7 +194,8 @@ object Catalog {
   def addPartitions(spark: SparkSession, database: String, table: String,
                     partitions: Seq[Map[String, String]]): Unit =
     partitions.foreach { spec =>
-      val kv = spec.map { case (k, v) => s"${q(k)}='$v'" }.mkString(", ")
+      val kv = spec.map { case (k, v) =>
+        s"${q(k)}='${v.replace("'", "''")}'" }.mkString(", ")
       spark.sql(
         s"ALTER TABLE ${qt(database, table)} ADD IF NOT EXISTS PARTITION ($kv)")
     }
@@ -215,7 +216,8 @@ object Catalog {
   def deletePartitions(spark: SparkSession, database: String, table: String,
                        partitions: Seq[Map[String, String]]): Unit =
     partitions.foreach { spec =>
-      val kv = spec.map { case (k, v) => s"${q(k)}='$v'" }.mkString(", ")
+      val kv = spec.map { case (k, v) =>
+        s"${q(k)}='${v.replace("'", "''")}'" }.mkString(", ")
       spark.sql(
         s"ALTER TABLE ${qt(database, table)} DROP IF EXISTS PARTITION ($kv)")
     }
@@ -271,7 +273,7 @@ object Catalog {
   /** {column -> comment} (reference: catalog.get_columns_comments). */
   def getColumnsComments(spark: SparkSession, database: String,
                          table: String): Map[String, String] =
-    spark.catalog.listColumns(s"$database.$table").collect()
+    spark.catalog.listColumns(qt(database, table)).collect()
       .flatMap(c => Option(c.description).filter(_.nonEmpty)
         .map(c.name -> _)).toMap
 
@@ -314,7 +316,7 @@ object Catalog {
   /** {column -> athena type string} (reference: catalog.get_table_types). */
   def getTableTypes(spark: SparkSession, database: String,
                     table: String): Map[String, String] =
-    spark.table(s"$database.$table").schema.fields
+    spark.table(qt(database, table)).schema.fields
       .map(f => f.name -> AthenaTypes.fromSpark(f.dataType)).toMap
 
   // ------------------------------------------------------------------ //
@@ -378,7 +380,7 @@ object Catalog {
                        table: String): DataFrame = {
     if (!doesTableExist(spark, database, table))
       throw InvalidTable(s"$database.$table does not exist")
-    spark.table(s"$database.$table")
+    spark.table(qt(database, table))
   }
 
   def readSqlTable(spark: SparkSession, database: String,

@@ -120,11 +120,15 @@ object Db {
     // reference them quoted so Derby/Postgres don't case-fold them away
     val pkMatch = primaryKeys
       .map(k => s"""$table."$k" = $staging."$k"""").mkString(" AND ")
+    // name the insert columns: a positional SELECT * would silently
+    // transpose values whenever the frame's column order differs from
+    // the target table's
+    val colList = df.columns.map(c => s""""$c"""").mkString(", ")
     try {
       executeStatements(con, Seq(
         s"DELETE FROM $table WHERE EXISTS " +
           s"(SELECT 1 FROM $staging WHERE $pkMatch)",
-        s"INSERT INTO $table SELECT * FROM $staging"))
+        s"INSERT INTO $table ($colList) SELECT $colList FROM $staging"))
     } finally {
       try executeStatements(con, Seq(s"DROP TABLE $staging"))
       catch { case _: Throwable => () }

@@ -59,6 +59,9 @@ object Redshift {
       throw InvalidRedshiftDiststyle(s"diststyle must be in $Diststyles")
     if (ds == "KEY" && distkey.isEmpty)
       throw InvalidRedshiftDistkey("diststyle KEY requires a distkey")
+    if (ds != "KEY" && distkey.isDefined)
+      throw InvalidRedshiftDiststyle(
+        s"distkey given but diststyle is $ds — pass diststyle KEY")
     distkey.foreach(k => if (!names(k))
       throw InvalidRedshiftDistkey(s"distkey '$k' not in columns"))
     if (!Sortstyles(ss))

@@ -203,13 +203,19 @@ object Writer {
     if (FsOps.listObjects(spark, path).isEmpty) return
     val existing = spark.read.parquet(path).schema
     val existingTypes = existing.fields.map(f => f.name -> f.dataType).toMap
+    val partitionCols = opts.partitionCols.toSet
     df.schema.fields.foreach { f =>
       existingTypes.get(f.name) match {
         case None =>
           throw InvalidArgumentValue(
             s"schema_evolution=false: new column '${f.name}' not in " +
               s"existing dataset schema ${existing.simpleString}")
-        case Some(t) if t != f.dataType =>
+        case Some(t) if t != f.dataType &&
+            !partitionCols.contains(f.name) =>
+          // partition columns are exempt from the type check: their
+          // values round-trip through directory names and Hive
+          // partition-type INFERENCE (long → int, etc.), so a
+          // mismatch there is an artifact of discovery, not evolution
           throw InvalidArgumentValue(
             s"schema_evolution=false: column '${f.name}' type " +
               s"${f.dataType.simpleString} != existing ${t.simpleString}")

@@ -129,21 +129,29 @@ object FsOps {
       val rel = s.stripPrefix(srcRoot).stripPrefix("/")
       s -> s"$dstRoot/$rel"
     }
-    if (planned.isEmpty) return Seq.empty
+    parallelMap(planned) { case (src, dst) =>
+      val (sFs, sP) = fs(spark, src)
+      val (dFs, dP) = fs(spark, dst)
+      dFs.mkdirs(dP.getParent)
+      FileUtil.copy(sFs, sP, dFs, dP, false, true, conf)
+      dst
+    }
+  }
+
+  /** Bounded-pool parallel map for driver-side fan-out (listing-scale
+    * metadata and copy work; the reference used ThreadPoolExecutor the
+    * same way).
+    */
+  private[graft] def parallelMap[A, B](items: Seq[A], maxThreads: Int = 16)
+                                      (f: A => B): Seq[B] = {
+    if (items.isEmpty) return Seq.empty
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = Executors.newFixedThreadPool(math.min(planned.size, 16))
+    val pool = Executors.newFixedThreadPool(math.min(items.size, maxThreads))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try Await.result(Future.sequence(planned.map { case (src, dst) =>
-      Future {
-        val (sFs, sP) = fs(spark, src)
-        val (dFs, dP) = fs(spark, dst)
-        dFs.mkdirs(dP.getParent)
-        FileUtil.copy(sFs, sP, dFs, dP, false, true, conf)
-        dst
-      }
-    }), Duration.Inf)
+    try Await.result(
+      Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
     finally pool.shutdown()
   }
 

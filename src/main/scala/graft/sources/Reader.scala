@@ -97,16 +97,8 @@ object Reader {
     * objects would make the pre-pass the bottleneck.
     */
   private def validateEqualSchemas(spark: SparkSession, paths: Seq[String]): Unit = {
-    import java.util.concurrent.Executors
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = Executors.newFixedThreadPool(math.min(paths.size, 16))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val schemas =
-      try Await.result(
-        Future.sequence(paths.map(p =>
-          Future(p -> spark.read.parquet(p).schema))), Duration.Inf)
-      finally pool.shutdown()
+      FsOps.parallelMap(paths)(p => p -> spark.read.parquet(p).schema)
     val distinct = schemas.map(_._2).distinct
     if (distinct.size > 1)
       throw InvalidSchemaConvergence(

@@ -34,7 +34,8 @@ object Sql {
 
   case class QueryResult(df: DataFrame, metadata: QueryMetadata)
 
-  private case class Entry(atMs: Long, df: DataFrame, queryId: String)
+  private case class Entry(atMs: Long, ttlSec: Long, df: DataFrame,
+                           queryId: String)
 
   // one cache per SparkSession (results are session-scoped plans)
   private val caches =
@@ -43,11 +44,23 @@ object Sql {
   private def cacheOf(spark: SparkSession): TrieMap[String, Entry] =
     caches.getOrElseUpdate(spark, TrieMap.empty)
 
-  /** Whitespace-collapse + lowercase + trailing-semicolon strip —
-    * the reference's comparison form (athena/_read.py:80-86).
+  /** Whitespace-collapse + lowercase + trailing-semicolon strip — the
+    * reference's comparison form (athena/_read.py:80-86) — EXCEPT
+    * inside quoted regions: lowercasing a string literal ('F' vs 'f')
+    * or a quoted identifier would make semantically different queries
+    * collide on one cache key and return wrong cached results.
     */
-  def canonicalize(sql: String): String =
-    sql.trim.stripSuffix(";").split("\\s+").mkString(" ").toLowerCase
+  def canonicalize(sql: String): String = {
+    val collapsed = sql.trim.stripSuffix(";").split("\\s+").mkString(" ")
+    val out = new StringBuilder(collapsed.length)
+    var quote: Char = 0 // 0 = outside any quoted region
+    collapsed.foreach { c =>
+      if (quote != 0) { out += c; if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"' || c == '`') { quote = c; out += c }
+      else out += c.toLower
+    }
+    out.toString
+  }
 
   /** Execute SQL with optional result-cache reuse.
     *
@@ -67,9 +80,11 @@ object Sql {
     val cache = cacheOf(spark)
     val now = clock()
 
-    // drop + unpersist expired entries on every access
-    if (ttlSec > 0) cache.filterInPlace { (_, e) =>
-      val live = now - e.atMs <= ttlSec * 1000
+    // drop + unpersist expired entries on EVERY access (each entry
+    // carries the TTL it was stored under, so a later ttl=0 caller
+    // still releases storage pinned by earlier cached results)
+    cache.filterInPlace { (_, e) =>
+      val live = now - e.atMs <= e.ttlSec * 1000
       if (!live) e.df.unpersist(blocking = false)
       live
     }
@@ -84,7 +99,7 @@ object Sql {
         var df = spark.sql(sql)
         if (ttlSec > 0) {
           df = df.persist(StorageLevel.MEMORY_AND_DISK)
-          cache.put(canon, Entry(started, df, queryId))
+          cache.put(canon, Entry(started, ttlSec, df, queryId))
         }
         QueryResult(df,
           QueryMetadata(queryId, canon, started, clock(), cacheHit = false))

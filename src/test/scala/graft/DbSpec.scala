@@ -57,6 +57,20 @@ class DbSpec extends SparkSpec {
       (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("upsert with reordered columns maps values by name") {
+    val base = Seq((1L, "a", 10.0)).toDF("id", "name", "v")
+    Db.toSql(base, "ups_ord", derby, mode = "overwrite",
+      columnTypes = Some("name VARCHAR(16)"))
+    // same schema, different column ORDER — must not transpose values
+    val delta = Seq((2L, 20.0, "b")).toDF("id", "v", "name")
+    Db.upsert(delta, "ups_ord", derby, primaryKeys = Seq("id"),
+      columnTypes = Some("name VARCHAR(16)"))
+    val out = Db.readSqlTable(spark, "ups_ord", derby)
+      .orderBy("id").select("id", "name", "v")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+  }
+
   test("connection registry resolves by name and rejects unknowns") {
     Db.registerConnection("warehouse", derby)
     assert(Db.getConnection("warehouse").url == derby.url)
@@ -80,6 +94,10 @@ class DbSpec extends SparkSpec {
     }
     intercept[InvalidRedshiftSortkey] {
       Redshift.createTableSql("t", schema, sortkey = Seq("nope"))
+    }
+    intercept[InvalidRedshiftDiststyle] { // distkey demands KEY style
+      Redshift.createTableSql("t", schema, diststyle = "EVEN",
+        distkey = Some("c_custkey"))
     }
   }
 

@@ -11,6 +11,7 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    GraftSession.applyEngineConf(s)
     s
   }
   val sf = "/root/testdata/sf0.001"

@@ -18,6 +18,17 @@ class SqlSpec extends SparkSpec {
     assert(Sql.canonicalize("SELECT 1") != Sql.canonicalize("SELECT 2"))
   }
 
+  test("canonicalization preserves case inside quoted regions") {
+    // 'F' and 'f' are different predicates — they must NOT share a key
+    assert(Sql.canonicalize("SELECT * FROM t WHERE s = 'F'") !=
+      Sql.canonicalize("SELECT * FROM t WHERE s = 'f'"))
+    assert(Sql.canonicalize("SELECT `Col` FROM t") !=
+      Sql.canonicalize("SELECT `col` FROM t"))
+    // keyword case outside quotes still collapses
+    assert(Sql.canonicalize("SELECT * FROM t WHERE s = 'F'") ==
+      Sql.canonicalize("select * from t where s = 'F'"))
+  }
+
   test("within TTL an equivalent query is a cache hit") {
     var now = 1_000_000L
     val clock = () => now

@@ -82,6 +82,20 @@ class WriterSpec extends SparkSpec {
     assert(e.getMessage.contains("o_totalprice"))
   }
 
+  test("schema_evolution=false tolerates partition-type inference") {
+    // a long partition column reads back as int via Hive partition
+    // inference — appending the identical frame must NOT be rejected
+    val root = tmpDir("writer-evolve-part")
+    val withYear = orders.withColumn("o_year",
+      year($"o_orderdate").cast("long"))
+    val opts = WriteOptions(dataset = true, partitionCols = Seq("o_year"),
+      mode = "overwrite")
+    Writer.toParquet(spark, withYear, root, opts)
+    Writer.toParquet(spark, withYear, root,
+      opts.copy(mode = "append", schemaEvolution = false))
+    assert(spark.read.parquet(root).count() == 2 * orders.count())
+  }
+
   test("schema_evolution=true allows appending a widened frame") {
     val root = tmpDir("writer-evolve-ok")
     Writer.toParquet(spark, orders.limit(5), root,
