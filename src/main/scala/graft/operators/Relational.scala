@@ -74,4 +74,65 @@ object Relational {
           .otherwise(lit(rem) + expr(s"($idxCol - $cut) div $base") + 1L)
     indexed.withColumn(bucketCol, bucket.cast("long")).drop(idxCol)
   }
+
+  private val SaltCol = "__graft_salt"
+
+  /** Skew-resistant equi-join: the probe (large, skewed) side gets a
+    * uniform salt, the build side is replicated once per salt value,
+    * and the join key becomes (keys, salt) — one hot key now spreads
+    * over `saltFactor` tasks instead of melting a single one. AQE's
+    * skew-join handles sort-merge cases adaptively; explicit salting
+    * is for when the hot keys are known/extreme or AQE can't split
+    * (e.g. aggregations after the join keep the skewed partitioning).
+    *
+    * Build-side rows are duplicated saltFactor×, so use this when the
+    * build side is small relative to the skew (the usual case).
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    if (saltFactor <= 0)
+      throw InvalidArgumentValue(s"saltFactor must be positive: $saltFactor")
+    val probeS = probe.withColumn(SaltCol,
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
+    val buildS = build.withColumn(SaltCol,
+      explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    probeS.join(buildS, keys :+ SaltCol, joinType).drop(SaltCol)
+  }
+
+  /** Skew-resistant aggregation: phase 1 aggregates on (keys, salt) —
+    * hot keys split across saltFactor reducers — phase 2 merges the
+    * partials per key. Supported merges: sum, count, min, max
+    * (count merges by summing partial counts).
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String],
+                      aggSpec: Seq[(String, String)],
+                      saltFactor: Int): DataFrame = {
+    if (saltFactor <= 0)
+      throw InvalidArgumentValue(s"saltFactor must be positive: $saltFactor")
+    val bad = aggSpec.collect {
+      case (_, fn) if !Set("sum", "count", "min", "max")(fn) => fn
+    }
+    if (bad.nonEmpty)
+      throw InvalidArgumentValue(
+        s"unsupported salted aggregations: ${bad.mkString(", ")}")
+    val salted = df.withColumn(SaltCol,
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
+    val partials = aggSpec.map {
+      case (c, "sum")   => sum(col(c)).as(s"${c}_sum")
+      case (c, "count") => count(col(c)).as(s"${c}_count")
+      case (c, "min")   => min(col(c)).as(s"${c}_min")
+      case (c, "max")   => max(col(c)).as(s"${c}_max")
+    }
+    val merged = aggSpec.map {
+      case (c, "sum")   => sum(col(s"${c}_sum")).as(s"${c}_sum")
+      case (c, "count") => sum(col(s"${c}_count")).as(s"${c}_count")
+      case (c, "min")   => min(col(s"${c}_min")).as(s"${c}_min")
+      case (c, "max")   => max(col(s"${c}_max")).as(s"${c}_max")
+    }
+    salted
+      .groupBy((keys :+ SaltCol).map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(merged.head, merged.tail: _*)
+  }
 }
