@@ -189,6 +189,43 @@ object QueriesRelational2 {
            round(max("o_totalprice"), 2).as("max_price"))
       .orderBy("quartile")
 
+  /** q43 — JSON column processing (the reference delegates
+    * json_extract to Athena; native get_json_object here): parse
+    * `events.props` and aggregate the extracted value.
+    */
+  def q43JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum("k").as("sum_k"),
+           round(avg("k"), 4).as("avg_k"))
+      .orderBy("event_type")
+
+  /** q44 — explode/UNNEST (Generator path): token frequencies across
+    * documents, top 10 with deterministic tiebreak.
+    */
+  def q44ExplodeTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(10)
+
+  /** q45 — regexp functions: extract the numeric brand suffix and
+    * aggregate over it.
+    */
+  def q45Regexp(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .withColumn("brand_num",
+        regexp_extract(col("p_brand"), "(\\d+)$", 1).cast("long"))
+      .filter(col("p_name").rlike("^[a-z]"))
+      .groupBy("brand_num")
+      .agg(count(lit(1)).as("n"),
+           round(avg("p_retailprice"), 4).as("avg_price"))
+      .orderBy("brand_num")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_window_rank"    -> (q08WindowRank _),
     "q09_window_running" -> (q09WindowRunning _),
@@ -202,7 +239,10 @@ object QueriesRelational2 {
     "q17_date_fns"       -> (q17DateFns _),
     "q18_predicate_mix"  -> (q18PredicateMix _),
     "q19_full_outer"     -> (q19FullOuter _),
-    "q20_ntile"          -> (q20Ntile _))
+    "q20_ntile"          -> (q20Ntile _),
+    "q43_json_extract"   -> (q43JsonExtract _),
+    "q44_explode_tokens" -> (q44ExplodeTokens _),
+    "q45_regexp"         -> (q45Regexp _))
 
   val oracles: Map[String, String] = Map(
     "q08_window_rank" ->
@@ -308,5 +348,25 @@ object QueriesRelational2 {
                       CAST(ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
                            AS BIGINT) AS quartile
                FROM orders)
-         GROUP BY quartile ORDER BY quartile""")
+         GROUP BY quartile ORDER BY quartile""",
+    "q43_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS BIGINT) AS sum_k,
+                round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)),
+                      4) AS avg_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q44_explode_tokens" ->
+      """SELECT token, count(*) AS n
+         FROM (SELECT unnest(string_split_regex(lower(text), '\s+'))
+                 AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token ASC LIMIT 10""",
+    "q45_regexp" ->
+      """SELECT CAST(regexp_extract(p_brand, '(\d+)$', 1) AS BIGINT)
+                  AS brand_num,
+                count(*) AS n,
+                round(avg(p_retailprice), 4) AS avg_price
+         FROM part
+         WHERE regexp_matches(p_name, '^[a-z]')
+         GROUP BY 1 ORDER BY 1""")
 }
