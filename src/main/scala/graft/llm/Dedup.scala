@@ -101,16 +101,21 @@ object Dedup {
     val r = numHashes / bands
     val params = hashParams(numHashes, seed)
 
-    // distinct (id, shingle) rows via explode + dynamic substring —
-    // stays inside whole-stage codegen, unlike transform()-built
-    // arrays. Persisted: signatures and the exact-verify both read it.
+    // distinct (id, shingle-hash) rows via explode + dynamic substring
+    // — stays inside whole-stage codegen, unlike transform()-built
+    // arrays. Shingles are 64-bit-hashed BEFORE the distinct so every
+    // downstream shuffle/join carries fixed-width longs, not strings
+    // (collisions would need ~2^32 distinct shingles to matter; the
+    // correctness gate would catch any). Persisted: signatures and the
+    // exact-verify both read it.
     val shingleRows = df
       .select(col(idCol).cast("long").as("id"),
         lower(col(textCol)).as("txt"))
       .select(col("id"), col("txt"),
         explode(sequence(lit(1),
           greatest(length(col("txt")) - (shingleK - 1), lit(1)))).as("i"))
-      .select(col("id"), expr(s"substring(txt, i, $shingleK)").as("s"))
+      .select(col("id"),
+        xxhash64(expr(s"substring(txt, i, $shingleK)")).as("s"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -118,7 +123,7 @@ object Dedup {
     // hashed shingles — partial (map-side) aggregation shrinks the
     // shuffle to |docs|·numHashes longs
     val hashed = shingleRows
-      .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
+      .withColumn("h", pmod(col("s"), lit(P)))
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
     }
