@@ -43,19 +43,19 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Compiled cosine scoring of (leftId, rightId, leftVec, rightVec)
-    * rows → (leftId, rightId, sim). Input column order matters.
+  /** Codegen'd cosine scoring of (leftId, rightId, leftVec, rightVec)
+    * rows → (leftId, rightId, sim), via the native CosineSimilarity
+    * expression — stays inside whole-stage codegen with no
+    * encoder/serialization boundary (identical arithmetic to
+    * `cosineKernel`, which the k-means driver loop still uses).
+    * Input column order matters.
     */
   private def scorePairs(df: DataFrame, outLeft: String,
                          outRight: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.as[(Long, Long, Seq[Double], Seq[Double])]
-      .mapPartitions { rows =>
-        rows.map { case (l, r, a, b) =>
-          (l, r, cosineKernel(a.toArray, b.toArray))
-        }
-      }.toDF(outLeft, outRight, "sim")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val Seq(l, r, a, b) = df.columns.toSeq
+    df.select(col(l).as(outLeft), col(r).as(outRight),
+      call_function("cosine_sim", col(a), col(b)).as("sim"))
   }
 
   private def asDoubleVec(df: DataFrame, idCol: String, vecCol: String,

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.llm.Similarity
+
+/** The native cosine_sim Catalyst expression: registration, SQL
+  * callability, agreement with the interpreted HOF implementation,
+  * and codegen/interpreted-path equality.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftFunctions.register(spark)
+  }
+
+  private val vecs = {
+    val rnd = new scala.util.Random(1)
+    (1 to 50).map(i => (i.toLong,
+      Seq.fill(16)(rnd.nextGaussian()),
+      Seq.fill(16)(rnd.nextGaussian())))
+  }
+
+  test("cosine_sim matches the HOF cosine on random vectors") {
+    val df = vecs.toDF("id", "a", "b")
+    val rows = df.select(
+      call_function("cosine_sim", $"a", $"b").as("native"),
+      Similarity.cosine($"a", $"b").as("hof")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("cosine_sim is callable from SQL after registration") {
+    vecs.toDF("id", "a", "b").createOrReplaceTempView("vecs_t")
+    val n = spark.sql(
+      "SELECT cosine_sim(a, b) AS s FROM vecs_t WHERE cosine_sim(a, b) > -2")
+      .count()
+    assert(n == vecs.size)
+  }
+
+  test("codegen and interpreted paths agree") {
+    val df = vecs.toDF("id", "a", "b")
+    val withCodegen = df.select(call_function("cosine_sim", $"a", $"b"))
+      .as[Double].collect().toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = df.select(call_function("cosine_sim", $"a", $"b"))
+        .as[Double].collect().toSeq
+      assert(withCodegen == interpreted)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("nulls propagate; identical vectors score ~1") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(1.0, 2.0))),
+      (None, Some(Seq(1.0, 2.0)))).toDF("a", "b")
+    val out = df.select(call_function("cosine_sim", $"a", $"b"))
+      .collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("type mismatch fails analysis cleanly") {
+    val bad = Seq((Seq("x"), Seq(1.0))).toDF("a", "b")
+    intercept[Exception] {
+      bad.select(call_function("cosine_sim", $"a", $"b")).collect()
+    }
+  }
+}
