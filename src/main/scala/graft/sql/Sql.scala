@@ -37,12 +37,19 @@ object Sql {
   private case class Entry(atMs: Long, ttlSec: Long, df: DataFrame,
                            queryId: String)
 
-  // one cache per SparkSession (results are session-scoped plans)
-  private val caches =
-    TrieMap.empty[SparkSession, TrieMap[String, Entry]]
+  // one cache per SparkSession (results are session-scoped plans);
+  // weak keys so stopped sessions and their plan graphs can be GC'd
+  private val caches = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, TrieMap[String, Entry]]())
 
   private def cacheOf(spark: SparkSession): TrieMap[String, Entry] =
-    caches.getOrElseUpdate(spark, TrieMap.empty)
+    caches.synchronized {
+      Option(caches.get(spark)).getOrElse {
+        val m = TrieMap.empty[String, Entry]
+        caches.put(spark, m)
+        m
+      }
+    }
 
   /** Whitespace-collapse + lowercase + trailing-semicolon strip — the
     * reference's comparison form (athena/_read.py:80-86) — EXCEPT

@@ -72,6 +72,35 @@ class PlanSpec extends SparkSpec {
       p.contains("o_orderstatus"), s"no partition pruning in:\n$p")
   }
 
+  test("co-bucketed tables join without a shuffle exchange") {
+    import graft.sinks.Writer
+    graft.catalog.Catalog.createDatabase(spark, "graft_bucket_db")
+    try {
+      val orders = Tables.read(spark, sf, "orders")
+      val customer = Tables.read(spark, sf, "customer")
+      Writer.toBucketedTable(spark, orders, "graft_bucket_db",
+        "orders_b", Seq("o_custkey"), numBuckets = 8,
+        sortCols = Seq("o_custkey"))
+      Writer.toBucketedTable(spark,
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "graft_bucket_db", "customer_b", Seq("o_custkey"),
+        numBuckets = 8, sortCols = Seq("o_custkey"))
+      // disable broadcast so the planner actually uses the buckets
+      // (with a broadcastable side it rightly prefers BHJ)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bucket_db.orders_b")
+        .join(spark.table("graft_bucket_db.customer_b"), "o_custkey")
+      val p = planOf(joined)
+      assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+        s"co-bucketed join still shuffles:\n$p")
+      assert(p.contains("Bucketed: true"), s"bucketing unused:\n$p")
+      assert(joined.count() == orders.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      graft.catalog.Catalog.deleteDatabase(spark, "graft_bucket_db")
+    }
+  }
+
   test("q15 pre-aggregates orders before the outer join") {
     val p = planOf(QueriesRelational2.q15OuterJoin(spark, sf))
     // the orders-side aggregate must sit below the join: the plan
