@@ -36,6 +36,11 @@ object Reader {
     * @param pathIgnoreSuffix drop files ending with one of these
     * @param lastModifiedBegin/End epoch-ms window on file mtime
     *                         (reference: s3/_list.py:99-104)
+    * @param dtype            per-column Athena-type-string cast
+    *                         override applied after the read — the
+    *                         reference's escape hatch for null columns
+    *                         and forced types (reference:
+    *                         _data_types.py:446-464)
     */
   case class ReadOptions(
       columns: Seq[String] = Nil,
@@ -47,7 +52,27 @@ object Reader {
       pathIgnoreSuffix: Seq[String] = Nil,
       lastModifiedBegin: Option[java.time.Instant] = None,
       lastModifiedEnd: Option[java.time.Instant] = None,
+      dtype: Map[String, String] = Map.empty,
       options: Map[String, String] = Map.empty)
+
+  /** Apply the Athena-type dtype override: cast listed columns,
+    * leave the rest untouched.
+    */
+  private def applyDtype(df: DataFrame,
+                         dtype: Map[String, String]): DataFrame =
+    if (dtype.isEmpty) df
+    else {
+      val missing = dtype.keys.filterNot(df.columns.contains)
+      if (missing.nonEmpty)
+        throw InvalidArgumentValue(
+          s"dtype columns not in data: ${missing.mkString(", ")}")
+      df.select(df.columns.map { c =>
+        dtype.get(c) match {
+          case Some(t) => col(c).cast(AthenaTypes.toSpark(t)).as(c)
+          case None    => col(c)
+        }
+      }: _*)
+    }
 
   def readParquet(spark: SparkSession, paths: Seq[String],
                   opts: ReadOptions = ReadOptions()): DataFrame = {
@@ -81,7 +106,7 @@ object Reader {
     opts.partitionFilter.foreach(pf => df = df.filter(pf))
     if (opts.columns.nonEmpty)
       df = df.select(opts.columns.map(col): _*)
-    df
+    applyDtype(df, opts.dtype)
   }
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
@@ -146,7 +171,7 @@ object Reader {
     var df = reader.csv(paths: _*)
     opts.partitionFilter.foreach(pf => df = df.filter(pf))
     if (opts.columns.nonEmpty) df = df.select(opts.columns.map(col): _*)
-    df
+    applyDtype(df, opts.dtype)
   }
 
   /** JSON / JSON-lines (reference: s3.read_json; lines=True default,

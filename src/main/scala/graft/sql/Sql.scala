@@ -136,6 +136,20 @@ object Sql {
     cache.clear()
   }
 
+  /** CTAS materialization: run the SQL and persist the result as a
+    * parquet table at `path` (reference: the ctas_approach rewrite,
+    * athena/_read.py:328-409 — there it was a workaround for CSV
+    * results; here it is an explicit materialization primitive, since
+    * plain readSqlQuery results are already distributed parquet-ready).
+    */
+  def ctas(spark: SparkSession, sql: String, database: String,
+           table: String, path: String): DataFrame = {
+    spark.sql(
+      s"CREATE TABLE `$database`.`$table` USING PARQUET " +
+        s"LOCATION '$path' AS $sql")
+    spark.table(s"`$database`.`$table`")
+  }
+
   // ------------------------------------------------------------------ //
   // thin DDL wrappers (reference: athena.repair_table,                 //
   // athena.describe_table, athena.show_create_table)                   //

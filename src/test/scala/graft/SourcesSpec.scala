@@ -105,6 +105,20 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == orders.count())
   }
 
+  test("dtype override casts columns through the Athena type bridge") {
+    val root = tmpDir("src-dtype")
+    orders.limit(20).write.mode("overwrite").parquet(root)
+    val df = Reader.readParquet(spark, Seq(root),
+      ReadOptions(dtype = Map("o_orderkey" -> "string",
+        "o_totalprice" -> "decimal(12,2)")))
+    assert(df.schema("o_orderkey").dataType.typeName == "string")
+    assert(df.schema("o_totalprice").dataType.sql == "DECIMAL(12,2)")
+    intercept[InvalidArgumentValue] {
+      Reader.readParquet(spark, Seq(root),
+        ReadOptions(dtype = Map("nope" -> "int"))).collect()
+    }
+  }
+
   test("readParquetMetadata splits partition columns from data columns") {
     val root = tmpDir("src-meta")
     Writer.toParquet(spark, orders, root,

@@ -73,6 +73,21 @@ class SqlSpec extends SparkSpec {
     }
   }
 
+  test("ctas materializes the result as a queryable parquet table") {
+    graft.catalog.Catalog.createDatabase(spark, "graft_ctas_db")
+    val path = tmpDir("ctas-out") + "/t"
+    try {
+      val df = Sql.ctas(spark,
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1",
+        "graft_ctas_db", "status_counts", path)
+      assert(df.count() == 3)
+      // the data is really at the external location as parquet
+      assert(spark.read.parquet(path).count() == 3)
+    } finally {
+      graft.catalog.Catalog.deleteDatabase(spark, "graft_ctas_db")
+    }
+  }
+
   test("readSqlTable resolves through the configured default database") {
     graft.catalog.Catalog.createDatabase(spark, "graft_sql_db")
     try {
