@@ -157,6 +157,25 @@ object QueriesLlm {
         col("event_type"), col("n"), col("total"))
       .orderBy("window_start", "event_type")
 
+  /** q46 — PII/URL scrubbing over a corpus with injected addresses
+    * (constructed identically on both sides); the md5 of each
+    * scrubbed text proves the transformation byte-identical.
+    */
+  def q46TextScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").filter(col("doc_id") < 100)
+    val corpus = docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" mail u"), col("doc_id").cast("string"),
+        lit("@ex.com or https://h"), col("doc_id").cast("string"),
+        lit(".ex/p end")).as("text"))
+    corpus.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("https?://\\S+")).cast("long")
+          .as("n_urls"),
+        md5(TextAnalysis.scrub(col("text"))).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -169,7 +188,8 @@ object QueriesLlm {
     "q38_fingerprint"    -> (q38Fingerprint _),
     "q39_multimodal_meta"-> (q39MultimodalMeta _),
     "q41_chunking"       -> (q41Chunking _),
-    "q42_stream_window"  -> (q42StreamWindow _))
+    "q42_stream_window"  -> (q42StreamWindow _),
+    "q46_text_scrub"     -> (q46TextScrub _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -346,5 +366,18 @@ object QueriesLlm {
                   CAST((floor(epoch(ts)/300)*300+300)*1000000 AS BIGINT)),
                   '%Y-%m-%d %H:%M:%S') AS window_end,
                 event_type, count(*) AS n, round(sum(value), 2) AS total
-         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""")
+         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""",
+    "q46_text_scrub" ->
+      """WITH corpus AS (
+           SELECT doc_id,
+                  text || ' mail u' || doc_id || '@ex.com or https://h'
+                       || doc_id || '.ex/p end' AS text
+           FROM documents WHERE doc_id < 100)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, 'https?://\S+'))
+                     AS BIGINT) AS n_urls,
+                md5(regexp_replace(
+                      regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+                      '\S+@\S+\.\S+', '<EMAIL>', 'g')) AS scrubbed_md5
+         FROM corpus ORDER BY doc_id""")
 }

@@ -75,6 +75,25 @@ object TextAnalysis {
     scored.withColumn("predicted", predicted)
   }
 
+  /** Default scrub patterns: applied IN ORDER (URLs before emails, so
+    * an address inside a URL never double-matches). Patterns are kept
+    * to the regex subset shared by Java and RE2 so any engine can
+    * reproduce the transformation.
+    */
+  val defaultScrubPatterns: Seq[(String, String)] = Seq(
+    "https?://\\S+" -> "<URL>",
+    "\\S+@\\S+\\.\\S+" -> "<EMAIL>")
+
+  /** PII/URL scrubbing: sequential regexp_replace of each pattern —
+    * the standard pre-training cleanup pass, row-parallel and
+    * codegen'd.
+    */
+  def scrub(text: Column,
+            patterns: Seq[(String, String)] = defaultScrubPatterns): Column =
+    patterns.foldLeft(text) { case (c, (re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+
   /** Cheap BPE-style token-count estimate (≈ 4 chars per token, the
     * usual planning heuristic when the real tokenizer is too expensive
     * to run over the whole corpus).

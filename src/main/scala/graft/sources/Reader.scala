@@ -102,7 +102,15 @@ object Reader {
 
     if (opts.validateSchema) validateEqualSchemas(spark, resolvedPaths)
 
-    var df = reader.parquet(resolvedPaths: _*)
+    var df =
+      try reader.parquet(resolvedPaths: _*)
+      catch {
+        // surface the reference's NoFilesFound instead of Spark's
+        // AnalysisException when the path simply isn't there
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getErrorClass).exists(_.contains("PATH_NOT_FOUND")) =>
+          throw NoFilesFound(s"no files under $resolvedPaths: ${e.getMessage}")
+      }
     opts.partitionFilter.foreach(pf => df = df.filter(pf))
     if (opts.columns.nonEmpty)
       df = df.select(opts.columns.map(col): _*)
