@@ -43,12 +43,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
+      // null element ⇒ null result, matching zip_with/aggregate
+      // null-propagation (reading it as 0.0 would be silently wrong)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
@@ -66,16 +71,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |boolean $hasNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    $hasNull = true; break;
+         |  }
          |  double $xi = $a.getDouble($i);
          |  double $yi = $b.getDouble($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |${ev.value} = $dot /
-         |  (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot /
+         |    (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |}
        """.stripMargin
     })
 
@@ -91,10 +105,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * works from `spark.sql` and `functions.call_function`.
   */
 object GraftFunctions {
+
+  // sessions we registered into — detects foreign functions squatting
+  // on the name (silently dispatching to one would compute wrong
+  // results with no error)
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val ident = FunctionIdentifier("cosine_sim")
-    if (!registry.functionExists(ident)) {
+    if (registry.functionExists(ident)) {
+      if (!registered.containsKey(spark))
+        throw graft.exceptions.InvalidArgumentCombination(
+          "a different function named cosine_sim is already registered " +
+            "in this session; graft's native expression would be shadowed")
+    } else {
+      registered.put(spark, java.lang.Boolean.TRUE)
       registry.registerFunction(
         ident,
         new ExpressionInfo(classOf[CosineSimilarity].getName,

@@ -88,10 +88,24 @@ object Relational {
     * Build-side rows are duplicated saltFactor×, so use this when the
     * build side is small relative to the skew (the usual case).
     */
+  /** Join types where replicating the build side cannot duplicate or
+    * drop rows: the build side only ever matches (inner/left*); outer
+    * variants that null-extend the build side would emit one row PER
+    * SALT REPLICA for unmatched build keys.
+    */
+  private val SaltSafeJoins =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     if (saltFactor <= 0)
       throw InvalidArgumentValue(s"saltFactor must be positive: $saltFactor")
+    if (!SaltSafeJoins(joinType.toLowerCase.replace(" ", "")))
+      throw InvalidArgumentValue(
+        s"saltedJoin supports inner/left/left_semi/left_anti, got " +
+          s"$joinType — right/full outer would duplicate unmatched " +
+          "build rows once per salt replica")
     val probeS = probe.withColumn(SaltCol,
       pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
     val buildS = build.withColumn(SaltCol,
@@ -109,6 +123,14 @@ object Relational {
                       saltFactor: Int): DataFrame = {
     if (saltFactor <= 0)
       throw InvalidArgumentValue(s"saltFactor must be positive: $saltFactor")
+    if (aggSpec.isEmpty)
+      throw InvalidArgumentValue("aggSpec must be non-empty")
+    val dup = aggSpec.groupBy(identity).collect {
+      case (spec, hits) if hits.size > 1 => s"${spec._1}:${spec._2}"
+    }
+    if (dup.nonEmpty)
+      throw InvalidArgumentValue(
+        s"duplicate aggSpec entries: ${dup.mkString(", ")}")
     val bad = aggSpec.collect {
       case (_, fn) if !Set("sum", "count", "min", "max")(fn) => fn
     }

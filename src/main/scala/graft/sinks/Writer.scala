@@ -153,8 +153,12 @@ object Writer {
                       sortCols: Seq[String] = Nil,
                       mode: String = "overwrite",
                       format: String = "parquet"): Unit = {
-    validate(df, WriteOptions(mode =
-      if (mode == "overwrite") "overwrite" else "append"))
+    // bucketed managed tables support plain append/overwrite only —
+    // no dynamic partition overwrite semantics
+    if (mode != "append" && mode != "overwrite")
+      throw InvalidArgumentValue(
+        s"toBucketedTable mode must be append|overwrite, got $mode")
+    validate(df, WriteOptions(mode = mode))
     if (bucketCols.isEmpty || numBuckets <= 0)
       throw InvalidArgumentValue(
         s"need bucketCols and positive numBuckets, got $bucketCols/$numBuckets")
@@ -162,7 +166,7 @@ object Writer {
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty)
       w = w.sortBy(sortCols.head, sortCols.tail: _*)
-    w.saveAsTable(s"$database.$table")
+    w.saveAsTable(s"`$database`.`$table`")
   }
 
   /** Dataset write + catalog registration in one call, with the

@@ -55,6 +55,18 @@ object Reader {
       dtype: Map[String, String] = Map.empty,
       options: Map[String, String] = Map.empty)
 
+  /** Surface the reference's NoFilesFound instead of Spark's
+    * AnalysisException when a read path simply isn't there.
+    */
+  private def translateMissingPath[T](paths: Seq[String])(read: => T): T =
+    try read
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getErrorClass).exists(_.contains("PATH_NOT_FOUND")) =>
+        throw NoFilesFound(
+          s"no files under ${paths.mkString(", ")}: ${e.getMessage}")
+    }
+
   /** Apply the Athena-type dtype override: cast listed columns,
     * leave the rest untouched.
     */
@@ -102,15 +114,9 @@ object Reader {
 
     if (opts.validateSchema) validateEqualSchemas(spark, resolvedPaths)
 
-    var df =
-      try reader.parquet(resolvedPaths: _*)
-      catch {
-        // surface the reference's NoFilesFound instead of Spark's
-        // AnalysisException when the path simply isn't there
-        case e: org.apache.spark.sql.AnalysisException
-            if Option(e.getErrorClass).exists(_.contains("PATH_NOT_FOUND")) =>
-          throw NoFilesFound(s"no files under $resolvedPaths: ${e.getMessage}")
-      }
+    var df = translateMissingPath(resolvedPaths) {
+      reader.parquet(resolvedPaths: _*)
+    }
     opts.partitionFilter.foreach(pf => df = df.filter(pf))
     if (opts.columns.nonEmpty)
       df = df.select(opts.columns.map(col): _*)
@@ -176,7 +182,7 @@ object Reader {
       case Some(s) => reader = reader.schema(s)
       case None    => reader = reader.option("inferSchema", "true")
     }
-    var df = reader.csv(paths: _*)
+    var df = translateMissingPath(paths) { reader.csv(paths: _*) }
     opts.partitionFilter.foreach(pf => df = df.filter(pf))
     if (opts.columns.nonEmpty) df = df.select(opts.columns.map(col): _*)
     applyDtype(df, opts.dtype)
@@ -192,7 +198,7 @@ object Reader {
     var reader = spark.read.options(options)
     if (!lines) reader = reader.option("multiLine", "true")
     schema.foreach(s => reader = reader.schema(s))
-    reader.json(paths: _*)
+    translateMissingPath(paths) { reader.json(paths: _*) }
   }
 
   /** Fixed-width files (reference: s3.read_fwf). Spark has no native

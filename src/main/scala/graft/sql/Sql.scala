@@ -37,13 +37,22 @@ object Sql {
   private case class Entry(atMs: Long, ttlSec: Long, df: DataFrame,
                            queryId: String)
 
-  // one cache per SparkSession (results are session-scoped plans);
-  // weak keys so stopped sessions and their plan graphs can be GC'd
+  // one cache per SparkSession (results are session-scoped plans).
+  // NOTE: weak keys alone can't reclaim a session whose cache holds
+  // entries — Entry.df strongly references the session through its
+  // plan — so every access also sweeps caches of STOPPED sessions.
   private val caches = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, TrieMap[String, Entry]]())
 
+  private def sweepStoppedSessions(): Unit = caches.synchronized {
+    val it = caches.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getKey.sparkContext.isStopped) it.remove()
+  }
+
   private def cacheOf(spark: SparkSession): TrieMap[String, Entry] =
     caches.synchronized {
+      sweepStoppedSessions()
       Option(caches.get(spark)).getOrElse {
         val m = TrieMap.empty[String, Entry]
         caches.put(spark, m)
@@ -146,7 +155,7 @@ object Sql {
            table: String, path: String): DataFrame = {
     spark.sql(
       s"CREATE TABLE `$database`.`$table` USING PARQUET " +
-        s"LOCATION '$path' AS $sql")
+        s"LOCATION '${path.replace("'", "''")}' AS $sql")
     spark.table(s"`$database`.`$table`")
   }
 

@@ -68,6 +68,17 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("null ELEMENTS propagate to a null result, never 0.0") {
+    val df = spark.sql(
+      "SELECT cosine_sim(array(1.0d, CAST(NULL AS DOUBLE)), " +
+        "array(1.0d, 2.0d)) AS s")
+    assert(df.head().isNullAt(0))
+    // and the codegen'd batch path agrees
+    val many = spark.range(10).selectExpr(
+      "cosine_sim(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS s")
+    assert(many.filter("s IS NULL").count() == 10)
+  }
+
   test("type mismatch fails analysis cleanly") {
     val bad = Seq((Seq("x"), Seq(1.0))).toDF("a", "b")
     intercept[Exception] {

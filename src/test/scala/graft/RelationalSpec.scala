@@ -78,5 +78,23 @@ class RelationalSpec extends SparkSpec {
     intercept[InvalidArgumentValue] {
       Relational.saltedAggregate(df, Seq("k"), Seq("v" -> "avg"), 4)
     }
+    intercept[InvalidArgumentValue] { // empty spec
+      Relational.saltedAggregate(df, Seq("k"), Nil, 4)
+    }
+    intercept[InvalidArgumentValue] { // duplicate spec entries
+      Relational.saltedAggregate(df, Seq("k"),
+        Seq("v" -> "sum", "v" -> "sum"), 4)
+    }
+  }
+
+  test("saltedJoin rejects outer joins that would duplicate build rows") {
+    val probe = Seq((1L, 1.0)).toDF("k", "v")
+    val build = Seq((2L, "unmatched")).toDF("k", "name")
+    intercept[InvalidArgumentValue] {
+      Relational.saltedJoin(probe, build, Seq("k"), 8, "full")
+    }
+    intercept[InvalidArgumentValue] {
+      Relational.saltedJoin(probe, build, Seq("k"), 8, "right")
+    }
   }
 }
