@@ -176,6 +176,18 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** q47 — deterministic hash sampling (30% keep-rate), stratum sizes
+    * per language: the reproducible alternative to rand() sampling for
+    * corpus curation.
+    */
+  def q47HashSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(TextAnalysis.hashSample(col("doc_id"), keep = 3, outOf = 10))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+           sum("n_chars").as("chars_sampled"))
+      .orderBy("lang")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -189,7 +201,8 @@ object QueriesLlm {
     "q39_multimodal_meta"-> (q39MultimodalMeta _),
     "q41_chunking"       -> (q41Chunking _),
     "q42_stream_window"  -> (q42StreamWindow _),
-    "q46_text_scrub"     -> (q46TextScrub _))
+    "q46_text_scrub"     -> (q46TextScrub _),
+    "q47_hash_sample"    -> (q47HashSample _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -379,5 +392,12 @@ object QueriesLlm {
                 md5(regexp_replace(
                       regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
                       '\S+@\S+\.\S+', '<EMAIL>', 'g')) AS scrubbed_md5
-         FROM corpus ORDER BY doc_id""")
+         FROM corpus ORDER BY doc_id""",
+    "q47_hash_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+                CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+         FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 10 < 3
+         GROUP BY 1 ORDER BY 1""")
 }

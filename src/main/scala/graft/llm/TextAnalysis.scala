@@ -141,6 +141,21 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
 
+  /** Deterministic hash sampling: keep a row iff
+    * md5-hash(id) mod `outOf` < `keep`. Unlike rand()-based sampling
+    * this is reproducible across engines, runs, and retries — the
+    * property that matters when a 100 TB corpus is sampled once and
+    * the sample must be re-derivable forever. Stratify by applying it
+    * after a groupBy key (each stratum samples independently since
+    * the hash is per-row).
+    */
+  def hashSample(idCol: Column, keep: Int, outOf: Int): Column = {
+    require(keep >= 0 && outOf > 0 && keep <= outOf,
+      s"need 0 <= keep <= outOf, got $keep/$outOf")
+    pmod(conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(outOf.toLong)) < keep
+  }
+
   /** Fingerprint duplicate-group metrics (same shape as
     * Dedup.exactDupStats but on the normalized fingerprint).
     */

@@ -105,6 +105,23 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == orders.count())
   }
 
+  test("projected-partition read computes paths instead of listing") {
+    val root = tmpDir("src-projection")
+    Writer.toParquet(spark, orders, root,
+      WriteOptions(dataset = true, partitionCols = Seq("o_orderstatus"),
+        mode = "overwrite"))
+    // project F and O plus a value that doesn't exist on disk
+    val df = Reader.readProjectedPartitions(spark, root,
+      Seq("o_orderstatus" -> Seq("F", "O", "X")))
+    assert(df.columns.contains("o_orderstatus")) // basePath keeps it
+    assert(df.count() ==
+      orders.filter($"o_orderstatus".isin("F", "O")).count())
+    intercept[NoFilesFound] {
+      Reader.readProjectedPartitions(spark, root,
+        Seq("o_orderstatus" -> Seq("ZZZ")))
+    }
+  }
+
   test("dtype override casts columns through the Athena type bridge") {
     val root = tmpDir("src-dtype")
     orders.limit(20).write.mode("overwrite").parquet(root)
