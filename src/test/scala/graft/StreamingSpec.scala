@@ -47,6 +47,24 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.filter(col("n_events") < 1).count() == 0)
   }
 
+  test("stateful running totals accumulate across micro-batches") {
+    import org.apache.spark.sql.functions.{col, round => rnd, sum, count, lit}
+    val streamed = Streaming.statefulRunningTotals(
+      Streaming.readParquetStream(spark, streamDir, events,
+        maxFilesPerTrigger = 1),
+      "user_id", "value")
+    val q = streamed.toDF().writeStream.format("memory")
+      .queryName("stateful_totals").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // the LAST update per key must equal the batch aggregate
+    val finals = spark.table("stateful_totals")
+      .groupBy("key")
+      .agg(org.apache.spark.sql.functions.max("n").as("n"))
+    val expect = events.groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("n"))
+    assert(finals.join(expect, Seq("key", "n")).count() == expect.count())
+  }
+
   test("dedup within watermark drops injected duplicates") {
     val dup = events.limit(100)
     val withDups = events.unionByName(dup)
