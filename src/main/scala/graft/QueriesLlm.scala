@@ -188,17 +188,20 @@ object QueriesLlm {
            sum("n_chars").as("chars_sampled"))
       .orderBy("lang")
 
-  /** q48 — int8 quantization error: max per-vector reconstruction
-    * error aggregated by label (bounded by scale/2 per element, which
-    * the oracle recomputes exactly).
+  /** q48 — int8 quantization error THROUGH the module (quantize →
+    * dequantize → elementwise error), aggregated by label; the oracle
+    * recomputes the same round(x/scale)·scale arithmetic exactly.
     */
   def q48QuantizeError(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val vd = transform(col("embedding"), x => x.cast("double"))
-    val scale = array_max(transform(vd, x => abs(x))) / 127.0
-    val err = array_max(transform(vd,
-      x => abs(x - round(x / scale) * scale)))
-    emb.select(col("label"), err.as("err"))
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    emb.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .join(q, "vec_id")
+      .select(col("label"),
+        array_max(zip_with(col("v"),
+          Similarity.dequantize(col("qvec"), col("scale")),
+          (a, b) => abs(a - b))).as("err"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
            round(avg("err"), 6).as("avg_max_err"),

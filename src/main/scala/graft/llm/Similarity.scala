@@ -185,12 +185,21 @@ object Similarity {
     * Returns (idCol, scale, qvec).
     */
   def quantizeInt8(df: DataFrame, idCol: String,
-                   vecCol: String): DataFrame = {
-    val vd = transform(col(vecCol), x => x.cast("double"))
-    val scale = array_max(transform(vd, x => abs(x))) / 127.0
-    df.select(col(idCol), scale.as("scale"),
-      transform(vd, x => round(x / scale).cast("int")).as("qvec"))
-  }
+                   vecCol: String): DataFrame =
+    // scale materializes as a column FIRST: embedding it inside the
+    // quantize lambda would re-evaluate the array_max per element
+    // (O(d²) per row under interpreted HOFs). Zero vectors keep
+    // scale=0 and quantize to all-zero (dequantize reconstructs the
+    // zero vector exactly; no NaN/ANSI-cast hazards).
+    df.select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("__vd"))
+      .withColumn("scale",
+        array_max(transform(col("__vd"), x => abs(x))) / 127.0)
+      .select(col(idCol), col("scale"),
+        when(col("scale") === 0.0,
+          transform(col("__vd"), _ => lit(0)))
+          .otherwise(transform(col("__vd"),
+            x => round(x / col("scale")).cast("int"))).as("qvec"))
 
   /** Reconstruct approximate doubles from an int8-quantized vector. */
   def dequantize(qvec: Column, scale: Column): Column =

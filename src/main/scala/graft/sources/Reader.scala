@@ -189,8 +189,18 @@ object Reader {
     if (paths.isEmpty)
       throw NoFilesFound(
         s"no projected partitions exist under $root for $partitionValues")
-    var df = spark.read.option("basePath", base)
-      .options(opts.options).parquet(paths: _*)
+    // options that only make sense against a LISTED dataset are
+    // rejected rather than silently ignored
+    if (opts.pathSuffix.nonEmpty || opts.pathIgnoreSuffix.nonEmpty ||
+        opts.validateSchema || opts.lastModifiedBegin.isDefined ||
+        opts.lastModifiedEnd.isDefined)
+      throw InvalidArgumentCombination(
+        "readProjectedPartitions supports columns/dtype/partitionFilter/" +
+          "mergeSchema/options only")
+    var reader = spark.read.option("basePath", base)
+    if (opts.mergeSchema) reader = reader.option("mergeSchema", "true")
+    var df = reader.options(opts.options).parquet(paths: _*)
+    opts.partitionFilter.foreach(pf => df = df.filter(pf))
     if (opts.columns.nonEmpty) df = df.select(opts.columns.map(col): _*)
     applyDtype(df, opts.dtype)
   }

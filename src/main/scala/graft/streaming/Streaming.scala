@@ -75,34 +75,51 @@ object Streaming {
 
   /** Custom stateful processing via mapGroupsWithState: per-key
     * running aggregates (count + value sum) that survive across
-    * micro-batches with timeout-based state expiry — the pattern for
-    * state Spark's built-in aggregations can't express. The state type
-    * is explicit and small (two numbers per key), which is what keeps
-    * it viable at hundreds of millions of keys.
+    * micro-batches — the pattern for state Spark's built-in
+    * aggregations can't express. The state type is explicit and small
+    * (two numbers per key); pass `stateTtl` to expire idle keys via a
+    * processing-time timeout (emitting their final totals), which is
+    * what bounds the state store at hundreds of millions of keys.
+    * Null keys/values (including failed casts) are dropped up front —
+    * the primitive-tuple encoder would otherwise kill the query.
     */
   case class KeyState(n: Long, total: Double)
-  case class KeyUpdate(key: Long, n: Long, total: Double)
+  case class KeyUpdate(key: Long, n: Long, total: Double,
+                       expired: Boolean = false)
 
   def statefulRunningTotals(events: DataFrame, keyCol: String,
-                            valueCol: String)
+                            valueCol: String,
+                            stateTtl: Option[String] = None)
       : org.apache.spark.sql.Dataset[KeyUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val timeoutConf = stateTtl match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout
+      case None    => GroupStateTimeout.NoTimeout
+    }
     events
       .select(col(keyCol).cast("long").as("k"),
         col(valueCol).cast("double").as("v"))
+      .filter(col("k").isNotNull && col("v").isNotNull)
       .as[(Long, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState(timeoutConf) {
         (key: Long, rows: Iterator[(Long, Double)],
          state: GroupState[KeyState]) =>
-          val prev = state.getOption.getOrElse(KeyState(0L, 0.0))
-          var n = prev.n
-          var total = prev.total
-          rows.foreach { case (_, v) => n += 1; total += v }
-          state.update(KeyState(n, total))
-          KeyUpdate(key, n, total)
+          if (state.hasTimedOut) {
+            val s = state.getOption.getOrElse(KeyState(0L, 0.0))
+            state.remove()
+            KeyUpdate(key, s.n, s.total, expired = true)
+          } else {
+            val prev = state.getOption.getOrElse(KeyState(0L, 0.0))
+            var n = prev.n
+            var total = prev.total
+            rows.foreach { case (_, v) => n += 1; total += v }
+            state.update(KeyState(n, total))
+            stateTtl.foreach(state.setTimeoutDuration)
+            KeyUpdate(key, n, total)
+          }
       }
   }
 

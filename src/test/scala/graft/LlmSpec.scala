@@ -67,8 +67,11 @@ class LlmSpec extends SparkSpec {
   }
 
   test("int8 quantization round-trips within scale/2 per element") {
-    val q = Similarity.quantizeInt8(emb.limit(50), "vec_id", "embedding")
-    val joined = q.join(emb.limit(50), "vec_id")
+    // deterministic subset: limit() without ordering may pick
+    // different rows across the two evaluations
+    val sub = emb.filter($"vec_id" < 50)
+    val q = Similarity.quantizeInt8(sub, "vec_id", "embedding")
+    val joined = q.join(sub, "vec_id")
       .select($"vec_id", $"scale",
         Similarity.dequantize($"qvec", $"scale").as("dq"),
         transform($"embedding", x => x.cast("double")).as("v"))

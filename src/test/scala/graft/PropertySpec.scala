@@ -57,9 +57,12 @@ class PropertySpec extends SparkSpec {
   }
 
   test("sql canonicalization is idempotent and quote-preserving") {
+    // bounded construction, not suchThat: a filtered generator returns
+    // None for most seeds and forAllSeeded would silently skip them
     val sqlGen = for {
       kw <- Gen.oneOf("SELECT", "select", "SeLeCt")
-      lit <- Gen.alphaNumStr.suchThat(_.length < 20)
+      n <- Gen.chooseNum(0, 15)
+      lit <- Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)
       ws <- Gen.oneOf(" ", "  ", "\n", "\t ")
     } yield s"$kw *${ws}FROM t${ws}WHERE c = '$lit';"
     forAllSeeded(sqlGen) { sql =>

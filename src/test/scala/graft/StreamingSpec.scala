@@ -48,7 +48,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stateful running totals accumulate across micro-batches") {
-    import org.apache.spark.sql.functions.{col, round => rnd, sum, count, lit}
+    import org.apache.spark.sql.functions.{col, round, sum, count, lit, max, struct}
     val streamed = Streaming.statefulRunningTotals(
       Streaming.readParquetStream(spark, streamDir, events,
         maxFilesPerTrigger = 1),
@@ -56,13 +56,17 @@ class StreamingSpec extends SparkSpec {
     val q = streamed.toDF().writeStream.format("memory")
       .queryName("stateful_totals").outputMode("update").start()
     try q.processAllAvailable() finally q.stop()
-    // the LAST update per key must equal the batch aggregate
+    // the LAST update per key (highest n) must equal the batch
+    // aggregate in BOTH the count and the running value sum
     val finals = spark.table("stateful_totals")
       .groupBy("key")
-      .agg(org.apache.spark.sql.functions.max("n").as("n"))
+      .agg(max(struct(col("n"), col("total"))).as("s"))
+      .select(col("key"), col("s.n").as("n"),
+        round(col("s.total"), 2).as("total"))
     val expect = events.groupBy(col("user_id").as("key"))
-      .agg(count(lit(1)).as("n"))
-    assert(finals.join(expect, Seq("key", "n")).count() == expect.count())
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+    assert(finals.join(expect, Seq("key", "n", "total")).count() ==
+      expect.count())
   }
 
   test("dedup within watermark drops injected duplicates") {
