@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Plan-evidence dump: writes `explain(formatted)` output for the
+  * scale-critical queries to PLANS.md, so pushdown/broadcast/pruning
+  * claims are inspectable without re-running anything.
+  *
+  * Usage: runMain graft.Plans [sfDir] [outFile]
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("PLANS.md")
+    val spark = GraftSession.builder("graft-plans", "local[4]")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val showcase: Seq[(String, String)] = Seq(
+      "q02_filter_pushdown" ->
+        "predicate + column pruning must reach the parquet scan",
+      "q04_topk" -> "global sort+limit plans as TakeOrderedAndProject",
+      "q07_star_join" -> "all dimensions broadcast, one shuffle",
+      "q15_outer_join" -> "aggregate pushed below the join",
+      "q20_ntile" -> "distributed ntile - no single-partition window",
+      "q31_dedup_minhash" ->
+        "banded LSH join + band-count prefilter + codegen verify",
+      "q33_ann_topk" ->
+        "broadcast queries, codegen cosine, two-phase top-k")
+
+    val sb = new StringBuilder
+    sb ++= s"# PLANS — formatted physical plans at $sfDir\n\n"
+    sb ++= "Regenerate: `sbt \"runMain graft.Plans <sfDir> PLANS.md\"`\n"
+    showcase.foreach { case (name, why) =>
+      val fn = SparkEntry.queries(name)
+      sb ++= s"\n## $name\n\n$why\n\n```\n"
+      sb ++= fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb ++= "```\n"
+      spark.catalog.clearCache()
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}
