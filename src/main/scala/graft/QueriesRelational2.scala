@@ -190,12 +190,19 @@ object QueriesRelational2 {
       .orderBy("quartile")
 
   /** q43 — JSON column processing (the reference delegates
-    * json_extract to Athena; native get_json_object here): parse
-    * `events.props` and aggregate the extracted value.
+    * json_extract to Athena; native here): `from_json` with an
+    * explicit schema parses each row ONCE into a typed struct —
+    * `get_json_object` re-parses the document per call, which at N
+    * extracted fields costs N parses per row.
     */
   def q43JsonExtract(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      // k as STRING then cast — mirrors the oracle's
+      // json_extract_string→CAST and tolerates "12" vs 12 encodings
+      .withColumn("k",
+        from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k STRING"))
+          .getField("k").cast("long"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
            sum("k").as("sum_k"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.exceptions._
 import graft.sources.Reader
+import graft.sql.SqlText.lit
 import graft.types.AthenaTypes
 
 /** Catalog operators over the Spark session catalog / metastore
@@ -31,8 +32,7 @@ object Catalog {
   def createDatabase(spark: SparkSession, name: String,
                      description: String = ""): Unit = {
     val comment =
-      if (description.nonEmpty)
-        s" COMMENT '${description.replace("'", "''")}'"
+      if (description.nonEmpty) s" COMMENT ${lit(description)}"
       else ""
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${q(name)}$comment")
   }
@@ -130,7 +130,7 @@ object Catalog {
     def colsDdl(cols: Seq[(String, String)]): String =
       cols.map { case (n, t) =>
         val comment = columnsComments.get(n)
-          .map(c => s" COMMENT '${c.replace("'", "''")}'").getOrElse("")
+          .map(c => s" COMMENT ${lit(c)}").getOrElse("")
         s"${q(AthenaTypes.sanitizeName(n))} ${AthenaTypes.toSpark(t).sql}$comment"
       }.mkString(", ")
     val partClause =
@@ -140,22 +140,21 @@ object Catalog {
     val optClause =
       if (formatOptions.isEmpty) ""
       else s" OPTIONS (${formatOptions
-        .map { case (k, v) => s"'$k' '$v'" }.mkString(", ")})"
+        .map { case (k, v) => s"${lit(k)} ${lit(v)}" }.mkString(", ")})"
     val commentClause =
-      if (description.nonEmpty)
-        s" COMMENT '${description.replace("'", "''")}'"
+      if (description.nonEmpty) s" COMMENT ${lit(description)}"
       else ""
     val allProps = parameters ++ archived
     val propsClause =
       if (allProps.isEmpty) ""
       else s" TBLPROPERTIES (${allProps
-        .map { case (k, v) => s"'$k'='${v.replace("'", "''")}'" }
+        .map { case (k, v) => s"${lit(k)}=${lit(v)}" }
         .mkString(", ")})"
     spark.sql(
       s"CREATE TABLE ${qt(database, table)} " +
         s"(${colsDdl(columnsTypes ++ partitionsTypes)}) " +
         s"USING $format$optClause$partClause$commentClause" +
-        s" LOCATION '$path'$propsClause")
+        s" LOCATION ${lit(path)}$propsClause")
     if (partitionsTypes.nonEmpty) repairTable(spark, database, table)
   }
 
@@ -195,7 +194,7 @@ object Catalog {
                     partitions: Seq[Map[String, String]]): Unit =
     partitions.foreach { spec =>
       val kv = spec.map { case (k, v) =>
-        s"${q(k)}='${v.replace("'", "''")}'" }.mkString(", ")
+        s"${q(k)}=${lit(v)}" }.mkString(", ")
       spark.sql(
         s"ALTER TABLE ${qt(database, table)} ADD IF NOT EXISTS PARTITION ($kv)")
     }
@@ -217,7 +216,7 @@ object Catalog {
                        partitions: Seq[Map[String, String]]): Unit =
     partitions.foreach { spec =>
       val kv = spec.map { case (k, v) =>
-        s"${q(k)}='${v.replace("'", "''")}'" }.mkString(", ")
+        s"${q(k)}=${lit(v)}" }.mkString(", ")
       spark.sql(
         s"ALTER TABLE ${qt(database, table)} DROP IF EXISTS PARTITION ($kv)")
     }
@@ -335,7 +334,7 @@ object Catalog {
                             parameters: Map[String, String]): Map[String, String] = {
     if (parameters.nonEmpty) {
       val kv = parameters
-        .map { case (k, v) => s"'$k'='${v.replace("'", "''")}'" }
+        .map { case (k, v) => s"${lit(k)}=${lit(v)}" }
         .mkString(", ")
       spark.sql(s"ALTER TABLE ${qt(database, table)} SET TBLPROPERTIES ($kv)")
     }

@@ -25,9 +25,14 @@ object TextAnalysis {
     val nToks = size(toks).cast("long")
     val nTypes = size(array_distinct(toks)).cast("long")
     val ttr = nTypes.cast("double") / nToks.cast("double")
+    // sum of token lengths == count of non-whitespace chars (split
+    // drops exactly the \s+ runs), so avg token length needs no
+    // aggregate(transform(...)) — those HOFs are CodegenFallback
+    // (interpreted, 5-7x slower in bulk paths); this form is a pure
+    // codegen'd length difference
     val avgLen =
-      aggregate(transform(toks, t => length(t).cast("double")),
-        lit(0.0), (acc, x) => acc + x) / nToks.cast("double")
+      length(regexp_replace(lower(col(textCol)), "\\s+", ""))
+        .cast("double") / nToks.cast("double")
     val lenScore = least(nToks.cast("double") / lit(100.0), lit(1.0))
     df.select(
       col(idCol),
@@ -50,11 +55,17 @@ object TextAnalysis {
 
   /** Count of tokens belonging to a stopword set (duplicates count —
     * frequency matters for the score).
+    *
+    * A whitespace-delimited token equals a stopword iff the stopword
+    * appears with no adjacent non-whitespace char, so the count is one
+    * codegen'd `regexp_count` with zero-width lookarounds — no
+    * interpreted `filter(...)` HOF, no explode/shuffle; the whole
+    * language-ID pass stays a row-parallel projection.
     */
   def stopwordHits(text: Column, lang: String): Column = {
-    val set = stopwords(lang)
-    size(filter(tokens(text),
-      t => set.map(s => t === s).reduce(_ || _))).cast("long")
+    val pat = stopwords(lang).map(java.util.regex.Pattern.quote)
+      .mkString("(?<!\\S)(?:", "|", ")(?!\\S)")
+    regexp_count(lower(text), lit(pat)).cast("long")
   }
 
   /** Language ID by stopword-hit argmax; ties resolve in fixed order

@@ -15,8 +15,11 @@ import graft.exceptions._
   * upload / ranged-read machinery the reference hand-rolled in
   * s3/_fs.py (597 LoC — deleted from scope by design, SURVEY §2.7).
   *
-  * All of these are driver-side control-plane calls by nature (they
-  * were in the reference too); none touch data through Spark jobs.
+  * These are driver-side control-plane calls by nature (they were in
+  * the reference too) — except the byte-moving pair
+  * `copyObjects`/`mergeDatasets`, which additionally offer
+  * `distributed = true` to run the copy as a Spark job when the data
+  * plane is bigger than one machine's bandwidth.
   */
 object FsOps {
 
@@ -109,14 +112,22 @@ object FsOps {
     }
 
   /** Copy a list of objects under targetDir, keeping file names
-    * (reference: s3.copy_objects). Copies fan out on a driver thread
-    * pool (the reference used a ThreadPoolExecutor the same way) —
-    * serial byte-copy through one thread is a scale killer on object
-    * stores; containment is validated for ALL paths before any byte
-    * moves.
+    * (reference: s3.copy_objects). Containment is validated for ALL
+    * paths before any byte moves.
+    *
+    * Two execution modes:
+    *   - `distributed = false` (default, reference parity): copies fan
+    *     out on a driver thread pool, exactly the reference's
+    *     ThreadPoolExecutor shape — right for control-plane-sized
+    *     listings, but every byte funnels through one JVM's NIC;
+    *   - `distributed = true` (the 100 TB path): the (src, dst) pairs
+    *     become a Spark job and each EXECUTOR copies its slice, so
+    *     aggregate copy bandwidth scales with the cluster instead of
+    *     the driver. Only file paths ever sit on the driver.
     */
   def copyObjects(spark: SparkSession, paths: Seq[String],
-                  sourceDir: String, targetDir: String): Seq[String] = {
+                  sourceDir: String, targetDir: String,
+                  distributed: Boolean = false): Seq[String] = {
     val conf = hadoopConf(spark)
     val srcRoot = qualified(spark, sourceDir)
     val dstRoot = qualified(spark, targetDir)
@@ -129,13 +140,31 @@ object FsOps {
       val rel = s.stripPrefix(srcRoot).stripPrefix("/")
       s -> s"$dstRoot/$rel"
     }
-    parallelMap(planned) { case (src, dst) =>
-      val (sFs, sP) = fs(spark, src)
-      val (dFs, dP) = fs(spark, dst)
-      dFs.mkdirs(dP.getParent)
-      FileUtil.copy(sFs, sP, dFs, dP, false, true, conf)
-      dst
-    }
+    if (distributed && planned.nonEmpty) {
+      val serConf =
+        new org.apache.spark.util.SerializableConfiguration(conf)
+      val slices = math.min(planned.size,
+        spark.sparkContext.defaultParallelism * 4)
+      spark.sparkContext.parallelize(planned, slices)
+        .foreachPartition { it: Iterator[(String, String)] =>
+          val c = serConf.value
+          it.foreach { case (src, dst) =>
+            val sP = new Path(src)
+            val dP = new Path(dst)
+            val dFs = dP.getFileSystem(c)
+            dFs.mkdirs(dP.getParent)
+            FileUtil.copy(sP.getFileSystem(c), sP, dFs, dP, false, true, c)
+          }
+        }
+      planned.map(_._2)
+    } else
+      parallelMap(planned) { case (src, dst) =>
+        val (sFs, sP) = fs(spark, src)
+        val (dFs, dP) = fs(spark, dst)
+        dFs.mkdirs(dP.getParent)
+        FileUtil.copy(sFs, sP, dFs, dP, false, true, conf)
+        dst
+      }
   }
 
   /** Bounded-pool parallel map for driver-side fan-out (listing-scale
@@ -173,7 +202,8 @@ object FsOps {
     * exist in the source).
     */
   def mergeDatasets(spark: SparkSession, sourcePath: String,
-                    targetPath: String, mode: String = "append"): Seq[String] = {
+                    targetPath: String, mode: String = "append",
+                    distributed: Boolean = false): Seq[String] = {
     val src = qualified(spark, sourcePath)
     val dst = qualified(spark, targetPath)
     val objects = listObjects(spark, src)
@@ -196,7 +226,27 @@ object FsOps {
         throw InvalidArgumentValue(
           s"mode must be append|overwrite|overwrite_partitions, got $other")
     }
-    copyObjects(spark, objects.map(_.path), src, dst)
+    copyObjects(spark, objects.map(_.path), src, dst, distributed)
+  }
+
+  /** boto3 s3.get_bucket_location surface — the one §2.6 call with no
+    * Hadoop counterpart (bucket location is an S3 control-plane
+    * attribute, not a filesystem one), so it takes an injected client
+    * like Sts/Logs do.
+    */
+  trait BucketClient {
+    /** Raw LocationConstraint; null/empty for the legacy us-east-1. */
+    def bucketLocation(bucket: String): String
+  }
+
+  /** reference: s3.get_bucket_region (s3/_describe.py:163-196) — maps
+    * the API's null LocationConstraint to "us-east-1".
+    */
+  def getBucketRegion(client: BucketClient, bucket: String): String = {
+    if (bucket == null || bucket.isEmpty)
+      throw InvalidArgumentValue("bucket must be non-empty")
+    Option(client.bucketLocation(bucket)).filter(_.nonEmpty)
+      .getOrElse("us-east-1")
   }
 
   /** Poll-wait for object existence (reference: s3.wait_objects_exist;

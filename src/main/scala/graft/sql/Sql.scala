@@ -70,8 +70,17 @@ object Sql {
     val collapsed = sql.trim.stripSuffix(";").split("\\s+").mkString(" ")
     val out = new StringBuilder(collapsed.length)
     var quote: Char = 0 // 0 = outside any quoted region
+    var escaped = false // previous char was a backslash inside a quote
     collapsed.foreach { c =>
-      if (quote != 0) { out += c; if (c == quote) quote = 0 }
+      if (quote != 0) {
+        out += c
+        // a backslash-escaped quote ('a\'B') does NOT end the literal;
+        // without this the tail of the literal would be case-folded and
+        // two different queries would collide on one cache key
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == quote) quote = 0
+      }
       else if (c == '\'' || c == '"' || c == '`') { quote = c; out += c }
       else out += c.toLower
     }
@@ -105,8 +114,13 @@ object Sql {
       live
     }
 
+    // a hit must also be FRESH under the CALLER's window: the reference
+    // compares the cached execution's CompletionDateTime against the
+    // current call's max_cache_seconds (athena/_read.py cache check),
+    // so a 10s-freshness caller never gets an 800s-old result that was
+    // stored under a 900s TTL
     cache.get(canon) match {
-      case Some(e) if ttlSec > 0 =>
+      case Some(e) if ttlSec > 0 && now - e.atMs <= ttlSec * 1000 =>
         QueryResult(e.df,
           QueryMetadata(e.queryId, canon, e.atMs, now, cacheHit = true))
       case _ =>
@@ -155,7 +169,7 @@ object Sql {
            table: String, path: String): DataFrame = {
     spark.sql(
       s"CREATE TABLE `$database`.`$table` USING PARQUET " +
-        s"LOCATION '${path.replace("'", "''")}' AS $sql")
+        s"LOCATION ${SqlText.lit(path)} AS $sql")
     spark.table(s"`$database`.`$table`")
   }
 

@@ -125,13 +125,17 @@ object Streaming {
 
   /** Drain a (bounded) stream into an in-memory table and return the
     * result — the test/verify harness for stream-vs-batch equivalence.
+    * `outputMode` defaults to "complete" (full-aggregation streams);
+    * mapGroupsWithState streams (statefulRunningTotals) need "update"
+    * and dedupedWithinWatermark needs "append".
     */
   def runToMemory(spark: SparkSession, streamed: DataFrame,
-                  name: String): DataFrame = {
+                  name: String,
+                  outputMode: String = "complete"): DataFrame = {
     val q: StreamingQuery = streamed.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .start()
     try q.processAllAvailable()
     finally q.stop()

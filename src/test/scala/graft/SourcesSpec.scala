@@ -194,6 +194,30 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("distributed mergeDatasets mirrors byte-identically to the driver path") {
+    val src = tmpDir("src-dist-src")
+    val dstDriver = tmpDir("src-dist-drv")
+    val dstExec = tmpDir("src-dist-exec")
+    // multi-partition dataset: several k=v dirs, several files each
+    Writer.toParquet(spark, orders.repartition(3), src,
+      WriteOptions(dataset = true, partitionCols = Seq("o_orderstatus"),
+        mode = "overwrite"))
+    FsOps.mergeDatasets(spark, src, dstDriver, "append")
+    FsOps.mergeDatasets(spark, src, dstExec, "append", distributed = true)
+
+    def bytesByRel(root: String): Map[String, Seq[Byte]] =
+      FsOps.listObjects(spark, root).map { o =>
+        val rel = o.path.substring(o.path.indexOf(root) + root.length)
+        rel -> java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(o.path.stripPrefix("file:"))).toSeq
+      }.toMap
+    val drv = bytesByRel(dstDriver)
+    val exec = bytesByRel(dstExec)
+    assert(drv.nonEmpty && drv.keys.size > 2)
+    assert(exec.keySet == drv.keySet)
+    drv.foreach { case (rel, bytes) => assert(exec(rel) == bytes, rel) }
+  }
+
   test("waitObjects times out waiting for a missing object") {
     intercept[ServiceApiError] {
       FsOps.waitObjects(spark, Seq("/nonexistent/file"), exist = true,

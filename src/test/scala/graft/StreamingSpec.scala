@@ -53,9 +53,8 @@ class StreamingSpec extends SparkSpec {
       Streaming.readParquetStream(spark, streamDir, events,
         maxFilesPerTrigger = 1),
       "user_id", "value")
-    val q = streamed.toDF().writeStream.format("memory")
-      .queryName("stateful_totals").outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
+    Streaming.runToMemory(spark, streamed.toDF(), "stateful_totals",
+      outputMode = "update")
     // the LAST update per key (highest n) must equal the batch
     // aggregate in BOTH the count and the running value sum
     val finals = spark.table("stateful_totals")
