@@ -25,6 +25,8 @@ object Plans {
       "q20_ntile" -> "distributed ntile - no single-partition window",
       "q31_dedup_minhash" ->
         "banded LSH join + band-count prefilter + codegen verify",
+      "q43_json_extract" ->
+        "from_json single-parse (was get_json_object), one shuffle",
       "q33_ann_topk" ->
         "broadcast queries, codegen cosine, two-phase top-k")
 

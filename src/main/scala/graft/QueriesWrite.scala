@@ -161,6 +161,28 @@ object QueriesWrite {
       .orderBy("c_mktsegment")
   }
 
+  /** q49 — executor-side dataset mirror (reference: s3.merge_datasets):
+    * write a partitioned dataset, mirror it with
+    * `mergeDatasets(distributed = true)` — the 100 TB copy path, where
+    * each executor copies a slice of the file list instead of every
+    * byte funneling through the driver — and aggregate the MIRROR; the
+    * oracle over the original table proves the mirror lossless.
+    */
+  def q49MergeDatasets(spark: SparkSession, dir: String): DataFrame = {
+    val src = rt(dir, "q49_src")
+    val dst = rt(dir, "q49_dst")
+    Writer.toParquet(spark, t(spark, dir, "supplier"), src,
+      WriteOptions(dataset = true, partitionCols = Seq("s_nationkey"),
+        mode = "overwrite"))
+    graft.sources.FsOps.mergeDatasets(spark, src, dst, "overwrite",
+      distributed = true)
+    Reader.readParquet(spark, Seq(dst), ReadOptions(dataset = true))
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n"),
+           round(sum("s_acctbal"), 2).as("total_bal"))
+      .orderBy("nationkey")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_write_dataset_roundtrip"   -> (q21WriteDatasetRoundtrip _),
     "q22_write_overwrite_partitions"-> (q22WriteOverwritePartitions _),
@@ -168,7 +190,8 @@ object QueriesWrite {
     "q24_write_csv_roundtrip"       -> (q24WriteCsvRoundtrip _),
     "q25_write_json_roundtrip"      -> (q25WriteJsonRoundtrip _),
     "q26_catalog_table"             -> (q26CatalogTable _),
-    "q40_jdbc_roundtrip"            -> (q40JdbcRoundtrip _))
+    "q40_jdbc_roundtrip"            -> (q40JdbcRoundtrip _),
+    "q49_merge_datasets"            -> (q49MergeDatasets _))
 
   val oracles: Map[String, String] = Map(
     "q21_write_dataset_roundtrip" ->
@@ -206,5 +229,9 @@ object QueriesWrite {
     "q40_jdbc_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n,
                 round(sum(c_acctbal), 2) AS total_bal
-         FROM customer GROUP BY 1 ORDER BY 1""")
+         FROM customer GROUP BY 1 ORDER BY 1""",
+    "q49_merge_datasets" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS n,
+                round(sum(s_acctbal), 2) AS total_bal
+         FROM supplier GROUP BY 1 ORDER BY 1""")
 }

@@ -100,10 +100,13 @@ object Writer {
         s"filesPerPartition must be positive, got $n")
       if (opts.dataset && opts.partitionCols.nonEmpty) {
         // co-locate each partition's rows onto ≤ n tasks: hash on the
-        // partition values plus an n-way salt keyed off the whole row
-        import org.apache.spark.sql.functions.{col, pmod, spark_partition_id}
+        // partition values plus an n-way salt hashed from the whole
+        // row — a spark_partition_id() salt would cap the fan-out at
+        // the number of INPUT partitions, under-delivering when the
+        // upstream frame arrives in fewer than n partitions
+        import org.apache.spark.sql.functions.{col, hash, lit, pmod}
         val keys = opts.partitionCols.map(col) :+
-          pmod(spark_partition_id(), org.apache.spark.sql.functions.lit(n))
+          pmod(hash(df.columns.map(col): _*), lit(n))
         out = out.repartition(keys: _*)
       } else out = out.coalesce(n)
     }

@@ -137,6 +137,27 @@ class WriterSpec extends SparkSpec {
           suffix = Seq(".parquet"))
         .groupBy(_.path.split('/').takeRight(2).head)
       assert(perPartition.values.forall(_.size <= 2))
+
+      // the fan-out must also DELIVER parallelism from a single input
+      // partition (the salt hashes the row, not spark_partition_id,
+      // which would cap fan-out at input width = exactly 1 file per
+      // dir here). AQE's partition coalescing legitimately re-merges
+      // the tiny test shuffle (at real scale partitions exceed the
+      // advisory size and stay apart), so it's off for this check;
+      // (value, salt) hash collisions can still merge a pair, hence
+      // exists-not-forall.
+      val root1 = tmpDir("writer-conf-fpp-1part")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try {
+        Writer.toParquet(spark, orders.repartition(1), root1,
+          WriteOptions(dataset = true, partitionCols = Seq("o_orderstatus"),
+            mode = "overwrite"))
+      } finally spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true")
+      val fanned = FsOps.listObjects(spark, root1, suffix = Seq(".parquet"))
+        .groupBy(_.path.split('/').takeRight(2).head)
+      assert(fanned.values.forall(_.size <= 2))
+      assert(fanned.values.exists(_.size == 2))
     } finally spark.conf.unset(GraftSession.confKeys.concurrentWrites)
   }
 
