@@ -233,6 +233,50 @@ object QueriesRelational2 {
            round(avg("p_retailprice"), 4).as("avg_price"))
       .orderBy("brand_num")
 
+  /** q50 — backward as-of join (point-in-time): every non-purchase
+    * event picks up the same user's most recent purchase at-or-before
+    * its timestamp. `Relational.asOfJoin` is the union+window form —
+    * one shuffle on user_id, no per-row lookups, no pair explosion —
+    * an operator Spark lacks natively (DuckDB's ASOF JOIN is the
+    * oracle).
+    */
+  def q50AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    val others = ev.filter(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    graft.operators.Relational
+      .asOfJoin(others, purchases, Seq("user_id"), "ts", "p_ts")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           count(col("p_value")).as("n_matched"),
+           round(avg(col("value") - col("p_value")), 4).as("avg_delta"))
+      .orderBy("event_type")
+  }
+
+  /** q51 — interval/range join via bin bucketing: order totals matched
+    * to (overlapping) price bands. A raw BETWEEN join plans as a
+    * nested-loop cross product; `Relational.rangeJoin` bins the domain
+    * so Catalyst gets an equi-join.
+    */
+  def q51RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      (1L, 0.0, 1000.0),
+      (2L, 1000.0, 50000.0),
+      (3L, 30000.0, 150000.0), // overlaps band 2 on [30k, 50k)
+      (4L, 150000.0, 600000.0)).toDF("band_id", "lo", "hi")
+    graft.operators.Relational.rangeJoin(
+        t(spark, dir, "orders").select("o_orderkey", "o_totalprice"),
+        bands, "o_totalprice", "lo", "hi", binWidth = 10000.0)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n"),
+           round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("band_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_window_rank"    -> (q08WindowRank _),
     "q09_window_running" -> (q09WindowRunning _),
@@ -249,7 +293,9 @@ object QueriesRelational2 {
     "q20_ntile"          -> (q20Ntile _),
     "q43_json_extract"   -> (q43JsonExtract _),
     "q44_explode_tokens" -> (q44ExplodeTokens _),
-    "q45_regexp"         -> (q45Regexp _))
+    "q45_regexp"         -> (q45Regexp _),
+    "q50_asof_join"      -> (q50AsofJoin _),
+    "q51_range_join"     -> (q51RangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "q08_window_rank" ->
@@ -375,5 +421,23 @@ object QueriesRelational2 {
                 round(avg(p_retailprice), 4) AS avg_price
          FROM part
          WHERE regexp_matches(p_name, '^[a-z]')
+         GROUP BY 1 ORDER BY 1""",
+    "q50_asof_join" ->
+      """SELECT l.event_type, count(*) AS n,
+                count(r.p_value) AS n_matched,
+                round(avg(l.value - r.p_value), 4) AS avg_delta
+         FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+         ASOF LEFT JOIN (SELECT user_id, ts AS p_ts, value AS p_value
+                         FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts >= r.p_ts
+         GROUP BY 1 ORDER BY 1""",
+    "q51_range_join" ->
+      """SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders
+         JOIN (VALUES (1, 0.0, 1000.0), (2, 1000.0, 50000.0),
+                      (3, 30000.0, 150000.0), (4, 150000.0, 600000.0))
+              b(band_id, lo, hi)
+           ON o_totalprice >= lo AND o_totalprice < hi
          GROUP BY 1 ORDER BY 1""")
 }

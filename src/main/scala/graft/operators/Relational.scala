@@ -75,6 +75,107 @@ object Relational {
     indexed.withColumn(bucketCol, bucket.cast("long")).drop(idxCol)
   }
 
+  /** Backward as-of join: for each left row, attach the LATEST right
+    * row of the same key with `rightTime <= leftTime` (inclusive) —
+    * the standard point-in-time join Spark has no native operator for
+    * (quotes-to-trades, latest-feature-value-at-event-time).
+    *
+    * Implementation is the scalable union+window form, NOT a
+    * per-row lookup or a range cross-join:
+    *
+    *   union(left tagged 1, right tagged 0)
+    *     → window per key ordered by (time, tag)
+    *     → running `last(rightCol, ignoreNulls)` carries the most
+    *       recent right values forward onto each left row.
+    *
+    * One shuffle on the key, sort within partitions, no broadcast and
+    * no O(|L|·|R|) pair generation — at 100 TB this is a plain
+    * sort-merge-shaped plan. Each KEY's rows must fit one task
+    * partition (same contract as any keyed window, e.g. q09); keys at
+    * that cardinality are the salting/sessionization regime instead.
+    *
+    * Ordering ties: right rows sort BEFORE left rows at the same
+    * timestamp, so an exact-time match is visible to the left row
+    * (ASOF's inclusive convention). Multiple right rows at the same
+    * (key, time) resolve arbitrarily — pre-deduplicate the right side
+    * if that matters.
+    *
+    * @param joinType "left" (unmatched left rows keep nulls) or
+    *   "inner" (unmatched left rows drop)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               joinType: String = "left"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (keys.isEmpty) throw InvalidArgumentValue("keys must be non-empty")
+    if (!Set("left", "inner")(joinType))
+      throw InvalidArgumentValue(
+        s"joinType must be left|inner, got $joinType")
+    val leftVals = left.columns.filterNot(keys.contains).toSeq
+    val rightVals = right.columns.filterNot(keys.contains).toSeq
+    val clash = rightVals.intersect(left.columns.toSeq)
+    if (clash.nonEmpty)
+      throw InvalidArgumentValue(
+        s"right columns collide with left: ${clash.mkString(", ")} — " +
+          "rename before joining")
+    val tag = "__graft_asof_side"
+    val t = "__graft_asof_t"
+    def aligned(df: DataFrame, own: Seq[String], other: DataFrame,
+                otherVals: Seq[String], timeCol: String,
+                side: Int): DataFrame =
+      df.select(
+        keys.map(col) ++
+          Seq(col(timeCol).as(t), lit(side).as(tag)) ++
+          own.map(col) ++
+          otherVals.map(c =>
+            lit(null).cast(other.schema(c).dataType).as(c)): _*)
+    val unioned =
+      aligned(left, leftVals, right, rightVals, leftTime, 1)
+        .unionByName(aligned(right, rightVals, left, leftVals, rightTime, 0))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(t).asc, col(tag).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val matched = carried.filter(col(tag) === 1).drop(tag, t)
+    if (joinType == "inner")
+      matched.filter(col(rightTime).isNotNull)
+    else matched
+  }
+
+  /** Interval/range join: pair each left "point" row with every right
+    * row whose [lo, hi) interval contains it (optionally also matching
+    * equi-`keys`). Spark plans a raw `BETWEEN` join as
+    * BroadcastNestedLoopJoin — O(|L|·|R|) compares; this operator bins
+    * the domain so it becomes an EQUI join Catalyst can hash/sort-merge:
+    *
+    *   right rows explode to one row per `binWidth` bin their interval
+    *   overlaps; left rows compute their single containing bin; join
+    *   on (keys, bin) then re-check the exact bounds.
+    *
+    * Cost scales with |R| · avg(interval/binWidth) replicas — pick
+    * binWidth near the median interval length so replication stays
+    * O(1) per interval. Intervals may overlap; every containing
+    * interval matches (a point falls in exactly one bin, so no dedup
+    * step is needed).
+    */
+  def rangeJoin(points: DataFrame, ranges: DataFrame, pointCol: String,
+                loCol: String, hiCol: String, binWidth: Double,
+                keys: Seq[String] = Nil): DataFrame = {
+    if (binWidth <= 0)
+      throw InvalidArgumentValue(s"binWidth must be positive: $binWidth")
+    val bin = "__graft_bin"
+    val p = points.withColumn(bin,
+      floor(col(pointCol) / binWidth).cast("long"))
+    val r = ranges.withColumn(bin,
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    p.join(r, keys :+ bin)
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop(bin)
+  }
+
   private val SaltCol = "__graft_salt"
 
   /** Skew-resistant equi-join: the probe (large, skewed) side gets a

@@ -40,6 +40,66 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq((1L, 4L), (2L, 3L), (3L, 3L)))
   }
 
+  test("asOfJoin matches a naive latest-at-or-before lookup") {
+    val events = Tables.read(spark, sf, "events")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"value".as("p_value"))
+    val others = events.filter($"event_type" =!= "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val got = Relational.asOfJoin(others, purchases, Seq("user_id"),
+      "ts", "p_ts")
+
+    // naive oracle: non-equi join to ALL earlier purchases, keep the
+    // max p_ts per event (exactly what as-of means, at O(L*R) cost)
+    val best = others.as("l")
+      .join(purchases.as("r"),
+        $"l.user_id" === $"r.user_id" && $"l.ts" >= $"r.p_ts", "left")
+      .groupBy($"l.event_id".as("event_id"))
+      .agg(max(struct($"r.p_ts", $"r.p_value")).as("m"))
+      .select($"event_id", $"m.p_ts".as("e_ts"), $"m.p_value".as("e_value"))
+    val joined = got.join(best, "event_id")
+    assert(joined.count() == others.count())
+    assert(joined.filter(
+      !($"p_ts" <=> $"e_ts") || !($"p_value" <=> $"e_value")).count() == 0)
+    // inner drops exactly the unmatched rows
+    val inner = Relational.asOfJoin(others, purchases, Seq("user_id"),
+      "ts", "p_ts", joinType = "inner")
+    assert(inner.count() == got.filter($"p_ts".isNotNull).count())
+    // exact-time matches are INCLUSIVE: a row at a purchase's own ts
+    // must see that purchase
+    val self = purchases.select($"user_id", $"p_ts".as("ts"),
+      $"p_value".as("probe_v"))
+    val exact = Relational.asOfJoin(self, purchases, Seq("user_id"),
+      "ts", "p_ts")
+    assert(exact.filter($"p_ts".isNull).count() == 0)
+    assert(exact.filter($"p_ts" > $"ts").count() == 0)
+    intercept[InvalidArgumentValue] {
+      Relational.asOfJoin(others, purchases.withColumnRenamed("p_ts", "ts"),
+        Seq("user_id"), "ts", "ts")
+    }
+  }
+
+  test("rangeJoin equals the naive BETWEEN join, overlaps included") {
+    val pts = orders.select("o_orderkey", "o_totalprice")
+    val bands = Seq((1L, 0.0, 60000.0), (2L, 40000.0, 200000.0),
+      (3L, 150000.0, 600000.0)).toDF("band_id", "lo", "hi")
+    val got = Relational.rangeJoin(pts, bands, "o_totalprice",
+        "lo", "hi", binWidth = 25000.0)
+      .select("o_orderkey", "band_id")
+    val naive = pts.join(bands,
+        $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+      .select("o_orderkey", "band_id")
+    assert(got.count() == naive.count())
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+    // points in the two overlap windows [40k,60k) and [150k,200k)
+    // must match BOTH of their bands
+    assert(got.groupBy("o_orderkey").count().filter($"count" === 2)
+      .count() == pts.filter(
+        ($"o_totalprice" >= 40000.0 && $"o_totalprice" < 60000.0) ||
+        ($"o_totalprice" >= 150000.0 && $"o_totalprice" < 200000.0))
+      .count())
+  }
+
   test("saltedJoin equals the plain join on skewed keys") {
     // skew: 90% of rows share one key
     val probe = (1 to 1000)
