@@ -67,9 +67,12 @@ object Bench {
       val s = xs.sorted
       s(s.size / 2)
     }
+    // ANY failed rep marks the query failed (-1, listed in errors) —
+    // reporting a median of the surviving reps would let an
+    // intermittently-broken query masquerade as a clean timing
     val results = names.map { name =>
       val ts = timings(name)
-      name -> (if (ts.isEmpty) -1.0 else median(ts))
+      name -> (if (failed(name) || ts.isEmpty) -1.0 else median(ts))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

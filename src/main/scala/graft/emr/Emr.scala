@@ -61,6 +61,13 @@ object Emr {
     if (deployMode != "cluster" && deployMode != "client")
       throw InvalidArgumentValue(
         s"deployMode must be cluster|client, got $deployMode")
+    // the docker YARN-runtime confs only apply cluster-side (the
+    // reference hardcodes --deploy-mode cluster in its docker branch,
+    // emr.py:1014); rejecting beats silently overriding the caller
+    if (deployMode == "client" && dockerImage.isDefined)
+      throw InvalidArgumentValue(
+        "dockerImage requires deployMode=cluster (YARN docker runtime " +
+          "confs do not apply to a client-mode driver)")
     val cmd = dockerImage match {
       case None => s"spark-submit --deploy-mode $deployMode $path"
       case Some(img) =>

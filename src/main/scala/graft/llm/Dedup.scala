@@ -87,15 +87,16 @@ object Dedup {
     * Candidate funnel, widest to narrowest: band-bucket self-join →
     * `minBandMatches` band-agreement count → signature-similarity
     * estimate (fraction of matching minhash components ≥ threshold −
-    * 4σ) → exact join-based Jaccard. Each stage is orders of magnitude
+    * 6σ) → exact join-based Jaccard. Each stage is orders of magnitude
     * cheaper per pair than the next, so the expensive set intersection
     * only ever sees a thin, near-certain tail.
     *
     * Every bulk step is whole-stage-codegen'd: shingles come from
     * explode+substring (not interpreted array HOFs), signatures from
     * `numHashes` MIN aggregates, candidate counting from a band-bucket
-    * self-join + count aggregate, and the estimate from broadcast
-    * joins against the persisted signature table.
+    * self-join + count aggregate, and the estimate from equi-joins
+    * against the persisted signature table (AQE broadcasts them when
+    * small).
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 4, numHashes: Int = 128,
@@ -161,14 +162,17 @@ object Dedup {
     // signature-similarity prefilter: the fraction of matching minhash
     // components is an unbiased Jaccard estimate with
     // σ = sqrt(J(1−J)/numHashes) (≈0.035 at J=0.8, 128 hashes), so
-    // candidates estimated below threshold − 4σ are dropped before the
+    // candidates estimated below threshold − 6σ are dropped before the
     // expensive set-intersection — a true pair at the threshold fails
-    // this at ~1e-9, the same risk class as the banding itself. On a
-    // high-background corpus this is the difference between exact-
-    // verifying tens of thousands of moderate pairs and a few hundred
-    // (measured 75k → ~300 at sf0.1): the estimate is 128 codegen'd
-    // comparisons per pair against two broadcast 5k-row sides.
-    val slack = 4.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    // a 6σ one-sided cut at ~1e-9 (4σ would be ~3e-5, ABOVE the
+    // module's <1e-7 budget). On a high-background corpus this is the
+    // difference between exact-verifying tens of thousands of moderate
+    // pairs and a few hundred (measured 75k → O(100) at sf0.1): the
+    // estimate is numHashes codegen'd comparisons per pair. No
+    // broadcast hint on the signature sides — at 5B docs the
+    // signature table is ~TB-scale and must hash-join; AQE broadcasts
+    // it by itself when it is actually small.
+    val slack = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
     val aSide = sig.select(
       col("id").as("id_a") +:
         (0 until numHashes).map(i => col(s"m$i").as(s"a$i")): _*)
@@ -179,8 +183,8 @@ object Dedup {
       .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _)
     val strong = candidates
-      .join(broadcast(aSide), "id_a")
-      .join(broadcast(bSide), "id_b")
+      .join(aSide, "id_a")
+      .join(bSide, "id_b")
       .filter(estMatches.cast("double") / numHashes >= threshold - slack)
       .select("id_a", "id_b")
 

@@ -120,28 +120,40 @@ object Relational {
           "rename before joining")
     val tag = "__graft_asof_side"
     val t = "__graft_asof_t"
-    def aligned(df: DataFrame, own: Seq[String], other: DataFrame,
-                otherVals: Seq[String], timeCol: String,
-                side: Int): DataFrame =
-      df.select(
-        keys.map(col) ++
-          Seq(col(timeCol).as(t), lit(side).as(tag)) ++
-          own.map(col) ++
-          otherVals.map(c =>
-            lit(null).cast(other.schema(c).dataType).as(c)): _*)
-    val unioned =
-      aligned(left, leftVals, right, rightVals, leftTime, 1)
-        .unionByName(aligned(right, rightVals, left, leftVals, rightTime, 0))
+    val rStruct = "__graft_asof_r"
+    // the right row travels as ONE struct, not per-column: running
+    // `last(ignoreNulls)` per column would backfill a null FIELD of
+    // the matched right row from an older right row, fabricating a
+    // mixed row that never existed. The struct itself is non-null
+    // exactly when a right row exists, so one last() carries the
+    // whole matched row (nulls in its fields included).
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c).copy(name = c)))
+    val lAligned = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as(t), lit(1).as(tag)) ++
+        leftVals.map(col) :+
+        lit(null).cast(rStructType).as(rStruct): _*)
+    val rAligned = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as(t), lit(0).as(tag)) ++
+        leftVals.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightVals.map(col): _*).as(rStruct): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(t).asc, col(tag).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    val matched = carried.filter(col(tag) === 1).drop(tag, t)
-    if (joinType == "inner")
-      matched.filter(col(rightTime).isNotNull)
-    else matched
+    val carried = lAligned.unionByName(rAligned)
+      .withColumn(rStruct, last(col(rStruct), ignoreNulls = true).over(w))
+      .filter(col(tag) === 1)
+    // inner = matched-only; the STRUCT's nullness is the match flag
+    // (a matched right row may legitimately carry null fields)
+    val kept =
+      if (joinType == "inner") carried.filter(col(rStruct).isNotNull)
+      else carried
+    kept.select(
+      keys.map(col) ++ leftVals.map(col) ++
+        rightVals.map(c => col(s"$rStruct.$c").as(c)): _*)
   }
 
   /** Interval/range join: pair each left "point" row with every right

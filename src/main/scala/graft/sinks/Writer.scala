@@ -100,14 +100,29 @@ object Writer {
         s"filesPerPartition must be positive, got $n")
       if (opts.dataset && opts.partitionCols.nonEmpty) {
         // co-locate each partition's rows onto ≤ n tasks: hash on the
-        // partition values plus an n-way salt hashed from the whole
-        // row — a spark_partition_id() salt would cap the fan-out at
-        // the number of INPUT partitions, under-delivering when the
-        // upstream frame arrives in fewer than n partitions
-        import org.apache.spark.sql.functions.{col, hash, lit, pmod}
-        val keys = opts.partitionCols.map(col) :+
-          pmod(hash(df.columns.map(col): _*), lit(n))
-        out = out.repartition(keys: _*)
+        // partition values plus an n-way salt hashed from the row —
+        // a spark_partition_id() salt would cap the fan-out at the
+        // number of INPUT partitions, under-delivering when the
+        // upstream frame arrives in fewer than n partitions.
+        // hash() rejects MapType at plan time, so map-bearing columns
+        // stay out of the salt; if NOTHING is hashable fall back to
+        // the partition-id salt (safe, input-width-capped).
+        import org.apache.spark.sql.functions.{col, hash, lit, pmod, spark_partition_id}
+        def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+          dt match {
+            case _: org.apache.spark.sql.types.MapType => true
+            case s: org.apache.spark.sql.types.StructType =>
+              s.fields.exists(f => hasMap(f.dataType))
+            case a: org.apache.spark.sql.types.ArrayType =>
+              hasMap(a.elementType)
+            case _ => false
+          }
+        val hashable = df.schema.fields
+          .filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+        val salt =
+          if (hashable.nonEmpty) pmod(hash(hashable: _*), lit(n))
+          else pmod(spark_partition_id(), lit(n))
+        out = out.repartition(opts.partitionCols.map(col) :+ salt: _*)
       } else out = out.coalesce(n)
     }
 

@@ -66,7 +66,13 @@ object Sql {
     * or a quoted identifier would make semantically different queries
     * collide on one cache key and return wrong cached results.
     */
-  def canonicalize(sql: String): String = {
+  /** @param escapedStringLiterals the session's
+    *   `spark.sql.parser.escapedStringLiterals`: under the legacy
+    *   parser a backslash is a plain character, so treating it as an
+    *   escape would mis-track literal boundaries (and vice versa)
+    */
+  def canonicalize(sql: String,
+                   escapedStringLiterals: Boolean = false): String = {
     val collapsed = sql.trim.stripSuffix(";").split("\\s+").mkString(" ")
     val out = new StringBuilder(collapsed.length)
     var quote: Char = 0 // 0 = outside any quoted region
@@ -74,11 +80,15 @@ object Sql {
     collapsed.foreach { c =>
       if (quote != 0) {
         out += c
-        // a backslash-escaped quote ('a\'B') does NOT end the literal;
-        // without this the tail of the literal would be case-folded and
-        // two different queries would collide on one cache key
+        // a backslash-escaped quote ('a\'B') does NOT end the literal
+        // under Spark's default lexer; without this the literal's tail
+        // would be case-folded and two different queries would collide
+        // on one cache key. Backtick identifiers escape by doubling,
+        // never backslash, and the legacy escapedStringLiterals parser
+        // has no backslash escapes at all.
         if (escaped) escaped = false
-        else if (c == '\\') escaped = true
+        else if (c == '\\' && quote != '`' && !escapedStringLiterals)
+          escaped = true
         else if (c == quote) quote = 0
       }
       else if (c == '\'' || c == '"' || c == '`') { quote = c; out += c }
@@ -101,7 +111,9 @@ object Sql {
     if (sql.trim.isEmpty) throw InvalidArgumentValue("empty SQL")
     val ttlSec = maxCacheSeconds.getOrElse(
       spark.conf.get(GraftSession.confKeys.cacheSeconds, "0").toLong)
-    val canon = canonicalize(sql)
+    val canon = canonicalize(sql,
+      spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        .toBoolean)
     val cache = cacheOf(spark)
     val now = clock()
 
@@ -129,7 +141,11 @@ object Sql {
         var df = spark.sql(sql)
         if (ttlSec > 0) {
           df = df.persist(StorageLevel.MEMORY_AND_DISK)
+          // a still-live entry can be replaced here (stored-TTL live
+          // but stale under THIS caller's window) — release its
+          // persisted blocks or they stay pinned until session stop
           cache.put(canon, Entry(started, ttlSec, df, queryId))
+            .foreach(prev => prev.df.unpersist(blocking = false))
         }
         QueryResult(df,
           QueryMetadata(queryId, canon, started, clock(), cacheHit = false))

@@ -79,6 +79,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin carries the matched right row whole, nulls included") {
+    // the matched right row at t=20 has a NULL value; a per-column
+    // ignoreNulls carry would backfill 5.0 from the older t=10 row,
+    // fabricating a (t=20, 5.0) row that never existed
+    val left = Seq((1L, 10L, 30L)).toDF("eid", "k", "t")
+    val right = Seq((10L, 10L, Some(5.0)), (10L, 20L, None))
+      .toDF("k", "r_t", "r_v")
+    val out = Relational.asOfJoin(left, right, Seq("k"), "t", "r_t")
+      .select("r_t", "r_v").as[(Option[Long], Option[Double])].head()
+    assert(out == (Some(20L), None))
+    // and inner keeps the row: the match exists even with null fields
+    assert(Relational.asOfJoin(left, right, Seq("k"), "t", "r_t",
+      joinType = "inner").count() == 1)
+  }
+
   test("rangeJoin equals the naive BETWEEN join, overlaps included") {
     val pts = orders.select("o_orderkey", "o_totalprice")
     val bands = Seq((1L, 0.0, 60000.0), (2L, 40000.0, 200000.0),
