@@ -57,6 +57,26 @@ class PlanSpec extends SparkSpec {
       s"expected window partitioned by c_mktsegment:\n$p")
   }
 
+  test("q50 as-of join plans as a keyed window, no join explosion") {
+    val p = planOf(QueriesRelational2.q50AsofJoin(spark, sf))
+    // the union+window form must never plan a nested-loop or
+    // cartesian pair generator, and its window must be keyed
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"pair explosion in:\n$p")
+    assert(p.contains("Window"), s"expected the carry window in:\n$p")
+    assert(p.contains("user_id"), s"window must be keyed by user_id:\n$p")
+  }
+
+  test("q51 range join plans as an equi-join, not a nested loop") {
+    val p = planOf(QueriesRelational2.q51RangeJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"BETWEEN join fell back to a nested loop:\n$p")
+    // the bin column must be a join key (hash or sort-merge or
+    // broadcast-hash all print the equi keys)
+    assert(p.contains("__graft_bin"), s"bin key missing from plan:\n$p")
+  }
+
   test("partitioned dataset read back prunes by partition filter") {
     import graft.sinks.Writer
     import org.apache.spark.sql.functions.col
