@@ -54,6 +54,24 @@ object QueriesLlm {
         maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** q52 — near-dup CLUSTERS: simhash pairs → connected components →
+    * (cluster root, size, surviving docs). Pairs alone over-count on
+    * chains; this is the step a dedup pipeline actually ships. The
+    * oracle recomputes the components with a recursive-CTE transitive
+    * closure over the same brute-force pair set.
+    */
+  def q52DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text",
+      maxHamming = 3)
+    val clusters = Dedup.dupClusters(pairs)
+    val sizes = clusters.groupBy("root")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("root")
+    val survivors = Dedup.dedupNearDups(docs, "doc_id", pairs).count()
+    sizes.withColumn("n_survivors_total", lit(survivors))
+  }
+
   /** q33 — exact cosine top-10: first five vectors query the rest. */
   def q33AnnTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -224,7 +242,8 @@ object QueriesLlm {
     "q42_stream_window"  -> (q42StreamWindow _),
     "q46_text_scrub"     -> (q46TextScrub _),
     "q47_hash_sample"    -> (q47HashSample _),
-    "q48_quantize_error" -> (q48QuantizeError _))
+    "q48_quantize_error" -> (q48QuantizeError _),
+    "q52_dedup_clusters" -> (q52DedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -256,6 +275,37 @@ object QueriesLlm {
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.8
          ORDER BY id_a, id_b""",
+    "q52_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents),
+         h AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th
+               FROM toks),
+         bits AS (SELECT doc_id, b,
+                 CASE WHEN 2 * count(*) FILTER (((th >> b) & 1) = 1)
+                           >= count(*)
+                      THEN (1::BIGINT << b) ELSE 0 END AS bv
+                 FROM h CROSS JOIN
+                      (SELECT unnest(generate_series(0, 59)) AS b)
+                 GROUP BY doc_id, b),
+         sig AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS s
+                 FROM bits GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.s, b.s)) <= 3),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach AS (SELECT a, b FROM edges
+                   UNION
+                   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         roots AS (SELECT a AS id, least(a, min(b)) AS root
+                   FROM reach GROUP BY a)
+         SELECT root, count(*) AS n_docs,
+                (SELECT count(*) FROM documents)
+                  - (SELECT count(*) FROM roots WHERE root <> id)
+                  AS n_survivors_total
+         FROM roots GROUP BY root ORDER BY root""",
     "q32_dedup_simhash" ->
       """WITH toks AS (SELECT doc_id,
                 unnest(string_split_regex(lower(text), '\s+')) AS tok

@@ -210,6 +210,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair list: the step
+    * that turns pairwise findings into the actual dedup deliverable
+    * (one surviving document per duplicate CLUSTER — pairs alone
+    * over-delete on chains a~b~c).
+    *
+    * Iterative min-label propagation: every node starts as its own
+    * root; each round every node takes the min root among itself and
+    * its neighbors; fixpoint = components labeled by their min id.
+    * Each round is one shuffle join + aggregate, all codegen'd; rounds
+    * needed = graph diameter, and near-dup graphs are short chains in
+    * practice (planted-pair corpora: 1-2 rounds). For adversarial
+    * long-path graphs at extreme scale, the large-star/small-star
+    * variant halves diameter per round — not needed here.
+    *
+    * @return (id, root) for every id appearing in `pairs`
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a",
+                  idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    if (maxIter <= 0)
+      throw InvalidArgumentValue(s"maxIter must be positive: $maxIter")
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("root", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val next = edges
+        .join(labels.select(col("id").as("dst"), col("root").as("nroot")),
+          "dst")
+        .groupBy(col("src").as("id")).agg(min("nroot").as("mroot"))
+        .join(labels, "id")
+        .select(col("id"), least(col("root"), col("mroot")).as("root"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("root", "prev"), "id")
+        .filter(col("root") < col("prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Keep one document per near-duplicate cluster (the min id), plus
+    * every document that is in no cluster — the end-to-end near-dedup
+    * a training pipeline actually applies.
+    */
+  def dedupNearDups(df: DataFrame, idCol: String,
+                    pairs: DataFrame): DataFrame = {
+    val losers = dupClusters(pairs)
+      .filter(col("root") =!= col("id")).select("id")
+    df.join(losers.withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+  }
+
   private val SimhashBits = 60 // md5-prefix hashes stay under 2^60
 
   /** 60-bit token-level SimHash signature column (row-local variant,

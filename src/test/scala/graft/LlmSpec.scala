@@ -31,6 +31,20 @@ class LlmSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("dupClusters labels chains with their min id; dedup keeps one per cluster") {
+    // chain 1~2~3 plus isolated pair 7~8: components {1,2,3} and {7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val labels = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    val corpus = Seq(1L, 2L, 3L, 5L, 7L, 8L).toDF("doc_id")
+      .withColumn("text", concat(lit("doc"), $"doc_id"))
+    val kept = Dedup.dedupNearDups(corpus, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // winners 1 and 7, untouched 5, losers 2/3/8 dropped
+    assert(kept == Set(1L, 5L, 7L))
+  }
+
   test("shingles are distinct lowercase k-grams") {
     val row = Seq(("AbAb")).toDF("t")
       .select(Dedup.shingles($"t", 2).as("s")).head()
