@@ -27,6 +27,8 @@ object Plans {
         "banded LSH join + band-count prefilter + codegen verify",
       "q43_json_extract" ->
         "from_json single-parse (was get_json_object), one shuffle",
+      "q50_asof_join" ->
+        "as-of via union+keyed window - no nested-loop pair generation",
       "q33_ann_topk" ->
         "broadcast queries, codegen cosine, two-phase top-k")
 
