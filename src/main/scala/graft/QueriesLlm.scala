@@ -72,6 +72,25 @@ object QueriesLlm {
     sizes.withColumn("n_survivors_total", lit(survivors))
   }
 
+  /** q53 — incremental dedup against a signature index: docs < 400 are
+    * the signed corpus (index built once to scratch), docs >= 400 the
+    * incoming batch; probe finds the cross-batch near-dup pairs
+    * without re-shingling the corpus (except candidate docs in the
+    * exact verify). Oracle = brute-force exact Jaccard restricted to
+    * pairs straddling the split.
+    */
+  def q53DedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val idx = s"/root/repo/target/graft-rt/${new java.io.File(dir).getName}/q53_idx"
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+    Dedup.probeMinhashIndex(idx, corpus, batch, "doc_id", "text",
+        threshold = 0.8, minBandMatches = 3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** q33 — exact cosine top-10: first five vectors query the rest. */
   def q33AnnTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -243,7 +262,8 @@ object QueriesLlm {
     "q46_text_scrub"     -> (q46TextScrub _),
     "q47_hash_sample"    -> (q47HashSample _),
     "q48_quantize_error" -> (q48QuantizeError _),
-    "q52_dedup_clusters" -> (q52DedupClusters _))
+    "q52_dedup_clusters" -> (q52DedupClusters _),
+    "q53_dedup_incremental" -> (q53DedupIncremental _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -267,6 +287,24 @@ object QueriesLlm {
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(ix * 1.0 / (sa.n + sb.n - ix), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.8
+         ORDER BY id_a, id_b""",
+    "q53_dedup_incremental" ->
+      """WITH pos AS (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(length(text) - 3, 1))) AS i
+              FROM documents),
+         sh AS (SELECT DISTINCT doc_id, substr(lower(text), i::INT, 4) AS s
+                FROM pos),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+                   FROM sh a JOIN sh b ON a.s = b.s
+                   WHERE a.doc_id < 400 AND b.doc_id >= 400
                    GROUP BY 1, 2)
          SELECT id_a, id_b,
                 round(ix * 1.0 / (sa.n + sb.n - ix), 6) AS jaccard

@@ -98,6 +98,51 @@ object Dedup {
     * against the persisted signature table (AQE broadcasts them when
     * small).
     */
+  /** Distinct (id, 64-bit shingle hash) rows via explode + dynamic
+    * substring — stays inside whole-stage codegen, unlike
+    * transform()-built arrays. Shingles are hashed BEFORE the distinct
+    * so every downstream shuffle/join carries fixed-width longs, not
+    * strings (collisions would need ~2^32 distinct shingles to matter;
+    * the correctness gate would catch any).
+    */
+  private def shingleHashRows(df: DataFrame, idCol: String,
+                              textCol: String, shingleK: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        lower(col(textCol)).as("txt"))
+      .select(col("id"), col("txt"),
+        explode(sequence(lit(1),
+          greatest(length(col("txt")) - (shingleK - 1), lit(1)))).as("i"))
+      .select(col("id"),
+        xxhash64(expr(s"substring(txt, i, $shingleK)")).as("s"))
+      .distinct()
+
+  /** Signatures via numHashes codegen'd MIN aggregates over the hashed
+    * shingles — partial (map-side) aggregation shrinks the shuffle to
+    * |docs|·numHashes longs. Output schema (id, m0..m{n-1}).
+    */
+  private def signaturesOf(shingleRows: DataFrame, numHashes: Int,
+                           seed: Long): DataFrame = {
+    val params = hashParams(numHashes, seed)
+    val hashed = shingleRows.withColumn("h", pmod(col("s"), lit(P)))
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
+    }
+    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** (id, band, bh) LSH band projection of a signature table. */
+  private def bandedOf(sig: DataFrame, numHashes: Int,
+                       bands: Int): DataFrame = {
+    val r = numHashes / bands
+    sig.select(col("id"),
+      explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          xxhash64((lit(j) +: (0 until r).map(i =>
+            col(s"m${j * r + i}"))): _*).as("bh"))
+      }: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 4, numHashes: Int = 128,
                       bands: Int = 32, threshold: Double = 0.8,
@@ -106,49 +151,19 @@ object Dedup {
     if (numHashes % bands != 0)
       throw InvalidArgumentValue(
         s"numHashes ($numHashes) must be divisible by bands ($bands)")
-    val r = numHashes / bands
-    val params = hashParams(numHashes, seed)
 
-    // distinct (id, shingle-hash) rows via explode + dynamic substring
-    // — stays inside whole-stage codegen, unlike transform()-built
-    // arrays. Shingles are 64-bit-hashed BEFORE the distinct so every
-    // downstream shuffle/join carries fixed-width longs, not strings
-    // (collisions would need ~2^32 distinct shingles to matter; the
-    // correctness gate would catch any). Persisted: signatures and the
-    // exact-verify both read it.
-    val shingleRows = df
-      .select(col(idCol).cast("long").as("id"),
-        lower(col(textCol)).as("txt"))
-      .select(col("id"), col("txt"),
-        explode(sequence(lit(1),
-          greatest(length(col("txt")) - (shingleK - 1), lit(1)))).as("i"))
-      .select(col("id"),
-        xxhash64(expr(s"substring(txt, i, $shingleK)")).as("s"))
-      .distinct()
+    // persisted: signatures and the exact-verify both read it
+    val shingleRows = shingleHashRows(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // signatures via numHashes codegen'd MIN aggregates over the
-    // hashed shingles — partial (map-side) aggregation shrinks the
-    // shuffle to |docs|·numHashes longs. Persisted: read by the band
-    // projection (twice, via the self-join) and the similarity
-    // estimate below.
-    val hashed = shingleRows
-      .withColumn("h", pmod(col("s"), lit(P)))
-    val mins = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
-    }
-    val sig = hashed.groupBy("id").agg(mins.head, mins.tail: _*)
+    // persisted: read by the band projection (twice, via the
+    // self-join) and the similarity estimate below
+    val sig = signaturesOf(shingleRows, numHashes, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band signatures: a cheap projection of the persisted sig, so the
     // self-join's two reads cost two cache scans, not two pipelines
-    val banded = sig.select(col("id"),
-      explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band"),
-          xxhash64((lit(j) +: (0 until r).map(i =>
-            col(s"m${j * r + i}"))): _*).as("bh"))
-      }: _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val banded = bandedOf(sig, numHashes, bands)
 
     val candidates = banded.as("x")
       .join(banded.as("y"),
@@ -203,6 +218,101 @@ object Dedup {
     inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("ix").cast("double") / (col("na") + col("nb") - col("ix"))
+          .cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Materialize a reusable minhash signature index for `df` at
+    * `path` (parquet, schema (id, m0..m{numHashes-1})). The
+    * incremental-ingest primitive: a 5B-document corpus signs ONCE;
+    * each day's batch then probes the stored signatures instead of
+    * re-reading 100 TB of text (`probeMinhashIndex`).
+    */
+  def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        path: String, shingleK: Int = 4,
+                        numHashes: Int = 128, seed: Long = 42L): Unit =
+    signaturesOf(shingleHashRows(df, idCol, textCol, shingleK),
+      numHashes, seed)
+      .write.mode("overwrite").parquet(path)
+
+  /** Near-duplicate pairs BETWEEN a new batch and an indexed corpus
+    * (reads the signatures written by `buildMinhashIndex`; shingleK /
+    * numHashes / seed must match the build). Returns
+    * (id_a = corpus id, id_b = batch id, jaccard).
+    *
+    * Scale shape: only the BATCH is signed fresh; the corpus costs one
+    * scan of the (fixed-width) signature index for banding plus a
+    * re-shingle of just the candidate corpus docs for the exact
+    * verify — corpus text is never touched wholesale. Ids must be
+    * unique across corpus and batch.
+    */
+  def probeMinhashIndex(indexPath: String, corpus: DataFrame,
+                        newDf: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 4, numHashes: Int = 128,
+                        bands: Int = 32, threshold: Double = 0.8,
+                        minBandMatches: Int = 1,
+                        seed: Long = 42L): DataFrame = {
+    if (numHashes % bands != 0)
+      throw InvalidArgumentValue(
+        s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val spark = newDf.sparkSession
+    val idxSig = spark.read.parquet(indexPath)
+    if (idxSig.columns.length != numHashes + 1)
+      throw InvalidArgumentValue(
+        s"index at $indexPath has ${idxSig.columns.length - 1} hashes, " +
+          s"caller expects $numHashes — rebuild or fix parameters")
+
+    val newShingles = shingleHashRows(newDf, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newSig = signaturesOf(newShingles, numHashes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // candidate pairs: index bands vs batch bands (daily batch side is
+    // small — AQE broadcasts it against the index scan)
+    val candidates = bandedOf(idxSig, numHashes, bands).as("x")
+      .join(bandedOf(newSig, numHashes, bands).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") =!= col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("mb"))
+      .filter(col("mb") >= minBandMatches)
+      .select("id_a", "id_b")
+
+    // signature-estimate prefilter (6σ, see minhashNearDups)
+    val slack = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    val aSide = idxSig.select(
+      col("id").as("id_a") +:
+        (0 until numHashes).map(i => col(s"m$i").as(s"a$i")): _*)
+    val bSide = newSig.select(
+      col("id").as("id_b") +:
+        (0 until numHashes).map(i => col(s"m$i").as(s"b$i")): _*)
+    val estMatches = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val strong = candidates
+      .join(aSide, "id_a")
+      .join(bSide, "id_b")
+      .filter(estMatches.cast("double") / numHashes >= threshold - slack)
+      .select("id_a", "id_b")
+
+    // exact verify: corpus text re-shingled ONLY for candidate docs
+    val candA = strong.select(col("id_a").as("id")).distinct()
+    val corpusShingles = shingleHashRows(corpus, idCol, textCol, shingleK)
+      .join(candA, Seq("id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizesA = corpusShingles.groupBy("id").agg(count(lit(1)).as("na"))
+    val sizesB = newShingles.groupBy("id").agg(count(lit(1)).as("nb"))
+    val inter = strong
+      .join(corpusShingles.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(newShingles.select(col("id").as("id_b"), col("s")),
+        Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ix"))
+    inter
+      .join(sizesA.select(col("id").as("id_a"), col("na")), "id_a")
+      .join(sizesB.select(col("id").as("id_b"), col("nb")), "id_b")
       .withColumn("jaccard",
         col("ix").cast("double") / (col("na") + col("nb") - col("ix"))
           .cast("double"))

@@ -45,6 +45,27 @@ class LlmSpec extends SparkSpec {
     assert(kept == Set(1L, 5L, 7L))
   }
 
+  test("index probe equals whole-corpus minhash restricted to the split") {
+    val corpus = docs.filter($"doc_id" < 400)
+    val batch = docs.filter($"doc_id" >= 400)
+    val idx = tmpDir("llm-minhash-idx")
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+    val probed = Dedup.probeMinhashIndex(idx, corpus, batch,
+        "doc_id", "text", threshold = 0.8, minBandMatches = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val whole = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.8, minBandMatches = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => a < 400 && b >= 400 }.toSet
+    assert(probed == whole)
+    assert(probed.nonEmpty)
+    // parameter mismatch is rejected, not silently wrong
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Dedup.probeMinhashIndex(idx, corpus, batch, "doc_id", "text",
+        numHashes = 64)
+    }
+  }
+
   test("shingles are distinct lowercase k-grams") {
     val row = Seq(("AbAb")).toDF("t")
       .select(Dedup.shingles($"t", 2).as("s")).head()
