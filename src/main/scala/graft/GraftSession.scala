@@ -90,4 +90,11 @@ object Tables {
     all.foreach { n =>
       read(spark, sfDir, n).createOrReplaceTempView(n)
     }
+
+  /** Per-(scale-factor, query) scratch dataset root for round-trip
+    * queries — under target/ (gitignored), never the read-only
+    * testdata.
+    */
+  def scratch(sfDir: String, name: String): String =
+    s"/root/repo/target/graft-rt/${new java.io.File(sfDir).getName}/$name"
 }

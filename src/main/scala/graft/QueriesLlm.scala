@@ -64,12 +64,18 @@ object QueriesLlm {
     val docs = t(spark, dir, "documents")
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text",
       maxHamming = 3)
+    // one propagation run feeds both the sizes and the survivor count
+    // (label propagation itself is iterative and therefore eager;
+    // everything below it stays a lazy plan)
     val clusters = Dedup.dupClusters(pairs)
-    val sizes = clusters.groupBy("root")
-      .agg(count(lit(1)).as("n_docs"))
+    val sizes = clusters.groupBy("root").agg(count(lit(1)).as("n_docs"))
+    val nLosers = clusters.filter(col("root") =!= col("id"))
+      .agg(count(lit(1)).as("n_losers"))
+    val nAll = docs.agg(count(lit(1)).as("n_all"))
+    sizes.crossJoin(nAll).crossJoin(nLosers)
+      .select(col("root"), col("n_docs"),
+        (col("n_all") - col("n_losers")).as("n_survivors_total"))
       .orderBy("root")
-    val survivors = Dedup.dedupNearDups(docs, "doc_id", pairs).count()
-    sizes.withColumn("n_survivors_total", lit(survivors))
   }
 
   /** q53 — incremental dedup against a signature index: docs < 400 are
@@ -83,7 +89,7 @@ object QueriesLlm {
     val docs = t(spark, dir, "documents")
     val corpus = docs.filter(col("doc_id") < 400)
     val batch = docs.filter(col("doc_id") >= 400)
-    val idx = s"/root/repo/target/graft-rt/${new java.io.File(dir).getName}/q53_idx"
+    val idx = Tables.scratch(dir, "q53_idx")
     Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
     Dedup.probeMinhashIndex(idx, corpus, batch, "doc_id", "text",
         threshold = 0.8, minBandMatches = 3)

@@ -24,7 +24,7 @@ object QueriesWrite {
 
   /** Per-(scale-factor, query) scratch dataset root. */
   private def rt(dir: String, name: String): String =
-    s"/root/repo/target/graft-rt/${new java.io.File(dir).getName}/$name"
+    Tables.scratch(dir, name)
 
   /** q21 — partitioned parquet dataset round trip + partition-filter
     * pruning: only the `l_returnflag=R` directory is scanned on read.

@@ -70,34 +70,6 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash-LSH near-duplicate pairs, exact-verified.
-    *
-    * @param numHashes signature length (bands × rowsPerBand)
-    * @param bands     LSH bands; a pair becomes a candidate iff at
-    *                  least `minBandMatches` band signatures match
-    * @param threshold exact Jaccard cutoff applied to candidates
-    * @param minBandMatches band-agreement prefilter. Classic LSH is 1;
-    *   requiring ≥m matching bands cheaply drops the moderately-similar
-    *   background that a small shingle alphabet lets through (expected
-    *   matches at Jaccard J is bands·J^r — 13 at J=0.8 vs 0.2 at
-    *   J=0.27 with b=32, r=4 — so m=3 costs ~1e-5 recall at the
-    *   threshold while cutting the exact-verify set by ~100×)
-    * @return (idA, idB, jaccard) with idA < idB
-    *
-    * Candidate funnel, widest to narrowest: band-bucket self-join →
-    * `minBandMatches` band-agreement count → signature-similarity
-    * estimate (fraction of matching minhash components ≥ threshold −
-    * 6σ) → exact join-based Jaccard. Each stage is orders of magnitude
-    * cheaper per pair than the next, so the expensive set intersection
-    * only ever sees a thin, near-certain tail.
-    *
-    * Every bulk step is whole-stage-codegen'd: shingles come from
-    * explode+substring (not interpreted array HOFs), signatures from
-    * `numHashes` MIN aggregates, candidate counting from a band-bucket
-    * self-join + count aggregate, and the estimate from equi-joins
-    * against the persisted signature table (AQE broadcasts them when
-    * small).
-    */
   /** Distinct (id, 64-bit shingle hash) rows via explode + dynamic
     * substring — stays inside whole-stage codegen, unlike
     * transform()-built arrays. Shingles are hashed BEFORE the distinct
@@ -143,6 +115,34 @@ object Dedup {
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
   }
 
+  /** MinHash-LSH near-duplicate pairs, exact-verified.
+    *
+    * @param numHashes signature length (bands × rowsPerBand)
+    * @param bands     LSH bands; a pair becomes a candidate iff at
+    *                  least `minBandMatches` band signatures match
+    * @param threshold exact Jaccard cutoff applied to candidates
+    * @param minBandMatches band-agreement prefilter. Classic LSH is 1;
+    *   requiring ≥m matching bands cheaply drops the moderately-similar
+    *   background that a small shingle alphabet lets through (expected
+    *   matches at Jaccard J is bands·J^r — 13 at J=0.8 vs 0.2 at
+    *   J=0.27 with b=32, r=4 — so m=3 costs ~1e-5 recall at the
+    *   threshold while cutting the exact-verify set by ~100×)
+    * @return (idA, idB, jaccard) with idA < idB
+    *
+    * Candidate funnel, widest to narrowest: band-bucket self-join →
+    * `minBandMatches` band-agreement count → signature-similarity
+    * estimate (fraction of matching minhash components ≥ threshold −
+    * 6σ) → exact join-based Jaccard. Each stage is orders of magnitude
+    * cheaper per pair than the next, so the expensive set intersection
+    * only ever sees a thin, near-certain tail.
+    *
+    * Every bulk step is whole-stage-codegen'd: shingles come from
+    * explode+substring (not interpreted array HOFs), signatures from
+    * `numHashes` MIN aggregates, candidate counting from a band-bucket
+    * self-join + count aggregate, and the estimate from equi-joins
+    * against the persisted signature table (AQE broadcasts them when
+    * small).
+    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 4, numHashes: Int = 128,
                       bands: Int = 32, threshold: Double = 0.8,
@@ -233,10 +233,49 @@ object Dedup {
     */
   def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
                         path: String, shingleK: Int = 4,
-                        numHashes: Int = 128, seed: Long = 42L): Unit =
+                        numHashes: Int = 128, seed: Long = 42L): Unit = {
     signaturesOf(shingleHashRows(df, idCol, textCol, shingleK),
       numHashes, seed)
       .write.mode("overwrite").parquet(path)
+    writeIndexMeta(df.sparkSession, path, shingleK, numHashes, seed)
+  }
+
+  private val IndexMetaFile = "_graft_minhash_meta"
+
+  /** Sidecar parameter record: column-count alone can't catch a
+    * shingleK or seed mismatch between build and probe, and a
+    * mismatch is silently-empty results, not an error.
+    */
+  private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                             path: String, shingleK: Int,
+                             numHashes: Int, seed: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, IndexMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"shingleK=$shingleK\nnumHashes=$numHashes\nseed=$seed\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(path, IndexMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty // pre-meta index: fall back
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    text.linesIterator.flatMap { l =>
+      l.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _           => None
+      }
+    }.toMap
+  }
 
   /** Near-duplicate pairs BETWEEN a new batch and an indexed corpus
     * (reads the signatures written by `buildMinhashIndex`; shingleK /
@@ -264,6 +303,17 @@ object Dedup {
       throw InvalidArgumentValue(
         s"index at $indexPath has ${idxSig.columns.length - 1} hashes, " +
           s"caller expects $numHashes — rebuild or fix parameters")
+    val meta = readIndexMeta(spark, indexPath)
+    val expect = Map("shingleK" -> shingleK.toString,
+      "numHashes" -> numHashes.toString, "seed" -> seed.toString)
+    val mismatched = expect.collect {
+      case (k, v) if meta.get(k).exists(_ != v) =>
+        s"$k: index=${meta(k)}, caller=$v"
+    }
+    if (mismatched.nonEmpty)
+      throw InvalidArgumentValue(
+        s"index parameters at $indexPath do not match the probe: " +
+          mismatched.mkString("; "))
 
     val newShingles = shingleHashRows(newDf, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -292,11 +342,15 @@ object Dedup {
     val estMatches = (0 until numHashes)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _)
+    // persisted: `strong` feeds candA and the verify join — without
+    // it each consumer would re-run the band join and estimate, i.e.
+    // extra full scans of the signature index
     val strong = candidates
       .join(aSide, "id_a")
       .join(bSide, "id_b")
       .filter(estMatches.cast("double") / numHashes >= threshold - slack)
       .select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // exact verify: corpus text re-shingled ONLY for candidate docs
     val candA = strong.select(col("id_a").as("id")).distinct()
@@ -334,7 +388,12 @@ object Dedup {
     * long-path graphs at extreme scale, the large-star/small-star
     * variant halves diameter per round — not needed here.
     *
+    * Throws if the propagation has not converged after `maxIter`
+    * rounds (a silent partial labeling would under-dedup downstream).
+    *
     * @return (id, root) for every id appearing in `pairs`
+    * @note the returned frame was materialized during iteration and
+    *   stays persisted (MEMORY_AND_DISK); `.unpersist()` it when done
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
                   idB: String = "id_b", maxIter: Int = 20): DataFrame = {
@@ -363,16 +422,29 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // wrong labels are worse than no labels: a component whose
+    // diameter exceeds maxIter would silently keep several roots and
+    // under-dedup downstream
+    if (changed > 0) {
+      labels.unpersist(blocking = false)
+      throw InvalidArgumentValue(
+        s"dupClusters did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — the pair graph has a " +
+          s"component with diameter > $maxIter; raise maxIter")
+    }
     labels
   }
 
   /** Keep one document per near-duplicate cluster (the min id), plus
     * every document that is in no cluster — the end-to-end near-dedup
-    * a training pipeline actually applies.
+    * a training pipeline actually applies. Accepts precomputed
+    * `dupClusters` output via `clusters` so the propagation isn't run
+    * twice when the caller also needs the labels.
     */
-  def dedupNearDups(df: DataFrame, idCol: String,
-                    pairs: DataFrame): DataFrame = {
-    val losers = dupClusters(pairs)
+  def dedupNearDups(df: DataFrame, idCol: String, pairs: DataFrame,
+                    idA: String = "id_a", idB: String = "id_b",
+                    clusters: Option[DataFrame] = None): DataFrame = {
+    val losers = clusters.getOrElse(dupClusters(pairs, idA, idB))
       .filter(col("root") =!= col("id")).select("id")
     df.join(losers.withColumnRenamed("id", idCol),
       Seq(idCol), "left_anti")

@@ -64,7 +64,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), s"pair explosion in:\n$p")
     assert(p.contains("Window"), s"expected the carry window in:\n$p")
-    assert(p.contains("user_id"), s"window must be keyed by user_id:\n$p")
+    // user_id must appear INSIDE the window spec (q50 selects it as an
+    // output column too, so a bare contains("user_id") proves nothing)
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"window must be keyed by user_id:\n$p")
   }
 
   test("q51 range join plans as an equi-join, not a nested loop") {
