@@ -104,43 +104,38 @@ object Similarity {
     * what the correctness gate checks); nprobe < nlist is the 100 TB
     * path — the scan touches |corpus|·nprobe/nlist rows.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame,
-              corpusId: String, queryId: String, vecCol: String,
-              k: Int, nlist: Int = 8, nprobe: Int = 8,
-              kmeansIters: Int = 3): DataFrame = {
-    if (nprobe > nlist)
-      throw InvalidArgumentValue(s"nprobe ($nprobe) > nlist ($nlist)")
-    val spark = corpus.sparkSession
+  /** Compiled nearest-cell assignment → (cid, cv, cell); ties resolve
+    * to the lowest cell.
+    */
+  private def assignCells(vdf: DataFrame,
+                          cents: Array[Array[Double]]): DataFrame = {
+    val spark = vdf.sparkSession
     import spark.implicits._
-    // persisted: every k-means iteration plus the final bucketing
-    // re-reads the corpus vectors
-    val c = asDoubleVec(corpus, corpusId, vecCol, "cid", "cv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vdf.as[(Long, Seq[Double])].mapPartitions { rows =>
+      rows.map { case (id, vec) =>
+        val a = vec.toArray
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cents.length) {
+          val s = cosineKernel(a, cents(ci))
+          if (s > bestSim) { bestSim = s; best = ci }
+          ci += 1
+        }
+        (id, vec, best)
+      }
+    }.toDF("cid", "cv", "cell")
+  }
 
-    // deterministic init: the nlist lowest-id vectors
+  /** K-means coarse quantizer over (cid, cv) rows; deterministic init
+    * from the nlist lowest-id vectors. Only the centroids (nlist·dim
+    * doubles) ever reach the driver.
+    */
+  private def trainCentroids(c: DataFrame, nlist: Int,
+                             iters: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = c.orderBy("cid").limit(nlist)
       .collect().map(_.getSeq[Double](1).toArray)
-
-    // compiled nearest-cell assignment; ties resolve to the lowest cell
-    def assign(vdf: DataFrame): DataFrame = {
-      val cents = centroids
-      vdf.as[(Long, Seq[Double])].mapPartitions { rows =>
-        rows.map { case (id, vec) =>
-          val a = vec.toArray
-          var best = 0; var bestSim = Double.NegativeInfinity
-          var ci = 0
-          while (ci < cents.length) {
-            val s = cosineKernel(a, cents(ci))
-            if (s > bestSim) { bestSim = s; best = ci }
-            ci += 1
-          }
-          (id, vec, best)
-        }
-      }.toDF("cid", "cv", "cell")
-    }
-
-    for (_ <- 1 to kmeansIters) {
-      val updated = assign(c)
+    for (_ <- 1 to iters) {
+      val updated = assignCells(c, centroids)
         .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg("x").as("m"))
         .groupBy("cell")
@@ -154,13 +149,15 @@ object Similarity {
         centroids = centroids.indices
           .map(i => updated.getOrElse(i, centroids(i))).toArray
     }
+    centroids
+  }
 
-    val bucketed = assign(c)
-
-    // per-query probe list (queries are small by contract)
-    val cents = centroids
-    val q = asDoubleVec(queries, queryId, vecCol, "qid", "qv")
-    val probes = q.as[(Long, Seq[Double])].mapPartitions { rows =>
+  /** (qid, qv, cell) probe list: each query's nprobe nearest cells. */
+  private def probeCells(q: DataFrame, cents: Array[Array[Double]],
+                         nprobe: Int): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    q.as[(Long, Seq[Double])].mapPartitions { rows =>
       rows.flatMap { case (qid, vec) =>
         val a = vec.toArray
         cents.indices
@@ -170,9 +167,79 @@ object Similarity {
           .map { case (_, ci) => (qid, vec, ci) }
       }
     }.toDF("qid", "qv", "cell")
+  }
 
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              corpusId: String, queryId: String, vecCol: String,
+              k: Int, nlist: Int = 8, nprobe: Int = 8,
+              kmeansIters: Int = 3): DataFrame = {
+    if (nprobe > nlist)
+      throw InvalidArgumentValue(s"nprobe ($nprobe) > nlist ($nlist)")
+    // persisted: every k-means iteration plus the final bucketing
+    // re-reads the corpus vectors
+    val c = asDoubleVec(corpus, corpusId, vecCol, "cid", "cv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = trainCentroids(c, nlist, kmeansIters)
+    val bucketed = assignCells(c, centroids)
+    val q = asDoubleVec(queries, queryId, vecCol, "qid", "qv")
+    val probes = probeCells(q, centroids, nprobe)
     val scored = scorePairs(
       bucketed.join(broadcast(probes), "cell")
+        .select("qid", "cid", "qv", "cv"),
+      "qid", "cid")
+    topK(scored, k)
+  }
+
+  /** Materialize a reusable IVF index: cell assignments as parquet
+    * PARTITIONED BY cell plus a centroids table. The ANN analog of
+    * `Dedup.buildMinhashIndex` — train the quantizer and bucket a huge
+    * corpus ONCE; each query batch then reads only its probed cells
+    * via static partition pruning (`probeIvfIndex` scans
+    * nprobe/nlist of the data, the on-disk realization of the IVF
+    * promise).
+    */
+  def buildIvfIndex(corpus: DataFrame, corpusId: String, vecCol: String,
+                    path: String, nlist: Int = 8,
+                    kmeansIters: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = asDoubleVec(corpus, corpusId, vecCol, "cid", "cv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = trainCentroids(c, nlist, kmeansIters)
+    assignCells(c, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    centroids.zipWithIndex
+      .map { case (cen, i) => (i, cen.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    c.unpersist(blocking = false)
+  }
+
+  /** Top-k search against a persisted IVF index. Probe cells are
+    * resolved driver-side from the (tiny) centroids table, so the
+    * cell scan carries a LITERAL `cell IN (...)` filter — static
+    * partition pruning; unprobed cells are never read or listed.
+    */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String, queries: DataFrame, queryId: String,
+                    vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    if (k <= 0) throw InvalidArgumentValue(s"k must be positive, got $k")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    if (nprobe > centroids.length)
+      throw InvalidArgumentValue(
+        s"nprobe ($nprobe) > index nlist (${centroids.length})")
+    val q = asDoubleVec(queries, queryId, vecCol, "qid", "qv")
+    val probes = probeCells(q, centroids, nprobe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wanted = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(wanted.toSeq: _*))
+    val scored = scorePairs(
+      cells.join(broadcast(probes), "cell")
         .select("qid", "cid", "qv", "cv"),
       "qid", "cid")
     topK(scored, k)

@@ -101,6 +101,34 @@ class LlmSpec extends SparkSpec {
     assert(approx.intersect(exact).size >= exact.size * 2 / 5)
   }
 
+  test("ivf index probe at full nprobe equals brute force; pruning is static") {
+    val queries = emb.filter($"vec_id" < 3)
+    val corpus = emb.filter($"vec_id" >= 3)
+    val idx = tmpDir("llm-ivf-idx")
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", idx, nlist = 4)
+    val probed = Similarity.probeIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+    val exact = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "vec_id", "embedding", k = 5)
+    assert(probed.orderBy("qid", "rnk").collect().toSeq ==
+      exact.orderBy("qid", "rnk").collect().toSeq)
+    // partial probe: the cell scan must carry a literal partition
+    // filter (static pruning — unprobed cells never read)
+    val partial = Similarity.probeIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 1)
+    val plan = partial.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("cell"),
+      s"expected a cell partition filter, got [$pf] in:\n$plan")
+    assert(partial.groupBy("qid").count().filter($"count" =!= 5)
+      .count() == 0)
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Similarity.probeIvfIndex(spark, idx, queries, "vec_id",
+        "embedding", k = 5, nprobe = 9)
+    }
+  }
+
   test("int8 quantization round-trips within scale/2 per element") {
     // deterministic subset: limit() without ordering may pick
     // different rows across the two evaluations
