@@ -392,8 +392,8 @@ object Dedup {
     * rounds (a silent partial labeling would under-dedup downstream).
     *
     * @return (id, root) for every id appearing in `pairs`
-    * @note the returned frame was materialized during iteration and
-    *   stays persisted (MEMORY_AND_DISK); `.unpersist()` it when done
+    * @note the returned frame is an eager localCheckpoint (already
+    *   materialized; blocks are freed when the frame is GC'd)
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
                   idB: String = "id_b", maxIter: Int = 20): DataFrame = {
@@ -402,9 +402,16 @@ object Dedup {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each round MUST truncate lineage (eager localCheckpoint): the
+    // round-N plan embeds round-N−1's plan twice, so without
+    // truncation the logical plan grows ~2^N nodes and the DRIVER
+    // OOMs during analysis after ~15 rounds — persist caches data but
+    // does not shrink the plan. localCheckpoint trades off
+    // fault-tolerance for speed (fine single-job; on a lossy cluster
+    // swap in reliable checkpoint(dir)).
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("root", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -414,10 +421,9 @@ object Dedup {
         .groupBy(col("src").as("id")).agg(min("nroot").as("mroot"))
         .join(labels, "id")
         .select(col("id"), least(col("root"), col("mroot")).as("root"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("root", "prev"), "id")
         .filter(col("root") < col("prev")).count()
-      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
