@@ -379,14 +379,12 @@ object Dedup {
     * (one surviving document per duplicate CLUSTER — pairs alone
     * over-delete on chains a~b~c).
     *
-    * Iterative min-label propagation: every node starts as its own
-    * root; each round every node takes the min root among itself and
-    * its neighbors; fixpoint = components labeled by their min id.
-    * Each round is one shuffle join + aggregate, all codegen'd; rounds
-    * needed = graph diameter, and near-dup graphs are short chains in
-    * practice (planted-pair corpora: 1-2 rounds). For adversarial
-    * long-path graphs at extreme scale, the large-star/small-star
-    * variant halves diameter per round — not needed here.
+    * Iterative min-label propagation with pointer jumping: each round
+    * every node takes the min root among itself and its neighbors,
+    * then additionally jumps to its root's root — so label distance
+    * DOUBLES per round and convergence needs O(log diameter) rounds,
+    * not O(diameter) (a 1000-link chain labels in ~10 rounds). Every
+    * step is a codegen'd shuffle join + aggregate.
     *
     * Throws if the propagation has not converged after `maxIter`
     * rounds (a silent partial labeling would under-dedup downstream).
@@ -415,16 +413,29 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val next = edges
+      // neighbor-min step; checkpointed because the pointer-jump
+      // self-join would otherwise compute it twice
+      val stepped = edges
         .join(labels.select(col("id").as("dst"), col("root").as("nroot")),
           "dst")
         .groupBy(col("src").as("id")).agg(min("nroot").as("mroot"))
         .join(labels, "id")
-        .select(col("id"), least(col("root"), col("mroot")).as("root"))
+        .select(col("id"), least(col("root"), col("mroot")).as("root"),
+          col("root").as("prev")) // prev rides along: convergence
+                                  // check needs no extra join
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("root", "prev"), "id")
-        .filter(col("root") < col("prev")).count()
-      labels = next
+      // pointer jump: root := root's root (roots are node ids, so the
+      // lookup is a self-join on the stepped labels)
+      val next = stepped.as("a")
+        .join(stepped.select(col("id").as("rid"), col("root").as("rroot"))
+          .as("b"), col("a.root") === col("b.rid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.root"), coalesce(col("rroot"), col("a.root")))
+            .as("root"),
+          col("a.prev").as("prev"))
+        .localCheckpoint(true)
+      changed = next.filter(col("root") < col("prev")).count()
+      labels = next.drop("prev")
       iter += 1
     }
     edges.unpersist(blocking = false)
