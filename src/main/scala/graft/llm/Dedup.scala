@@ -390,8 +390,10 @@ object Dedup {
     * rounds (a silent partial labeling would under-dedup downstream).
     *
     * @return (id, root) for every id appearing in `pairs`
-    * @note the returned frame is an eager localCheckpoint (already
-    *   materialized; blocks are freed when the frame is GC'd)
+    * @note the returned frame reads the final round's localCheckpoint
+    *   blocks (already materialized); every superseded round's blocks
+    *   are freed during iteration, and the final round's are released
+    *   by ContextCleaner once the frame is garbage-collected
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
                   idB: String = "id_b", maxIter: Int = 20): DataFrame = {
@@ -401,40 +403,55 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // each round MUST truncate lineage (eager localCheckpoint): the
-    // round-N plan embeds round-N−1's plan twice, so without
+    // round-N plan embeds round-N−1's plan several times, so without
     // truncation the logical plan grows ~2^N nodes and the DRIVER
     // OOMs during analysis after ~15 rounds — persist caches data but
-    // does not shrink the plan. localCheckpoint trades off
-    // fault-tolerance for speed (fine single-job; on a lossy cluster
-    // swap in reliable checkpoint(dir)).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("root", col("id"))
-      .localCheckpoint(true)
+    // does not shrink the plan. localCheckpoint blocks live OUTSIDE
+    // the CacheManager (Dataset.unpersist/clearCache can't free
+    // them), so each round's new checkpoint RDDs are captured by
+    // diffing sparkContext.getPersistentRDDs and explicitly
+    // unpersisted as soon as they are superseded — only the final
+    // round's blocks (backing the returned frame) remain, freed by
+    // ContextCleaner when the frame is GC'd.
+    val sc = pairs.sparkSession.sparkContext
+    def checkpointTracked(df: DataFrame)
+        : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      val added = sc.getPersistentRDDs
+        .collect { case (id, r) if !before.contains(id) => r }.toSeq
+      (out, added)
+    }
+    var (labels, labelRdds) = checkpointTracked(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("root", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       // neighbor-min step; checkpointed because the pointer-jump
-      // self-join would otherwise compute it twice
-      val stepped = edges
+      // self-join reads it twice
+      val (stepped, steppedRdds) = checkpointTracked(edges
         .join(labels.select(col("id").as("dst"), col("root").as("nroot")),
           "dst")
         .groupBy(col("src").as("id")).agg(min("nroot").as("mroot"))
         .join(labels, "id")
         .select(col("id"), least(col("root"), col("mroot")).as("root"),
-          col("root").as("prev")) // prev rides along: convergence
-                                  // check needs no extra join
-        .localCheckpoint(true)
+          col("root").as("prev"))) // prev rides along: convergence
+                                   // check needs no extra join
       // pointer jump: root := root's root (roots are node ids, so the
       // lookup is a self-join on the stepped labels)
-      val next = stepped.as("a")
+      val (next, nextRdds) = checkpointTracked(stepped.as("a")
         .join(stepped.select(col("id").as("rid"), col("root").as("rroot"))
           .as("b"), col("a.root") === col("b.rid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.root"), coalesce(col("rroot"), col("a.root")))
             .as("root"),
-          col("a.prev").as("prev"))
-        .localCheckpoint(true)
+          col("a.prev").as("prev")))
       changed = next.filter(col("root") < col("prev")).count()
+      // both inputs of this round are now superseded
+      steppedRdds.foreach(_.unpersist(blocking = false))
+      labelRdds.foreach(_.unpersist(blocking = false))
+      labelRdds = nextRdds
       labels = next.drop("prev")
       iter += 1
     }
@@ -443,7 +460,7 @@ object Dedup {
     // diameter exceeds maxIter would silently keep several roots and
     // under-dedup downstream
     if (changed > 0) {
-      labels.unpersist(blocking = false)
+      labelRdds.foreach(_.unpersist(blocking = false))
       throw InvalidArgumentValue(
         s"dupClusters did not converge in $maxIter rounds " +
           s"($changed labels still changing) — the pair graph has a " +

@@ -97,13 +97,6 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** IVF (inverted-file) approximate top-k: k-means coarse quantizer,
-    * corpus bucketed by nearest centroid, queries probe only the
-    * `nprobe` nearest cells. With nprobe == nlist the search is
-    * exhaustive and exactly equals brute force (that configuration is
-    * what the correctness gate checks); nprobe < nlist is the 100 TB
-    * path — the scan touches |corpus|·nprobe/nlist rows.
-    */
   /** Compiled nearest-cell assignment → (cid, cv, cell); ties resolve
     * to the lowest cell.
     */
@@ -169,6 +162,13 @@ object Similarity {
     }.toDF("qid", "qv", "cell")
   }
 
+  /** IVF (inverted-file) approximate top-k: k-means coarse quantizer,
+    * corpus bucketed by nearest centroid, queries probe only the
+    * `nprobe` nearest cells. With nprobe == nlist the search is
+    * exhaustive and exactly equals brute force (that configuration is
+    * what the correctness gate checks); nprobe < nlist is the 100 TB
+    * path — the scan touches |corpus|·nprobe/nlist rows.
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               corpusId: String, queryId: String, vecCol: String,
               k: Int, nlist: Int = 8, nprobe: Int = 8,
@@ -207,7 +207,13 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = trainCentroids(c, nlist, kmeansIters)
     assignCells(c, centroids)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+      .write.mode("overwrite")
+      // STATIC: the engine session defaults partitionOverwriteMode to
+      // dynamic, under which a rebuild would only replace cells
+      // present in the new assignment — a now-empty cell's stale
+      // parquet would survive and resurface deleted vectors on probe
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(s"$path/cells")
     centroids.zipWithIndex
       .map { case (cen, i) => (i, cen.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -221,10 +227,10 @@ object Similarity {
     * cell scan carries a LITERAL `cell IN (...)` filter — static
     * partition pruning; unprobed cells are never read or listed.
     */
-  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                    path: String, queries: DataFrame, queryId: String,
+  def probeIvfIndex(path: String, queries: DataFrame, queryId: String,
                     vecCol: String, k: Int, nprobe: Int): DataFrame = {
     if (k <= 0) throw InvalidArgumentValue(s"k must be positive, got $k")
+    val spark = queries.sparkSession
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](1).toArray)

@@ -45,6 +45,17 @@ class LlmSpec extends SparkSpec {
     assert(kept == Set(1L, 5L, 7L))
   }
 
+  test("dupClusters labels a 40-link chain via pointer jumping") {
+    // a long path exercises the O(log d) jump step — plain
+    // neighbor-min alone would need 40 rounds, beyond maxIter=20,
+    // and this would throw non-convergence
+    val chain = (1L until 41L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.dupClusters(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 41)
+    assert(labels.values.forall(_ == 1L))
+  }
+
   test("index probe equals whole-corpus minhash restricted to the split") {
     val corpus = docs.filter($"doc_id" < 400)
     val batch = docs.filter($"doc_id" >= 400)
@@ -106,7 +117,7 @@ class LlmSpec extends SparkSpec {
     val corpus = emb.filter($"vec_id" >= 3)
     val idx = tmpDir("llm-ivf-idx")
     Similarity.buildIvfIndex(corpus, "vec_id", "embedding", idx, nlist = 4)
-    val probed = Similarity.probeIvfIndex(spark, idx, queries,
+    val probed = Similarity.probeIvfIndex(idx, queries,
       "vec_id", "embedding", k = 5, nprobe = 4)
     val exact = Similarity.bruteForceTopK(corpus, queries,
       "vec_id", "vec_id", "embedding", k = 5)
@@ -114,7 +125,7 @@ class LlmSpec extends SparkSpec {
       exact.orderBy("qid", "rnk").collect().toSeq)
     // partial probe: the cell scan must carry a literal partition
     // filter (static pruning — unprobed cells never read)
-    val partial = Similarity.probeIvfIndex(spark, idx, queries,
+    val partial = Similarity.probeIvfIndex(idx, queries,
       "vec_id", "embedding", k = 5, nprobe = 1)
     val plan = partial.queryExecution.executedPlan.toString
     val pf = plan.linesIterator
@@ -124,7 +135,7 @@ class LlmSpec extends SparkSpec {
     assert(partial.groupBy("qid").count().filter($"count" =!= 5)
       .count() == 0)
     intercept[graft.exceptions.InvalidArgumentValue] {
-      Similarity.probeIvfIndex(spark, idx, queries, "vec_id",
+      Similarity.probeIvfIndex(idx, queries, "vec_id",
         "embedding", k = 5, nprobe = 9)
     }
   }
