@@ -123,6 +123,37 @@ object Streaming {
       }
   }
 
+  /** Streaming ingest dedup: each micro-batch of incoming documents
+    * is probed against a persisted minhash signature index
+    * ([[graft.llm.Dedup.buildMinhashIndex]]) and only documents that
+    * near-duplicate NOTHING in the indexed corpus are appended to
+    * `outPath` — the continuous form of the daily-batch
+    * `probeMinhashIndex` flow, i.e. a training-data ingestion pipe
+    * that stays clean against a 5B-doc corpus without ever rescanning
+    * it. Within-batch near-dups are not resolved here (run
+    * `dedupNearDups` over the landed data, or keep batches small);
+    * exactly-once appends come from the checkpoint location as usual.
+    */
+  def dedupIngestStream(stream: DataFrame, idCol: String,
+                        textCol: String, indexPath: String,
+                        corpus: DataFrame, outPath: String,
+                        checkpointDir: String,
+                        threshold: Double = 0.8,
+                        minBandMatches: Int = 1): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val flagged = graft.llm.Dedup.probeMinhashIndex(
+            indexPath, corpus, batch, idCol, textCol,
+            threshold = threshold, minBandMatches = minBandMatches)
+          .select(col("id_b").as("__dup_id")).distinct()
+        batch
+          .join(flagged, batch(idCol).cast("long") === col("__dup_id"),
+            "left_anti")
+          .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Drain a (bounded) stream into an in-memory table and return the
     * result — the test/verify harness for stream-vs-batch equivalence.
     * `outputMode` defaults to "complete" (full-aggregation streams);

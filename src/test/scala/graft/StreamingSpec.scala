@@ -68,6 +68,36 @@ class StreamingSpec extends SparkSpec {
       expect.count())
   }
 
+  test("streaming ingest dedup lands exactly the batch-mode survivors") {
+    import graft.llm.Dedup
+    import spark.implicits._
+    val docs = Tables.read(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+      .select("doc_id", "text")
+    val idx = tmpDir("stream-dedup-idx")
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+
+    val srcDir = tmpDir("stream-dedup-src")
+    batch.write.mode("overwrite").parquet(srcDir + "/in")
+    val outDir = tmpDir("stream-dedup-out") + "/clean"
+    val q = Streaming.dedupIngestStream(
+      Streaming.readParquetStream(spark, srcDir + "/in", batch,
+        maxFilesPerTrigger = 2),
+      "doc_id", "text", idx, corpus, outDir,
+      tmpDir("stream-dedup-ckpt"), minBandMatches = 3)
+    try q.processAllAvailable() finally q.stop()
+
+    val landed = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    val dupIds = Dedup.probeMinhashIndex(idx, corpus, batch,
+        "doc_id", "text", minBandMatches = 3)
+      .select("id_b").as[Long].collect().toSet
+    val expected = batch.select("doc_id").as[Long].collect().toSet -- dupIds
+    assert(dupIds.nonEmpty)
+    assert(landed == expected)
+  }
+
   test("dedup within watermark drops injected duplicates") {
     val dup = events.limit(100)
     val withDups = events.unionByName(dup)
