@@ -74,6 +74,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin equals the naive at-or-before lookup on random event sets") {
+    val cases = for {
+      nLeft <- Gen.chooseNum(0, 25)
+      nRight <- Gen.chooseNum(0, 25)
+      keys <- Gen.chooseNum(1, 4)
+      lefts <- Gen.listOfN(nLeft,
+        Gen.zip(Gen.chooseNum(0L, keys.toLong - 1), Gen.chooseNum(0L, 50L)))
+      rights <- Gen.listOfN(nRight,
+        Gen.zip(Gen.chooseNum(0L, keys.toLong - 1), Gen.chooseNum(0L, 50L)))
+    } yield (lefts, rights)
+    forAllSeeded(cases, cases = 12) { case (lefts, rights) =>
+      val left = lefts.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("eid", "k", "t")
+      // dedupe (k, time) on the right — ties among right rows at one
+      // timestamp are documented as arbitrary, so the property pins
+      // only the deterministic contract
+      val right = rights.distinct.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong + 1000) }
+        .toDF("k", "r_t", "r_v")
+        .groupBy("k", "r_t").agg(min("r_v").as("r_v"))
+      val got = Relational.asOfJoin(left, right, Seq("k"), "t", "r_t")
+        .select("eid", "r_t", "r_v")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      val naive = left.as("l")
+        .join(right.as("r"),
+          $"l.k" === $"r.k" && $"l.t" >= $"r.r_t", "left")
+        .groupBy($"l.eid".as("eid"))
+        .agg(max(struct($"r.r_t", $"r.r_v")).as("m"))
+        .select($"eid", $"m.r_t", $"m.r_v")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      assert(got == naive)
+    }
+  }
+
+  test("rangeJoin equals the naive BETWEEN join on random intervals") {
+    val cases = for {
+      nPts <- Gen.chooseNum(0, 30)
+      nRanges <- Gen.chooseNum(0, 10)
+      binWidth <- Gen.oneOf(1.0, 3.0, 7.5, 100.0)
+      pts <- Gen.listOfN(nPts, Gen.chooseNum(0, 100))
+      ranges <- Gen.listOfN(nRanges,
+        Gen.zip(Gen.chooseNum(0, 100), Gen.chooseNum(0, 40)))
+    } yield (pts, ranges, binWidth)
+    forAllSeeded(cases, cases = 12) { case (pts, ranges, binWidth) =>
+      val points = pts.zipWithIndex
+        .map { case (p, i) => (i.toLong, p.toDouble) }
+        .toDF("pid", "x")
+      val bands = ranges.zipWithIndex
+        .map { case ((lo, w), i) => (i.toLong, lo.toDouble, (lo + w).toDouble) }
+        .toDF("band_id", "lo", "hi")
+      val got = Relational.rangeJoin(points, bands, "x", "lo", "hi",
+          binWidth)
+        .select("pid", "band_id").as[(Long, Long)].collect().sorted
+      val naive = points.join(bands, $"x" >= $"lo" && $"x" < $"hi")
+        .select("pid", "band_id").as[(Long, Long)].collect().sorted
+      assert(got.toSeq == naive.toSeq)
+    }
+  }
+
   test("ntileBucketed equals window ntile for arbitrary n and k") {
     val cases = for {
       n <- Gen.chooseNum(1, 60)
