@@ -32,7 +32,7 @@ object Catalog {
   def createDatabase(spark: SparkSession, name: String,
                      description: String = ""): Unit = {
     val comment =
-      if (description.nonEmpty) s" COMMENT ${lit(description)}"
+      if (description.nonEmpty) s" COMMENT ${lit(spark, description)}"
       else ""
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${q(name)}$comment")
   }
@@ -130,7 +130,7 @@ object Catalog {
     def colsDdl(cols: Seq[(String, String)]): String =
       cols.map { case (n, t) =>
         val comment = columnsComments.get(n)
-          .map(c => s" COMMENT ${lit(c)}").getOrElse("")
+          .map(c => s" COMMENT ${lit(spark, c)}").getOrElse("")
         s"${q(AthenaTypes.sanitizeName(n))} ${AthenaTypes.toSpark(t).sql}$comment"
       }.mkString(", ")
     val partClause =
@@ -140,21 +140,21 @@ object Catalog {
     val optClause =
       if (formatOptions.isEmpty) ""
       else s" OPTIONS (${formatOptions
-        .map { case (k, v) => s"${lit(k)} ${lit(v)}" }.mkString(", ")})"
+        .map { case (k, v) => s"${lit(spark, k)} ${lit(spark, v)}" }.mkString(", ")})"
     val commentClause =
-      if (description.nonEmpty) s" COMMENT ${lit(description)}"
+      if (description.nonEmpty) s" COMMENT ${lit(spark, description)}"
       else ""
     val allProps = parameters ++ archived
     val propsClause =
       if (allProps.isEmpty) ""
       else s" TBLPROPERTIES (${allProps
-        .map { case (k, v) => s"${lit(k)}=${lit(v)}" }
+        .map { case (k, v) => s"${lit(spark, k)}=${lit(spark, v)}" }
         .mkString(", ")})"
     spark.sql(
       s"CREATE TABLE ${qt(database, table)} " +
         s"(${colsDdl(columnsTypes ++ partitionsTypes)}) " +
         s"USING $format$optClause$partClause$commentClause" +
-        s" LOCATION ${lit(path)}$propsClause")
+        s" LOCATION ${lit(spark, path)}$propsClause")
     if (partitionsTypes.nonEmpty) repairTable(spark, database, table)
   }
 
@@ -194,7 +194,7 @@ object Catalog {
                     partitions: Seq[Map[String, String]]): Unit =
     partitions.foreach { spec =>
       val kv = spec.map { case (k, v) =>
-        s"${q(k)}=${lit(v)}" }.mkString(", ")
+        s"${q(k)}=${lit(spark, v)}" }.mkString(", ")
       spark.sql(
         s"ALTER TABLE ${qt(database, table)} ADD IF NOT EXISTS PARTITION ($kv)")
     }
@@ -216,7 +216,7 @@ object Catalog {
                        partitions: Seq[Map[String, String]]): Unit =
     partitions.foreach { spec =>
       val kv = spec.map { case (k, v) =>
-        s"${q(k)}=${lit(v)}" }.mkString(", ")
+        s"${q(k)}=${lit(spark, v)}" }.mkString(", ")
       spark.sql(
         s"ALTER TABLE ${qt(database, table)} DROP IF EXISTS PARTITION ($kv)")
     }
@@ -334,7 +334,7 @@ object Catalog {
                             parameters: Map[String, String]): Map[String, String] = {
     if (parameters.nonEmpty) {
       val kv = parameters
-        .map { case (k, v) => s"${lit(k)}=${lit(v)}" }
+        .map { case (k, v) => s"${lit(spark, k)}=${lit(spark, v)}" }
         .mkString(", ")
       spark.sql(s"ALTER TABLE ${qt(database, table)} SET TBLPROPERTIES ($kv)")
     }

@@ -106,7 +106,14 @@ object Writer {
         // upstream frame arrives in fewer than n partitions.
         // hash() rejects MapType at plan time, so map-bearing columns
         // stay out of the salt; if NOTHING is hashable fall back to
-        // the partition-id salt (safe, input-width-capped).
+        // the partition-id salt (safe, input-width-capped). Column
+        // refs are backtick-quoted — col("a.b") would parse as struct
+        // access. Known limit: rows identical across all hashable
+        // columns share one salt bucket, so a constant-duplicate-heavy
+        // frame under-fans; there is no DETERMINISTIC disambiguator
+        // for identical rows, and a nondeterministic one (rand/
+        // partition-id mixes) risks row loss on task retry under a
+        // repartition. The <= n cap always holds.
         import org.apache.spark.sql.functions.{col, hash, lit, pmod, spark_partition_id}
         def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean =
           dt match {
@@ -117,12 +124,13 @@ object Writer {
               hasMap(a.elementType)
             case _ => false
           }
+        def q(name: String) = col(s"`${name.replace("`", "``")}`")
         val hashable = df.schema.fields
-          .filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+          .filterNot(f => hasMap(f.dataType)).map(f => q(f.name))
         val salt =
           if (hashable.nonEmpty) pmod(hash(hashable: _*), lit(n))
           else pmod(spark_partition_id(), lit(n))
-        out = out.repartition(opts.partitionCols.map(col) :+ salt: _*)
+        out = out.repartition(opts.partitionCols.map(q) :+ salt: _*)
       } else out = out.coalesce(n)
     }
 

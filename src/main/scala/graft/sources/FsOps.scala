@@ -131,6 +131,15 @@ object FsOps {
     val conf = hadoopConf(spark)
     val srcRoot = qualified(spark, sourceDir)
     val dstRoot = qualified(spark, targetDir)
+    // overlapping trees are a data-loss trap, not a copy: src == dst
+    // truncates every file against itself (copy opens the source,
+    // then create(overwrite) truncates the same inode), and a
+    // parent/child overlap can overwrite not-yet-copied sources
+    if (srcRoot == dstRoot ||
+        srcRoot.startsWith(dstRoot + "/") ||
+        dstRoot.startsWith(srcRoot + "/"))
+      throw InvalidArgumentValue(
+        s"source ($srcRoot) and target ($dstRoot) trees overlap")
     val planned = paths.map { src =>
       // containment must be segment-aligned: /data/ab/f is NOT under
       // /data/a, so compare against the root plus a trailing separator
@@ -153,7 +162,18 @@ object FsOps {
             val dP = new Path(dst)
             val dFs = dP.getFileSystem(c)
             dFs.mkdirs(dP.getParent)
-            FileUtil.copy(sP.getFileSystem(c), sP, dFs, dP, false, true, c)
+            // copy to a dot-prefixed temp (invisible to listObjects'
+            // marker filter) and rename into place: speculative or
+            // zombie duplicate attempts must never stream into the
+            // SAME destination path concurrently
+            val tmp = new Path(dP.getParent,
+              s".graft-tmp-${java.util.UUID.randomUUID()}-${dP.getName}")
+            FileUtil.copy(sP.getFileSystem(c), sP, dFs, tmp, false, true, c)
+            dFs.delete(dP, false)
+            if (!dFs.rename(tmp, dP)) {
+              dFs.delete(tmp, false)
+              throw new java.io.IOException(s"rename $tmp -> $dst failed")
+            }
           }
         }
       planned.map(_._2)

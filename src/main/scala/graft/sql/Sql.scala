@@ -185,7 +185,7 @@ object Sql {
            table: String, path: String): DataFrame = {
     spark.sql(
       s"CREATE TABLE `$database`.`$table` USING PARQUET " +
-        s"LOCATION ${SqlText.lit(path)} AS $sql")
+        s"LOCATION ${SqlText.lit(spark, path)} AS $sql")
     spark.table(s"`$database`.`$table`")
   }
 

@@ -218,6 +218,25 @@ class SourcesSpec extends SparkSpec {
     drv.foreach { case (rel, bytes) => assert(exec(rel) == bytes, rel) }
   }
 
+  test("overlapping source/target trees are rejected, not truncated") {
+    val root = tmpDir("src-overlap")
+    Files.write(s"$root/data/f.txt", "precious")
+    // self-copy would open each file and truncate the same inode
+    intercept[InvalidArgumentValue] {
+      FsOps.mergeDatasets(spark, s"$root/data", s"$root/data", "append")
+    }
+    // parent/child overlaps can clobber not-yet-copied sources
+    intercept[InvalidArgumentValue] {
+      FsOps.copyObjects(spark, Seq(s"$root/data/f.txt"),
+        s"$root/data", root)
+    }
+    intercept[InvalidArgumentValue] {
+      FsOps.mergeDatasets(spark, root, s"$root/data", "append")
+    }
+    // the data survived the rejections
+    assert(FsOps.listObjects(spark, s"$root/data").head.size > 0)
+  }
+
   test("waitObjects times out waiting for a missing object") {
     intercept[ServiceApiError] {
       FsOps.waitObjects(spark, Seq("/nonexistent/file"), exist = true,

@@ -29,6 +29,27 @@ class SqlSpec extends SparkSpec {
       Sql.canonicalize("select * from t where s = 'F'"))
   }
 
+  test("SqlText.lit renders valid literals under both parser modes") {
+    import graft.sql.SqlText
+    // default parser: backslash escapes, round-trip through spark.sql
+    assert(spark.sql(s"SELECT ${SqlText.lit(spark, raw"O'Brien \ co")}")
+      .head().getString(0) == raw"O'Brien \ co")
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try {
+      assert(spark.sql(s"SELECT ${SqlText.lit(spark, "O'Brien")}")
+        .head().getString(0) == "O'Brien")
+      assert(spark.sql(s"SELECT ${SqlText.lit(spark, raw"a\z")}")
+        .head().getString(0) == raw"a\z")
+      intercept[graft.exceptions.InvalidArgumentValue] {
+        SqlText.lit(spark, "both ' and \" quoted")
+      }
+      // canonicalize under the legacy parser: backslash before the
+      // closing quote does NOT extend the literal
+      val c = Sql.canonicalize(raw"SELECT '\', X", escapedStringLiterals = true)
+      assert(c.endsWith(", x"))
+    } finally spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+  }
+
   test("within TTL an equivalent query is a cache hit") {
     var now = 1_000_000L
     val clock = () => now

@@ -161,6 +161,17 @@ class WriterSpec extends SparkSpec {
     } finally spark.conf.unset(GraftSession.confKeys.concurrentWrites)
   }
 
+  test("fan-out salt survives dotted column names") {
+    // col("price.usd") parses as struct access — the salt must quote
+    val root = tmpDir("writer-dotcol")
+    val df = orders.select($"o_orderkey",
+      $"o_totalprice".as("price.usd"), $"o_orderstatus")
+    Writer.toParquet(spark, df, root,
+      WriteOptions(dataset = true, partitionCols = Seq("o_orderstatus"),
+        mode = "overwrite", filesPerPartition = Some(2)))
+    assert(spark.read.parquet(root).count() == orders.count())
+  }
+
   test("empty/duplicate/mode validation raises the reference errors") {
     val root = tmpDir("writer-validate")
     intercept[InvalidDataFrame] {
