@@ -116,10 +116,18 @@ object GraftFunctions {
     val registry = spark.sessionState.functionRegistry
     val ident = FunctionIdentifier("cosine_sim")
     if (registry.functionExists(ident)) {
-      if (!registered.containsKey(spark))
+      // the identity map misses CLONED sessions (Structured Streaming
+      // clones the session per micro-batch, copying the registry), so
+      // also accept an existing registration whose ExpressionInfo
+      // points at our own class
+      val ours = registered.containsKey(spark) ||
+        registry.lookupFunction(ident)
+          .exists(_.getClassName == classOf[CosineSimilarity].getName)
+      if (!ours)
         throw graft.exceptions.InvalidArgumentCombination(
           "a different function named cosine_sim is already registered " +
             "in this session; graft's native expression would be shadowed")
+      registered.put(spark, java.lang.Boolean.TRUE)
     } else {
       registered.put(spark, java.lang.Boolean.TRUE)
       registry.registerFunction(

@@ -287,6 +287,10 @@ object Dedup {
     * re-shingle of just the candidate corpus docs for the exact
     * verify — corpus text is never touched wholesale. Ids must be
     * unique across corpus and batch.
+    *
+    * The returned pairs are already materialized (persisted; the
+    * probe's intermediates are released before returning) —
+    * `.unpersist()` the result when done.
     */
   def probeMinhashIndex(indexPath: String, corpus: DataFrame,
                         newDf: DataFrame, idCol: String, textCol: String,
@@ -364,7 +368,7 @@ object Dedup {
       .join(newShingles.select(col("id").as("id_b"), col("s")),
         Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("ix"))
-    inter
+    val result = inter
       .join(sizesA.select(col("id").as("id_a"), col("na")), "id_a")
       .join(sizesB.select(col("id").as("id_b"), col("nb")), "id_b")
       .withColumn("jaccard",
@@ -372,6 +376,16 @@ object Dedup {
           .cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (tiny) pair result, then release the probe's
+    // intermediates — a per-micro-batch caller (dedupIngestStream)
+    // would otherwise accumulate four cached frames per batch forever
+    result.count()
+    newShingles.unpersist(blocking = false)
+    newSig.unpersist(blocking = false)
+    strong.unpersist(blocking = false)
+    corpusShingles.unpersist(blocking = false)
+    result
   }
 
   /** Connected components over a near-duplicate pair list: the step
@@ -413,6 +427,12 @@ object Dedup {
     // unpersisted as soon as they are superseded — only the final
     // round's blocks (backing the returned frame) remain, freed by
     // ContextCleaner when the frame is GC'd.
+    // materialize edges BEFORE the first tracked checkpoint: any
+    // upstream persist (edges itself, or caches inside the pairs
+    // pipeline) that first materializes DURING a checkpoint job would
+    // land in that round's RDD diff and get force-unpersisted after
+    // round 1 — silently recomputing the pair pipeline every round
+    edges.count()
     val sc = pairs.sparkSession.sparkContext
     def checkpointTracked(df: DataFrame)
         : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
@@ -539,6 +559,9 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
+    if (maxHamming < 0 || maxHamming >= SimhashBits)
+      throw InvalidArgumentValue(
+        s"maxHamming must be in [0, ${SimhashBits - 1}], got $maxHamming")
     val chunks = maxHamming + 1
     val chunkBits = (SimhashBits + chunks - 1) / chunks
     val mask = (1L << chunkBits) - 1

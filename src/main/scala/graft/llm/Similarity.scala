@@ -63,6 +63,19 @@ object Similarity {
     df.select(col(idCol).cast("long").as(id),
       transform(col(vecCol), x => x.cast("double")).as(vec))
 
+  /** First-row dimensionality guard: a mismatch would otherwise
+    * surface as an opaque ArrayIndexOutOfBounds inside the compiled
+    * kernel on some executor (ragged rows beyond the first are the
+    * caller's contract).
+    */
+  private def requireSameDim(q: DataFrame, c: DataFrame): Unit = {
+    val qd = q.head(1).headOption.map(_.getSeq[Double](1).length)
+    val cd = c.head(1).headOption.map(_.getSeq[Double](1).length)
+    for (x <- qd; y <- cd)
+      if (x != y) throw InvalidArgumentValue(
+        s"embedding dimensions differ: queries=$x corpus=$y")
+  }
+
   /** Two-phase distributed top-k: per-Spark-partition local top-k,
     * then global top-k over the k·P survivors — no single window
     * partition ever holds the whole corpus.
@@ -72,7 +85,12 @@ object Similarity {
       .orderBy(col("sim").desc, col("cid").asc)
     val globalW = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid").asc)
-    scored.withColumn("__lr", row_number().over(localW))
+    scored
+      // Spark orders NaN ABOVE every double, so a zero vector (cosine
+      // 0/0 = NaN) would otherwise outrank the true best match for
+      // every query; undefined similarity = no match
+      .filter(!isnan(col("sim")))
+      .withColumn("__lr", row_number().over(localW))
       .filter(col("__lr") <= k).drop("__lr")
       .withColumn("rnk", row_number().over(globalW).cast("long"))
       .filter(col("rnk") <= k)
@@ -91,6 +109,7 @@ object Similarity {
     if (k <= 0) throw InvalidArgumentValue(s"k must be positive, got $k")
     val q = asDoubleVec(queries, queryId, vecCol, "qid", "qv")
     val c = asDoubleVec(corpus, corpusId, vecCol, "cid", "cv")
+    requireSameDim(q, c)
     val scored = scorePairs(
       c.crossJoin(broadcast(q)).select("qid", "cid", "qv", "cv"),
       "qid", "cid")
@@ -179,9 +198,10 @@ object Similarity {
     // re-reads the corpus vectors
     val c = asDoubleVec(corpus, corpusId, vecCol, "cid", "cv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = asDoubleVec(queries, queryId, vecCol, "qid", "qv")
+    requireSameDim(q, c)
     val centroids = trainCentroids(c, nlist, kmeansIters)
     val bucketed = assignCells(c, centroids)
-    val q = asDoubleVec(queries, queryId, vecCol, "qid", "qv")
     val probes = probeCells(q, centroids, nprobe)
     val scored = scorePairs(
       bucketed.join(broadcast(probes), "cell")
@@ -238,6 +258,11 @@ object Similarity {
       throw InvalidArgumentValue(
         s"nprobe ($nprobe) > index nlist (${centroids.length})")
     val q = asDoubleVec(queries, queryId, vecCol, "qid", "qv")
+    q.head(1).headOption.map(_.getSeq[Double](1).length).foreach { qd =>
+      if (centroids.nonEmpty && qd != centroids.head.length)
+        throw InvalidArgumentValue(
+          s"query dimension $qd != index dimension ${centroids.head.length}")
+    }
     val probes = probeCells(q, centroids, nprobe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wanted = probes.select("cell").distinct()

@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Whitespace tokens of the lowercased text. Note: `split` keeps a
+    * leading "" token when text starts with whitespace (and returns
+    * [""] for empty text) — kept deliberately, because the DuckDB
+    * correctness oracles compute `string_split_regex` with the exact
+    * same behavior and parity is the contract; trim upstream if the
+    * phantom token matters.
+    */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
   /** Per-document statistics:

@@ -69,7 +69,12 @@ object Logs {
       endTimeMs, limit)
     val fields = rows.flatMap(_.map(_._1)).distinct
       .filterNot(_ == "@ptr")
-    val names = fields.map(_.stripPrefix("@"))
+    // @x keeps its prefix when a plain field x also exists — stripping
+    // both onto one name would build a duplicate-column frame
+    val names = fields.map { f =>
+      val stripped = f.stripPrefix("@")
+      if (f.startsWith("@") && fields.contains(stripped)) f else stripped
+    }
     val schema = StructType(names.map(StructField(_, StringType)))
     val data = rows.map { r =>
       val byField = r.toMap

@@ -131,8 +131,11 @@ object Streaming {
     * `probeMinhashIndex` flow, i.e. a training-data ingestion pipe
     * that stays clean against a 5B-doc corpus without ever rescanning
     * it. Within-batch near-dups are not resolved here (run
-    * `dedupNearDups` over the landed data, or keep batches small);
-    * exactly-once appends come from the checkpoint location as usual.
+    * `dedupNearDups` over the landed data, or keep batches small).
+    * Each micro-batch lands in its own `batch=<id>` directory via a
+    * full overwrite, so a restart that replays a batch REPLACES its
+    * output instead of appending it twice — effectively-once, where a
+    * plain append would only be at-least-once.
     */
   def dedupIngestStream(stream: DataFrame, idCol: String,
                         textCol: String, indexPath: String,
@@ -141,15 +144,17 @@ object Streaming {
                         threshold: Double = 0.8,
                         minBandMatches: Int = 1): StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val flagged = graft.llm.Dedup.probeMinhashIndex(
-            indexPath, corpus, batch, idCol, textCol,
-            threshold = threshold, minBandMatches = minBandMatches)
-          .select(col("id_b").as("__dup_id")).distinct()
-        batch
-          .join(flagged, batch(idCol).cast("long") === col("__dup_id"),
-            "left_anti")
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dups = graft.llm.Dedup.probeMinhashIndex(
+          indexPath, corpus, batch, idCol, textCol,
+          threshold = threshold, minBandMatches = minBandMatches)
+        try {
+          val flagged = dups.select(col("id_b").as("__dup_id")).distinct()
+          batch
+            .join(flagged, batch(idCol).cast("long") === col("__dup_id"),
+              "left_anti")
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        } finally dups.unpersist(blocking = false)
       }
       .option("checkpointLocation", checkpointDir)
       .start()

@@ -55,12 +55,21 @@ object AthenaTypes {
   }
 
   private def parseDecimal(t: String): DataType = {
-    val inner = t.substring(t.indexOf('(') + 1, t.lastIndexOf(')'))
-    val parts = inner.split(',').map(_.trim)
-    parts match {
+    val open = t.indexOf('(')
+    val close = t.lastIndexOf(')')
+    // bare `decimal` is valid Athena/Hive and means decimal(10,0)
+    if (open < 0 && t.trim.equalsIgnoreCase("decimal"))
+      return DecimalType(10, 0)
+    if (open < 0 || close < open)
+      throw UnsupportedType(s"Bad decimal type: $t")
+    val parts = t.substring(open + 1, close).split(',').map(_.trim)
+    try parts match {
       case Array(p)    => DecimalType(p.toInt, 0)
       case Array(p, s) => DecimalType(p.toInt, s.toInt)
       case _ => throw UnsupportedType(s"Bad decimal type: $t")
+    } catch {
+      case _: NumberFormatException =>
+        throw UnsupportedType(s"Bad decimal type: $t")
     }
   }
 

@@ -140,6 +140,28 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("zero vectors never outrank real matches in top-k") {
+    // cosine(0-vector, q) = 0/0 = NaN, and Spark sorts NaN above every
+    // double — without the NaN guard the zero vector would be rank 1
+    // for every query
+    val corpus = emb.filter($"vec_id" >= 3 && $"vec_id" < 50)
+      .select("vec_id", "embedding")
+      .unionByName(Seq((999L, Seq.fill(64)(0.0f)))
+        .toDF("vec_id", "embedding"))
+    val queries = emb.filter($"vec_id" < 3).select("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "vec_id", "embedding", k = 5)
+    assert(top.filter($"cid" === 999L).count() == 0)
+    assert(top.groupBy("qid").count().filter($"count" =!= 5).count() == 0)
+    // dimension mismatch is a typed error, not an executor crash
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Similarity.bruteForceTopK(
+        corpus, queries.select($"vec_id",
+          slice($"embedding", 1, 32).as("embedding")),
+        "vec_id", "vec_id", "embedding", k = 5)
+    }
+  }
+
   test("int8 quantization round-trips within scale/2 per element") {
     // deterministic subset: limit() without ordering may pick
     // different rows across the two evaluations
