@@ -62,8 +62,12 @@ object QueriesLlm {
     */
   def q52DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
+    // persisted: dupClusters' symmetric edge union reads the pair
+    // frame twice, and the simhash candidate self-join is the
+    // dominant cost — without this it would execute twice
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text",
-      maxHamming = 3)
+        maxHamming = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one propagation run feeds both the sizes and the survivor count
     // (label propagation itself is iterative and therefore eager;
     // everything below it stays a lazy plan)
@@ -234,17 +238,21 @@ object QueriesLlm {
   /** q48 — int8 quantization error THROUGH the module (quantize →
     * dequantize → elementwise error), aggregated by label; the oracle
     * recomputes the same round(x/scale)·scale arithmetic exactly.
+    * Per-element error via posexplode + element_at (codegen'd) — the
+    * zip_with/array_max HOF form is CodegenFallback, the interpreted
+    * trap this repo's bulk paths avoid.
     */
   def q48QuantizeError(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
     emb.select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        posexplode(col("embedding")).as(Seq("pos", "x")))
       .join(q, "vec_id")
-      .select(col("label"),
-        array_max(zip_with(col("v"),
-          Similarity.dequantize(col("qvec"), col("scale")),
-          (a, b) => abs(a - b))).as("err"))
+      .select(col("vec_id"), col("label"),
+        abs(col("x").cast("double") -
+          element_at(col("qvec"), col("pos") + 1).cast("double") *
+            col("scale")).as("e"))
+      .groupBy("vec_id", "label").agg(max("e").as("err"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
            round(avg("err"), 6).as("avg_max_err"),

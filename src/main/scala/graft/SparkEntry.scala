@@ -27,11 +27,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.starJoin(spark, "/root/testdata/sf0.001")
 
+  /** `++` would silently SHADOW a query re-registered under the same
+    * key in a later module (it would just vanish from the correctness
+    * dump), so key-set disjointness is asserted at merge time.
+    */
+  private def disjointMerge[V](maps: Map[String, V]*): Map[String, V] = {
+    val dups = maps.flatMap(_.keys)
+      .groupBy(identity).collect { case (k, ks) if ks.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate query keys across registries: ${dups.mkString(", ")}")
+    maps.reduce(_ ++ _)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.registry ++ QueriesRelational2.registry ++
-      QueriesWrite.registry ++ QueriesLlm.registry
+    disjointMerge(Queries.registry, QueriesRelational2.registry,
+      QueriesWrite.registry, QueriesLlm.registry)
 
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ QueriesRelational2.oracles ++
-      QueriesWrite.oracles ++ QueriesLlm.oracles
+    disjointMerge(Queries.oracles, QueriesRelational2.oracles,
+      QueriesWrite.oracles, QueriesLlm.oracles)
 }
