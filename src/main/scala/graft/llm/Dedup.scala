@@ -127,7 +127,10 @@ object Dedup {
     *   matches at Jaccard J is bands·J^r — 13 at J=0.8 vs 0.2 at
     *   J=0.27 with b=32, r=4 — so m=3 costs ~1e-5 recall at the
     *   threshold while cutting the exact-verify set by ~100×)
-    * @return (idA, idB, jaccard) with idA < idB
+    * @return (idA, idB, jaccard) with idA < idB. The returned pairs
+    *   are already materialized (persisted; the funnel's intermediates
+    *   are released before returning) — `.unpersist()` the result when
+    *   done
     *
     * Candidate funnel, widest to narrowest: band-bucket self-join →
     * `minBandMatches` band-agreement count → signature-similarity
@@ -215,7 +218,7 @@ object Dedup {
       .join(shingleRows.select(col("id").as("id_b"), col("s")),
         Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("ix"))
-    inter
+    val result = inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
       .withColumn("jaccard",
@@ -223,6 +226,14 @@ object Dedup {
           .cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (tiny) pair result, then release the funnel's
+    // intermediates — a library caller looping over corpora would
+    // otherwise accumulate two cached frames per call forever
+    result.count()
+    shingleRows.unpersist(blocking = false)
+    sig.unpersist(blocking = false)
+    result
   }
 
   /** Materialize a reusable minhash signature index for `df` at
@@ -555,7 +566,10 @@ object Dedup {
     * untouched chunk — so the chunk-bucket join is an exact superset
     * of the answer and the bit_count verification makes it exact.
     *
-    * @return (idA, idB, hamming) with idA < idB
+    * @return (idA, idB, hamming) with idA < idB. The returned pairs
+    *   are already materialized (persisted; the chunk table is
+    *   released before returning) — `.unpersist()` the result when
+    *   done
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
@@ -580,7 +594,7 @@ object Dedup {
         col("c.ci").as("ci"), col("c.cv").as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    chunked.as("x")
+    val result = chunked.as("x")
       .join(chunked.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
           col("x.id") < col("y.id"))
@@ -589,5 +603,10 @@ object Dedup {
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize, then release the chunk table (see minhashNearDups)
+    result.count()
+    chunked.unpersist(blocking = false)
+    result
   }
 }

@@ -187,6 +187,10 @@ object Similarity {
     * exhaustive and exactly equals brute force (that configuration is
     * what the correctness gate checks); nprobe < nlist is the 100 TB
     * path — the scan touches |corpus|·nprobe/nlist rows.
+    *
+    * The returned top-k frame is already materialized (persisted; the
+    * cached corpus vectors are released before returning) —
+    * `.unpersist()` the result when done.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               corpusId: String, queryId: String, vecCol: String,
@@ -207,7 +211,14 @@ object Similarity {
       bucketed.join(broadcast(probes), "cell")
         .select("qid", "cid", "qv", "cv"),
       "qid", "cid")
-    topK(scored, k)
+    val result = topK(scored, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (k·|queries|-row) result, then release the
+    // corpus vector cache — a caller looping over query batches would
+    // otherwise accumulate one cached corpus per call
+    result.count()
+    c.unpersist(blocking = false)
+    result
   }
 
   /** Materialize a reusable IVF index: cell assignments as parquet
@@ -246,6 +257,10 @@ object Similarity {
     * resolved driver-side from the (tiny) centroids table, so the
     * cell scan carries a LITERAL `cell IN (...)` filter — static
     * partition pruning; unprobed cells are never read or listed.
+    *
+    * The returned top-k frame is already materialized (persisted; the
+    * probe-list cache is released before returning) — `.unpersist()`
+    * the result when done.
     */
   def probeIvfIndex(path: String, queries: DataFrame, queryId: String,
                     vecCol: String, k: Int, nprobe: Int): DataFrame = {
@@ -273,7 +288,13 @@ object Similarity {
       cells.join(broadcast(probes), "cell")
         .select("qid", "cid", "qv", "cv"),
       "qid", "cid")
-    topK(scored, k)
+    val result = topK(scored, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize, then release the probe list — the per-batch caller
+    // pattern (one probe per arriving query batch) must not accumulate
+    result.count()
+    probes.unpersist(blocking = false)
+    result
   }
 
   /** Int8 scalar quantization of an embedding column: per-vector
@@ -310,6 +331,10 @@ object Similarity {
     *
     * Recall at cos=c: 1−(1−(1−θ/π)^r)^b with θ=acos(c) — at c=0.99,
     * r=8, b=32 the miss probability is ~4e-17.
+    *
+    * The returned pairs are already materialized (persisted; the band
+    * signature cache is released before returning) — `.unpersist()`
+    * the result when done.
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bands: Int = 32,
@@ -360,7 +385,12 @@ object Similarity {
           col("id_b") === col("id")).drop("id")
         .select("id_a", "id_b", "va", "vb"),
       "id_a", "id_b")
-    verified.filter(col("sim") >= threshold)
+    val result = verified.filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize, then release the band signatures (see ivfTopK)
+    result.count()
+    banded.unpersist(blocking = false)
+    result
   }
 }

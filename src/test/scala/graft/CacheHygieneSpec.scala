@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Similarity}
+
+/** Cache-lifecycle contract for the LLM operators: each call may
+  * persist intermediates, but by the time it returns the ONLY blocks
+  * left in the CacheManager are the ones backing the returned
+  * (already-materialized) frame — released by the caller's single
+  * `.unpersist()`. A library caller looping over corpora/batches must
+  * not accumulate cached frames (the round-3 verdict's persist-leak
+  * trio).
+  *
+  * Methodology: diff `sc.getPersistentRDDs` around the call, then
+  * unpersist the returned frame and assert every NEW entry is gone —
+  * robust to residue other suites leave in the shared session.
+  */
+class CacheHygieneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.read(spark, sf, "documents")
+  private def emb = Tables.read(spark, sf, "embeddings")
+
+  /** Runs `op`, unpersists its result, and asserts no new persistent
+    * RDDs survive. Returns the row count so callers can sanity-check
+    * the operator actually did work.
+    */
+  private def assertReleasesAll(op: => DataFrame): Long = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val result = op
+    val n = result.count()
+    result.unpersist(blocking = true)
+    val leaked = sc.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty,
+      s"operator leaked ${leaked.size} persistent RDD(s): " +
+        leaked.toSeq.sorted.map(sc.getPersistentRDDs(_).name).mkString(", "))
+    n
+  }
+
+  test("minhashNearDups releases its shingle and signature caches") {
+    val n = assertReleasesAll(
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8))
+    assert(n > 0)
+  }
+
+  test("simhashNearDups releases its chunk cache") {
+    val n = assertReleasesAll(
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3))
+    assert(n > 0)
+  }
+
+  test("ivfTopK releases the corpus vector cache") {
+    val n = assertReleasesAll(
+      Similarity.ivfTopK(emb, emb.limit(3), "vec_id", "vec_id", "embedding",
+        k = 5, nlist = 4, nprobe = 4))
+    assert(n == 15)
+  }
+
+  test("cosineNearDups releases the band signature cache") {
+    assertReleasesAll(
+      Similarity.cosineNearDups(emb, "vec_id", "embedding",
+        threshold = 0.4))
+  }
+
+  test("probeMinhashIndex and probeIvfIndex release per-batch caches") {
+    val mhDir = tmpDir("graft-hyg-mh")
+    val corpus = docs.filter($"doc_id" < 400)
+    val batch = docs.filter($"doc_id" >= 400)
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", mhDir)
+    assertReleasesAll(
+      Dedup.probeMinhashIndex(mhDir, corpus, batch, "doc_id", "text"))
+
+    val ivfDir = tmpDir("graft-hyg-ivf")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", ivfDir, nlist = 4)
+    val n = assertReleasesAll(
+      Similarity.probeIvfIndex(ivfDir, emb.limit(2), "vec_id", "embedding",
+        k = 3, nprobe = 4))
+    assert(n == 6)
+  }
+
+  test("buildMinhashIndex and buildIvfIndex leave no caches behind") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    Dedup.buildMinhashIndex(docs, "doc_id", "text", tmpDir("graft-hyg-mh2"))
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      tmpDir("graft-hyg-ivf2"), nlist = 4)
+    val leaked = sc.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty, s"index build leaked ${leaked.size} RDD(s)")
+  }
+}
