@@ -1,6 +1,46 @@
 package graft
 
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Aggregates executor-side task metrics per job group (= per bench
+  * query). Attribution is exact: the stage→group mapping is recorded
+  * at stage submission (the submitting thread's job group rides along
+  * in the stage properties), so listener-bus lag can't smear one
+  * query's tail onto the next.
+  */
+private class StageMetricsListener extends SparkListener {
+  private val stageGroup = TrieMap[Int, String]()
+  /** group -> (shuffleReadB, shuffleWriteB, memSpillB, diskSpillB,
+    * taskTimeMs, gcMs, tasks)
+    */
+  val agg = TrieMap[String, Array[Long]]()
+
+  override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+    for {
+      props <- Option(e.properties)
+      g <- Option(props.getProperty("spark.jobGroup.id"))
+    } stageGroup.put(e.stageInfo.stageId, g)
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+    for {
+      g <- stageGroup.get(e.stageId)
+      m <- Option(e.taskMetrics)
+    } {
+      val a = agg.getOrElseUpdate(g, Array.fill(7)(0L))
+      a.synchronized {
+        a(0) += m.shuffleReadMetrics.totalBytesRead
+        a(1) += m.shuffleWriteMetrics.bytesWritten
+        a(2) += m.memoryBytesSpilled
+        a(3) += m.diskBytesSpilled
+        a(4) += m.executorRunTime
+        a(5) += m.jvmGCTime
+        a(6) += 1
+      }
+    }
+}
 
 /** Per-round benchmark main. Times every SparkEntry query at the
   * SPARK_GRAFT_SF_DIR scale factor and emits one JSON line.
@@ -21,11 +61,45 @@ import org.apache.spark.sql.SparkSession
   *   - a query that throws records -1 (NOT its time-to-failure, which
   *     reads as a plausible fast timing) and lands in the "errors"
   *     list;
+  *   - per-query executor metrics (shuffle read/write, spill, task
+  *     time, GC) are collected via a job-group-keyed listener and
+  *     emitted as "stageMetrics" (per-rep averages) — the difference
+  *     between wall time and task time is driver/scheduling/codegen
+  *     overhead, which is what distinguishes a real shuffle regression
+  *     from run-to-run noise;
+  *   - "q53_probe_only" is a bench-only extra (not a CORRECTNESS
+  *     query): q53 times index build + probe together, so this times
+  *     the probe against a pre-built index — the cost that actually
+  *     recurs per ingest batch;
   *   - the JSON line is printed to stdout AND written to
   *     $SPARK_GRAFT_BENCH_OUT (default bench_out.json) so the driver
   *     doesn't have to fish it out of the sbt log tail.
   */
 object Bench {
+
+  import org.apache.spark.sql.{functions => F}
+
+  /** Probe the pre-built (by `setupProbeIndex`) q53 index — the
+    * recurring half of the q53 incremental-dedup cycle.
+    */
+  private def probeOnly(spark: SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.read(spark, dir, "documents")
+    graft.llm.Dedup.probeMinhashIndex(Tables.scratch(dir, "q53b_idx"),
+      docs.filter(F.col("doc_id") < 400),
+      docs.filter(F.col("doc_id") >= 400),
+      "doc_id", "text", threshold = 0.8, minBandMatches = 3)
+  }
+
+  /** One-time (untimed) index build for `probeOnly`, same corpus split
+    * as q53.
+    */
+  private def setupProbeIndex(spark: SparkSession, dir: String): Unit = {
+    val docs = Tables.read(spark, dir, "documents")
+    graft.llm.Dedup.buildMinhashIndex(docs.filter(F.col("doc_id") < 400),
+      "doc_id", "text", Tables.scratch(dir, "q53b_idx"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -36,32 +110,44 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.applyEngineConf(spark)
+    val sc = spark.sparkContext
+    val metrics = new StageMetricsListener
+    sc.addSparkListener(metrics)
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             dir: String): Unit =
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      // LLM operators persist() their intermediates; free them between
-      // queries so 45 queries don't accumulate cached blocks
+      // LLM operators persist() their returned frame; free it between
+      // queries so 50 queries don't accumulate cached blocks
       finally spark.catalog.clearCache()
 
-    // warmup (untimed, small scale)
-    SparkEntry.queries.foreach { case (_, fn) =>
+    setupProbeIndex(spark, warmDir)
+    setupProbeIndex(spark, sfDir)
+    val queries = SparkEntry.queries + ("q53_probe_only" -> (probeOnly _))
+
+    // warmup (untimed, small scale; no job group → excluded from metrics)
+    queries.foreach { case (_, fn) =>
       try run(fn, warmDir) catch { case _: Throwable => () }
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = queries.keys.toSeq.sorted
     // timings(name) accumulates one entry per successful rep
     val timings = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     for (_ <- 1 to reps; name <- names) {
-      val fn = SparkEntry.queries(name)
+      val fn = queries(name)
+      sc.setJobGroup(name, s"bench $name")
       val t0 = System.nanoTime()
       try {
         run(fn, sfDir)
         timings(name) ::= (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => failed += name }
+      finally sc.clearJobGroup()
     }
+    // the listener bus is async; give in-flight task-end events a
+    // moment to land before reading the aggregates
+    Thread.sleep(2000)
 
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
@@ -76,10 +162,27 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // bench-only extras stay out of the headline total so it remains
+    // comparable round-over-round with the CORRECTNESS query set
+    val total = results.collect {
+      case (k, v) if v >= 0 && k != "q53_probe_only" => v
+    }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val sm = names.flatMap { name =>
+      val n = math.max(timings(name).size, 1)
+      metrics.agg.get(name).map { a =>
+        "\"" + name + "\":{" +
+          s""""shuffle_read_mb":${r3(a(0) / 1e6 / n)},""" +
+          s""""shuffle_write_mb":${r3(a(1) / 1e6 / n)},""" +
+          s""""spill_mb":${r3((a(2) + a(3)) / 1e6 / n)},""" +
+          s""""task_sec":${r3(a(4) / 1e3 / n)},""" +
+          s""""gc_sec":${r3(a(5) / 1e3 / n)},""" +
+          s""""tasks":${a(6) / n}}"""
+      }
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errs,"stageMetrics":$sm,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     println(line)
