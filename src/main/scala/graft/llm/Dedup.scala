@@ -459,18 +459,24 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // neighbor-min step; checkpointed because the pointer-jump
-      // self-join reads it twice
-      val (stepped, steppedRdds) = checkpointTracked(edges
+      // neighbor-min step. NOT checkpointed: its plan reads only the
+      // previous round's checkpoint (shallow, bounded), and although
+      // the pointer-jump self-join consumes it twice, the physical
+      // plan's identical exchange subtrees are deduplicated by
+      // ReuseExchange — so skipping this barrier saves one eager
+      // materialization job per round (~⅓ of the loop's jobs) without
+      // recomputing the step
+      val stepped = edges
         .join(labels.select(col("id").as("dst"), col("root").as("nroot")),
           "dst")
         .groupBy(col("src").as("id")).agg(min("nroot").as("mroot"))
         .join(labels, "id")
         .select(col("id"), least(col("root"), col("mroot")).as("root"),
-          col("root").as("prev"))) // prev rides along: convergence
-                                   // check needs no extra join
+          col("root").as("prev")) // prev rides along: convergence
+                                  // check needs no extra join
       // pointer jump: root := root's root (roots are node ids, so the
-      // lookup is a self-join on the stepped labels)
+      // lookup is a self-join on the stepped labels); the round's ONE
+      // checkpoint lands here, keeping plan growth truncated
       val (next, nextRdds) = checkpointTracked(stepped.as("a")
         .join(stepped.select(col("id").as("rid"), col("root").as("rroot"))
           .as("b"), col("a.root") === col("b.rid"), "left")
@@ -479,8 +485,7 @@ object Dedup {
             .as("root"),
           col("a.prev").as("prev")))
       changed = next.filter(col("root") < col("prev")).count()
-      // both inputs of this round are now superseded
-      steppedRdds.foreach(_.unpersist(blocking = false))
+      // the round's input labels are now superseded
       labelRdds.foreach(_.unpersist(blocking = false))
       labelRdds = nextRdds
       labels = next.drop("prev")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
+import graft.llm.Dedup
 import graft.operators.Relational
 import graft.sql.Sql
 import graft.types.AthenaTypes
@@ -149,6 +150,110 @@ class PropertySpec extends SparkSpec {
           Seq($"v".asc, $"id".asc), "b", numPartitions = Some(3))
         .select("id", "b").as[(Long, Long)].collect().toMap
       assert(got == expect)
+    }
+  }
+
+  // ---- dedup recall/precision contract ------------------------------
+
+  /** Driver-side replica of the operator's shingle definition:
+    * distinct lowercase char-k-grams with the same short-text edge
+    * (texts under k chars yield one whole-text shingle).
+    */
+  private def charShingles(text: String, k: Int = 4): Set[String] = {
+    val t = text.toLowerCase
+    (1 to math.max(t.length - (k - 1), 1)).map { i =>
+      t.substring(i - 1, math.min(i - 1 + k, t.length))
+    }.toSet
+  }
+
+  private def exactJaccard(a: String, b: String): Double = {
+    val (sa, sb) = (charShingles(a), charShingles(b))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+  }
+
+  /** Driver-side replica of simhashSignatures: token hash = first 15
+    * md5 hex chars as a long; bit b set iff set-votes ≥ half.
+    */
+  private def simhash60(text: String): Long = {
+    val hs = text.toLowerCase.split("\\s+").map { t =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    (0 until 60).map { b =>
+      if (2 * hs.count(h => ((h >> b) & 1L) == 1L) >= hs.length) 1L << b
+      else 0L
+    }.sum
+  }
+
+  /** Word-soup corpora: a few base docs plus mutated copies (one
+    * token swapped), so random cases contain true near-dups, exact
+    * dups, and a moderate-similarity background — the regime the LSH
+    * prefilters have to get right.
+    */
+  private val corpusGen: Gen[List[String]] = {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val docGen = Gen.chooseNum(5, 16)
+      .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    for {
+      nBase <- Gen.chooseNum(4, 7)
+      bases <- Gen.listOfN(nBase, docGen)
+      nMut <- Gen.chooseNum(1, 4)
+      muts <- Gen.listOfN(nMut, for {
+        bi <- Gen.chooseNum(0, nBase - 1)
+        pos <- Gen.chooseNum(0, 40)
+        w <- word
+      } yield (bi, pos, w))
+    } yield bases ++ muts.map { case (bi, pos, w) =>
+      val toks = bases(bi).split(" ")
+      toks.updated(pos % toks.length, w).mkString(" ")
+    }
+  }
+
+  test("minhashNearDups equals brute-force Jaccard on random corpora") {
+    // zero false positives ALWAYS (every pair is exact-verified) and
+    // zero false negatives at ≥ threshold: with b=32, r=4 the candidate
+    // miss probability at J=0.8 is (1−J⁴)^32 ≈ 5e-8 and the 6σ
+    // estimate-prefilter miss is ~1e-9 — both far below what ~dozens
+    // of random cases could surface, so exact set equality is the
+    // correct assertion (a tolerated miss would mask a logic bug)
+    forAllSeeded(corpusGen, cases = 10) { docsList =>
+      val df = docsList.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val res = Dedup.minhashNearDups(df, "doc_id", "text", threshold = 0.8)
+      val got = res.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      res.unpersist()
+      val expected = (for {
+        i <- docsList.indices; j <- docsList.indices if i < j
+        jac = exactJaccard(docsList(i), docsList(j)) if jac >= 0.8
+      } yield ((i.toLong, j.toLong), jac)).toMap
+      assert(got.keySet == expected.keySet,
+        s"minhash pairs differ; corpus=$docsList")
+      expected.foreach { case (k, v) =>
+        assert(math.abs(got(k) - v) < 1e-9)
+      }
+    }
+  }
+
+  test("simhashNearDups equals brute-force Hamming on random corpora") {
+    // pigeonhole chunking guarantees the candidate set is a superset,
+    // and bit_count verification makes it exact — so the operator must
+    // EQUAL the all-pairs computation, false-negative rate zero
+    forAllSeeded(corpusGen, cases = 10) { docsList =>
+      val df = docsList.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val res = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 3)
+      val got = res.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      res.unpersist()
+      val sigs = docsList.map(simhash60)
+      val expected = (for {
+        i <- docsList.indices; j <- docsList.indices if i < j
+        h = java.lang.Long.bitCount(sigs(i) ^ sigs(j)) if h <= 3
+      } yield ((i.toLong, j.toLong), h.toLong)).toMap
+      assert(got == expected, s"simhash pairs differ; corpus=$docsList")
     }
   }
 }
