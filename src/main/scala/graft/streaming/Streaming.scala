@@ -130,19 +130,23 @@ object Streaming {
     * `outPath` — the continuous form of the daily-batch
     * `probeMinhashIndex` flow, i.e. a training-data ingestion pipe
     * that stays clean against a 5B-doc corpus without ever rescanning
-    * it. Within-batch near-dups are not resolved here (run
-    * `dedupNearDups` over the landed data, or keep batches small).
-    * Each micro-batch lands in its own `batch=<id>` directory via a
-    * full overwrite, so a restart that replays a batch REPLACES its
-    * output instead of appending it twice — effectively-once, where a
-    * plain append would only be at-least-once.
+    * it. With `dedupWithinBatch` the batch is additionally self-paired
+    * (`minhashNearDups` + one-winner-per-cluster), so a batch that
+    * carries its own internal near-dups lands exactly one survivor per
+    * cluster; both passes are deterministic, preserving replay
+    * idempotence. Each micro-batch lands in its own `batch=<id>`
+    * directory via a full overwrite, so a restart that replays a batch
+    * REPLACES its output instead of appending it twice —
+    * effectively-once, where a plain append would only be
+    * at-least-once.
     */
   def dedupIngestStream(stream: DataFrame, idCol: String,
                         textCol: String, indexPath: String,
                         corpus: DataFrame, outPath: String,
                         checkpointDir: String,
                         threshold: Double = 0.8,
-                        minBandMatches: Int = 1): StreamingQuery =
+                        minBandMatches: Int = 1,
+                        dedupWithinBatch: Boolean = false): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dups = graft.llm.Dedup.probeMinhashIndex(
@@ -150,10 +154,23 @@ object Streaming {
           threshold = threshold, minBandMatches = minBandMatches)
         try {
           val flagged = dups.select(col("id_b").as("__dup_id")).distinct()
-          batch
+          val survivors = batch
             .join(flagged, batch(idCol).cast("long") === col("__dup_id"),
               "left_anti")
-            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          val dest = s"$outPath/batch=$batchId"
+          if (!dedupWithinBatch)
+            survivors.write.mode("overwrite").parquet(dest)
+          else {
+            val pairs = graft.llm.Dedup.minhashNearDups(
+              survivors, idCol, textCol,
+              threshold = threshold, minBandMatches = minBandMatches)
+            // dedupNearDups' cluster labels materialize eagerly
+            // (dupClusters is iterative), so pairs is only read
+            // during the call; released right after the write
+            try graft.llm.Dedup.dedupNearDups(survivors, idCol, pairs)
+              .write.mode("overwrite").parquet(dest)
+            finally pairs.unpersist(blocking = false)
+          }
         } finally dups.unpersist(blocking = false)
       }
       .option("checkpointLocation", checkpointDir)

@@ -98,6 +98,60 @@ class StreamingSpec extends SparkSpec {
     assert(landed == expected)
   }
 
+  test("within-batch ingest dedup lands one survivor per internal near-dup pair") {
+    import graft.llm.Dedup
+    import spark.implicits._
+    val docs = Tables.read(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val base = docs.filter(col("doc_id") >= 400).select("doc_id", "text")
+    val idx = tmpDir("stream-wb-idx")
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+
+    // plant an internal near-dup: clone a batch doc that is NOT
+    // itself a corpus dup (else the probe would drop both halves of
+    // the planted pair and the test would assert nothing)
+    val preDup = Dedup.probeMinhashIndex(idx, corpus, base,
+      "doc_id", "text", minBandMatches = 3)
+    val dupIds = preDup.select("id_b").as[Long].collect().toSet
+    preDup.unpersist()
+    val cloneSrc = (base.select("doc_id").as[Long].collect().toSet --
+      dupIds).min
+    val batch = base.unionByName(
+      base.filter(col("doc_id") === cloneSrc)
+        .select((col("doc_id") + 9000).as("doc_id"), col("text")))
+
+    val srcDir = tmpDir("stream-wb-src")
+    // one file + high maxFilesPerTrigger = the planted pair shares a
+    // micro-batch (within-batch dedup is per-micro-batch by design)
+    batch.coalesce(1).write.mode("overwrite").parquet(srcDir + "/in")
+    val outDir = tmpDir("stream-wb-out") + "/clean"
+    val q = Streaming.dedupIngestStream(
+      Streaming.readParquetStream(spark, srcDir + "/in", batch,
+        maxFilesPerTrigger = 100),
+      "doc_id", "text", idx, corpus, outDir,
+      tmpDir("stream-wb-ckpt"), minBandMatches = 3,
+      dedupWithinBatch = true)
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+
+    // batch-mode oracle: corpus-dup removal, then one-per-cluster
+    val dups = Dedup.probeMinhashIndex(idx, corpus, batch,
+      "doc_id", "text", minBandMatches = 3)
+    val survivors = batch.join(
+      dups.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    dups.unpersist()
+    val pairs = Dedup.minhashNearDups(survivors, "doc_id", "text",
+      minBandMatches = 3)
+    val expected = Dedup.dedupNearDups(survivors, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    pairs.unpersist()
+    assert(landed == expected)
+    // the planted pair resolved to its min-id winner
+    assert(landed.contains(cloneSrc) && !landed.contains(cloneSrc + 9000))
+  }
+
   test("dedup within watermark drops injected duplicates") {
     val dup = events.limit(100)
     val withDups = events.unionByName(dup)
