@@ -20,6 +20,14 @@ import graft.types.AthenaTypes
   */
 object Catalog {
 
+  /** Mutating DDL changes what a `SELECT` can see, so every mutating
+    * entry point below drops the session's SQL result cache — an
+    * engine extension beyond the reference's TTL-only reuse (a cached
+    * result must never serve pre-overwrite data inside its TTL).
+    */
+  private def invalidateSqlCache(spark: SparkSession): Unit =
+    graft.sql.Sql.invalidateCache(spark)
+
   private def q(ident: String): String = s"`${ident.replace("`", "``")}`"
   private def qt(database: String, table: String): String =
     s"${q(database)}.${q(table)}"
@@ -35,13 +43,16 @@ object Catalog {
       if (description.nonEmpty) s" COMMENT ${lit(spark, description)}"
       else ""
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${q(name)}$comment")
+    invalidateSqlCache(spark)
   }
 
   /** reference: catalog.delete_database (catalog/_delete.py:17-44) */
   def deleteDatabase(spark: SparkSession, name: String,
-                     cascade: Boolean = true): Unit =
+                     cascade: Boolean = true): Unit = {
     spark.sql(s"DROP DATABASE IF EXISTS ${q(name)}" +
       (if (cascade) " CASCADE" else ""))
+    invalidateSqlCache(spark)
+  }
 
   /** Database names as a DataFrame (reference: catalog.databases). */
   def databases(spark: SparkSession): DataFrame =
@@ -156,6 +167,7 @@ object Catalog {
         s"USING $format$optClause$partClause$commentClause" +
         s" LOCATION ${lit(spark, path)}$propsClause")
     if (partitionsTypes.nonEmpty) repairTable(spark, database, table)
+    invalidateSqlCache(spark)
   }
 
   /** Glue-table-version emulation: the current version number plus the
@@ -184,20 +196,24 @@ object Catalog {
     * "no MSCK REPAIR needed" add-all path, catalog/_add.py:38-159,
     * is exactly what RECOVER PARTITIONS does natively).
     */
-  def repairTable(spark: SparkSession, database: String, table: String): Unit =
+  def repairTable(spark: SparkSession, database: String, table: String): Unit = {
     spark.sql(s"MSCK REPAIR TABLE ${qt(database, table)}")
+    invalidateSqlCache(spark)
+  }
 
   /** Explicit partition registration
     * (reference: catalog.add_parquet_partitions).
     */
   def addPartitions(spark: SparkSession, database: String, table: String,
-                    partitions: Seq[Map[String, String]]): Unit =
+                    partitions: Seq[Map[String, String]]): Unit = {
     partitions.foreach { spec =>
       val kv = spec.map { case (k, v) =>
         s"${q(k)}=${lit(spark, v)}" }.mkString(", ")
       spark.sql(
         s"ALTER TABLE ${qt(database, table)} ADD IF NOT EXISTS PARTITION ($kv)")
     }
+    invalidateSqlCache(spark)
+  }
 
   /** Partition specs currently registered
     * (reference: catalog.get_partitions).
@@ -213,18 +229,22 @@ object Catalog {
       }
 
   def deletePartitions(spark: SparkSession, database: String, table: String,
-                       partitions: Seq[Map[String, String]]): Unit =
+                       partitions: Seq[Map[String, String]]): Unit = {
     partitions.foreach { spec =>
       val kv = spec.map { case (k, v) =>
         s"${q(k)}=${lit(spark, v)}" }.mkString(", ")
       spark.sql(
         s"ALTER TABLE ${qt(database, table)} DROP IF EXISTS PARTITION ($kv)")
     }
+    invalidateSqlCache(spark)
+  }
 
   /** reference: catalog.delete_table_if_exists (catalog/_delete.py:47) */
   def deleteTableIfExists(spark: SparkSession, database: String,
-                          table: String): Unit =
+                          table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${qt(database, table)}")
+    invalidateSqlCache(spark)
+  }
 
   /** Table metadata as a DataFrame (reference: catalog.tables returns a
     * pandas DF of table metadata).
@@ -337,6 +357,7 @@ object Catalog {
         .map { case (k, v) => s"${lit(spark, k)}=${lit(spark, v)}" }
         .mkString(", ")
       spark.sql(s"ALTER TABLE ${qt(database, table)} SET TBLPROPERTIES ($kv)")
+      invalidateSqlCache(spark)
     }
     getTableParameters(spark, database, table)
   }

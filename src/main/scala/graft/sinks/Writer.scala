@@ -218,6 +218,10 @@ object Writer {
         cols, parts, catalogMode)
       if (effective.partitionCols.nonEmpty)
         graft.catalog.Catalog.repairTable(spark, database, table)
+      // append mode reaches here without any DDL (createParquetTable
+      // keeps an existing definition), but the path's DATA changed —
+      // a cached SELECT must not serve the pre-write result within TTL
+      graft.sql.Sql.invalidateCache(spark)
     } catch {
       case e: Throwable =>
         val fresh = FsOps.listObjects(spark, path).map(_.path)

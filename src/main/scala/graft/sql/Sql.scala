@@ -186,6 +186,7 @@ object Sql {
     spark.sql(
       s"CREATE TABLE `$database`.`$table` USING PARQUET " +
         s"LOCATION ${SqlText.lit(spark, path)} AS $sql")
+    invalidateCache(spark)
     spark.table(s"`$database`.`$table`")
   }
 

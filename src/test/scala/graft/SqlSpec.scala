@@ -82,6 +82,32 @@ class SqlSpec extends SparkSpec {
     assert(!r1.metadata.cacheHit && !r2.metadata.cacheHit)
   }
 
+  test("a cataloged write invalidates cached SELECTs within their TTL") {
+    import spark.implicits._
+    import graft.sinks.Writer
+    val db = "cache_inval_db"
+    val dir = tmpDir("sql-cache-inval")
+    graft.catalog.Catalog.createDatabase(spark, db)
+    try {
+      Writer.toParquetCataloged(spark, Seq((1L, "a")).toDF("id", "s"),
+        dir, db, "t", Writer.WriteOptions(mode = "overwrite"))
+      val sql = s"SELECT count(*) AS n FROM $db.t"
+      val r1 = Sql.readSqlQuery(spark, sql, Some(600))
+      assert(!r1.metadata.cacheHit && r1.df.head().getLong(0) == 1L)
+      // the overwrite lands inside r1's 600s TTL; without
+      // invalidation the stale 1-row result would be served
+      Writer.toParquetCataloged(spark,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"),
+        dir, db, "t", Writer.WriteOptions(mode = "overwrite"))
+      val r2 = Sql.readSqlQuery(spark, sql, Some(600))
+      assert(!r2.metadata.cacheHit)
+      assert(r2.df.head().getLong(0) == 3L)
+    } finally {
+      graft.catalog.Catalog.deleteDatabase(spark, db)
+      Sql.invalidateCache(spark)
+    }
+  }
+
   test("the graft.sql.maxCacheSeconds conf drives the default TTL") {
     spark.conf.set(GraftSession.confKeys.cacheSeconds, "300")
     try {
