@@ -101,6 +101,28 @@ object QueriesLlm {
       .orderBy("id_a", "id_b")
   }
 
+  /** q54 — index APPEND path: the base index signs docs < 300; docs
+    * [300, 400) arrive later and fold in via `appendToMinhashIndex`
+    * (an idempotent batch-tagged partition overwrite); docs >= 400
+    * then probe the combined index. Oracle identical to q53 — growing
+    * the index by appends must be indistinguishable from building it
+    * over the full corpus in one shot.
+    */
+  def q54DedupIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val idx = Tables.scratch(dir, "q54_idx")
+    Dedup.buildMinhashIndex(docs.filter(col("doc_id") < 300),
+      "doc_id", "text", idx)
+    Dedup.appendToMinhashIndex(
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+      "doc_id", "text", idx, "day1")
+    Dedup.probeMinhashIndex(idx, docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400), "doc_id", "text",
+        threshold = 0.8, minBandMatches = 3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** q33 — exact cosine top-10: first five vectors query the rest. */
   def q33AnnTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -277,7 +299,8 @@ object QueriesLlm {
     "q47_hash_sample"    -> (q47HashSample _),
     "q48_quantize_error" -> (q48QuantizeError _),
     "q52_dedup_clusters" -> (q52DedupClusters _),
-    "q53_dedup_incremental" -> (q53DedupIncremental _))
+    "q53_dedup_incremental" -> (q53DedupIncremental _),
+    "q54_dedup_index_append" -> (q54DedupIndexAppend _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -310,6 +333,26 @@ object QueriesLlm {
          WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.8
          ORDER BY id_a, id_b""",
     "q53_dedup_incremental" ->
+      """WITH pos AS (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(length(text) - 3, 1))) AS i
+              FROM documents),
+         sh AS (SELECT DISTINCT doc_id, substr(lower(text), i::INT, 4) AS s
+                FROM pos),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+                   FROM sh a JOIN sh b ON a.s = b.s
+                   WHERE a.doc_id < 400 AND b.doc_id >= 400
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(ix * 1.0 / (sa.n + sb.n - ix), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.8
+         ORDER BY id_a, id_b""",
+    // identical to q53's oracle on purpose: the engine-side append
+    // path must produce exactly what a one-shot full build produces
+    "q54_dedup_index_append" ->
       """WITH pos AS (SELECT doc_id, text,
                 unnest(generate_series(1, greatest(length(text) - 3, 1))) AS i
               FROM documents),

@@ -237,18 +237,60 @@ object Dedup {
   }
 
   /** Materialize a reusable minhash signature index for `df` at
-    * `path` (parquet, schema (id, m0..m{numHashes-1})). The
-    * incremental-ingest primitive: a 5B-document corpus signs ONCE;
-    * each day's batch then probes the stored signatures instead of
-    * re-reading 100 TB of text (`probeMinhashIndex`).
+    * `path` (parquet partitioned by a `batch` tag, schema
+    * (id, m0..m{numHashes-1}, batch='base')). The incremental-ingest
+    * primitive: a 5B-document corpus signs ONCE; each day's batch then
+    * probes the stored signatures instead of re-reading 100 TB of text
+    * (`probeMinhashIndex`), and each day's SURVIVORS fold into the
+    * index via `appendToMinhashIndex` so tomorrow dedups against
+    * today.
+    *
+    * The write is a STATIC overwrite of the whole path: a rebuild must
+    * also clear every previously appended `batch=` partition, or
+    * stale appends would resurface documents the new base no longer
+    * contains.
     */
   def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
                         path: String, shingleK: Int = 4,
                         numHashes: Int = 128, seed: Long = 42L): Unit = {
     signaturesOf(shingleHashRows(df, idCol, textCol, shingleK),
       numHashes, seed)
-      .write.mode("overwrite").parquet(path)
+      .withColumn("batch", lit(BaseBatchTag))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("batch").parquet(path)
     writeIndexMeta(df.sparkSession, path, shingleK, numHashes, seed)
+  }
+
+  private val BaseBatchTag = "base"
+
+  /** Fold a new document batch into an existing minhash index: sign
+    * `df` with the index's own parameters (validated against the
+    * sidecar meta) and land the signatures under `batch=<batchTag>`.
+    *
+    * The write is a DYNAMIC overwrite of just that partition, so
+    * re-running a failed or replayed daily append with the same tag
+    * REPLACES its previous output instead of double-signing —
+    * idempotent per tag, which is what makes unattended retry safe.
+    * Ids must be unique across the base corpus and every appended
+    * batch (same contract as `probeMinhashIndex`).
+    */
+  def appendToMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                           path: String, batchTag: String,
+                           shingleK: Int = 4, numHashes: Int = 128,
+                           seed: Long = 42L): Unit = {
+    if (batchTag.isEmpty || batchTag == BaseBatchTag ||
+        batchTag.exists(c => c == '/' || c == '=' || c.isWhitespace))
+      throw InvalidArgumentValue(
+        s"batchTag must be a non-empty path-safe tag other than " +
+          s"'$BaseBatchTag', got '$batchTag'")
+    requireIndexCompatible(df.sparkSession, path, shingleK, numHashes, seed)
+    signaturesOf(shingleHashRows(df, idCol, textCol, shingleK),
+      numHashes, seed)
+      .withColumn("batch", lit(batchTag))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(path)
   }
 
   private val IndexMetaFile = "_graft_minhash_meta"
@@ -288,6 +330,26 @@ object Dedup {
     }.toMap
   }
 
+  /** A parameter mismatch between build and probe/append is
+    * silently-empty results, not an error — so both validate against
+    * the sidecar meta before touching the data.
+    */
+  private def requireIndexCompatible(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      shingleK: Int, numHashes: Int, seed: Long): Unit = {
+    val meta = readIndexMeta(spark, path)
+    val expect = Map("shingleK" -> shingleK.toString,
+      "numHashes" -> numHashes.toString, "seed" -> seed.toString)
+    val mismatched = expect.collect {
+      case (k, v) if meta.get(k).exists(_ != v) =>
+        s"$k: index=${meta(k)}, caller=$v"
+    }
+    if (mismatched.nonEmpty)
+      throw InvalidArgumentValue(
+        s"index parameters at $path do not match the caller: " +
+          mismatched.mkString("; "))
+  }
+
   /** Near-duplicate pairs BETWEEN a new batch and an indexed corpus
     * (reads the signatures written by `buildMinhashIndex`; shingleK /
     * numHashes / seed must match the build). Returns
@@ -308,27 +370,31 @@ object Dedup {
                         shingleK: Int = 4, numHashes: Int = 128,
                         bands: Int = 32, threshold: Double = 0.8,
                         minBandMatches: Int = 1,
-                        seed: Long = 42L): DataFrame = {
+                        seed: Long = 42L,
+                        excludeIndexBatches: Seq[String] = Nil): DataFrame = {
     if (numHashes % bands != 0)
       throw InvalidArgumentValue(
         s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val spark = newDf.sparkSession
-    val idxSig = spark.read.parquet(indexPath)
-    if (idxSig.columns.length != numHashes + 1)
+    val idxRaw = spark.read.parquet(indexPath)
+    val sigWidth = idxRaw.columns.count(_.matches("m\\d+"))
+    if (sigWidth != numHashes)
       throw InvalidArgumentValue(
-        s"index at $indexPath has ${idxSig.columns.length - 1} hashes, " +
+        s"index at $indexPath has $sigWidth hashes, " +
           s"caller expects $numHashes — rebuild or fix parameters")
-    val meta = readIndexMeta(spark, indexPath)
-    val expect = Map("shingleK" -> shingleK.toString,
-      "numHashes" -> numHashes.toString, "seed" -> seed.toString)
-    val mismatched = expect.collect {
-      case (k, v) if meta.get(k).exists(_ != v) =>
-        s"$k: index=${meta(k)}, caller=$v"
-    }
-    if (mismatched.nonEmpty)
-      throw InvalidArgumentValue(
-        s"index parameters at $indexPath do not match the probe: " +
-          mismatched.mkString("; "))
+    requireIndexCompatible(spark, indexPath, shingleK, numHashes, seed)
+    // a replayed ingest batch must not probe against its own previous
+    // attempt's partition (it would flag its every doc as a dup of
+    // itself-last-time); the filter is on the partition column, so
+    // excluded batches are pruned, not scanned
+    val idxScoped =
+      if (excludeIndexBatches.isEmpty || !idxRaw.columns.contains("batch"))
+        idxRaw
+      else idxRaw.filter(!col("batch").isin(excludeIndexBatches: _*))
+    // drop the batch partition tag (and anything else non-signature):
+    // the probe treats base + appends as one corpus
+    val idxSig = idxScoped.select(
+      col("id") +: (0 until numHashes).map(i => col(s"m$i")): _*)
 
     val newShingles = shingleHashRows(newDf, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -77,6 +77,42 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("index append equals one-shot build; re-append is idempotent") {
+    val early = docs.filter($"doc_id" < 300)
+    val mid = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
+    val corpus = docs.filter($"doc_id" < 400)
+    val batch = docs.filter($"doc_id" >= 400)
+    val idxA = tmpDir("mh-append")
+    val idxB = tmpDir("mh-oneshot")
+    Dedup.buildMinhashIndex(early, "doc_id", "text", idxA)
+    Dedup.appendToMinhashIndex(mid, "doc_id", "text", idxA, "day1")
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idxB)
+    def probePairs(idx: String): Set[(Long, Long)] = {
+      val r = Dedup.probeMinhashIndex(idx, corpus, batch,
+        "doc_id", "text", minBandMatches = 3)
+      val out = r.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      r.unpersist()
+      out
+    }
+    assert(probePairs(idxA) == probePairs(idxB))
+    // replaying the same tag REPLACES its partition, never doubles it
+    val n1 = spark.read.parquet(idxA).count()
+    Dedup.appendToMinhashIndex(mid, "doc_id", "text", idxA, "day1")
+    assert(spark.read.parquet(idxA).count() == n1)
+    // a rebuild clears stale appends (static overwrite of the path)
+    Dedup.buildMinhashIndex(early, "doc_id", "text", idxA)
+    assert(spark.read.parquet(idxA).select("batch").distinct()
+      .as[String].collect().toSeq == Seq("base"))
+    // parameter / tag misuse is rejected, not silently wrong
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Dedup.appendToMinhashIndex(mid, "doc_id", "text", idxA, "day2",
+        shingleK = 5)
+    }
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Dedup.appendToMinhashIndex(mid, "doc_id", "text", idxA, "base")
+    }
+  }
+
   test("shingles are distinct lowercase k-grams") {
     val row = Seq(("AbAb")).toDF("t")
       .select(Dedup.shingles($"t", 2).as("s")).head()
@@ -137,6 +173,39 @@ class LlmSpec extends SparkSpec {
     intercept[graft.exceptions.InvalidArgumentValue] {
       Similarity.probeIvfIndex(idx, queries, "vec_id",
         "embedding", k = 5, nprobe = 9)
+    }
+  }
+
+  test("ivf index append equals a full-corpus probe; re-append is idempotent") {
+    val queries = emb.filter($"vec_id" < 3).select("vec_id", "embedding")
+    val early = emb.filter($"vec_id" >= 3 && $"vec_id" < 40)
+    val late = emb.filter($"vec_id" >= 40)
+    val idx = tmpDir("ivf-append")
+    Similarity.buildIvfIndex(early, "vec_id", "embedding", idx, nlist = 4)
+    Similarity.appendToIvfIndex(late, "vec_id", "embedding", idx, "day1")
+    // full-nprobe probe over the grown index must equal brute force
+    // over the UNION corpus (append = the vectors are really there)
+    val probed = Similarity.probeIvfIndex(idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+    val brute = Similarity.bruteForceTopK(emb.filter($"vec_id" >= 3),
+      queries, "vec_id", "vec_id", "embedding", k = 5)
+    val p = probed.select("qid", "rnk", "cid")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = brute.select("qid", "rnk", "cid")
+      .as[(Long, Long, Long)].collect().toSet
+    probed.unpersist()
+    brute.unpersist()
+    assert(p == b)
+    // same-tag replay replaces, never doubles
+    val n1 = spark.read.parquet(s"$idx/cells").count()
+    Similarity.appendToIvfIndex(late, "vec_id", "embedding", idx, "day1")
+    assert(spark.read.parquet(s"$idx/cells").count() == n1)
+    // rebuild clears stale appends
+    Similarity.buildIvfIndex(early, "vec_id", "embedding", idx, nlist = 4)
+    assert(spark.read.parquet(s"$idx/cells").select("batch").distinct()
+      .as[String].collect().toSeq == Seq("base"))
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Similarity.appendToIvfIndex(late, "vec_id", "embedding", idx, "base")
     }
   }
 
