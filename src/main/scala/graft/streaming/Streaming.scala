@@ -139,6 +139,16 @@ object Streaming {
     * REPLACES its output instead of appending it twice —
     * effectively-once, where a plain append would only be
     * at-least-once.
+    *
+    * With `updateIndex` each batch's SURVIVORS are appended to the
+    * index under tag `b<batchId>` after landing, and earlier landed
+    * batches join the probe corpus — so a stream deduplicates against
+    * everything it has already accepted, not just the base corpus.
+    * Replay stays effectively-once: the probe EXCLUDES the replaying
+    * batch's own index partition and landed directory (otherwise a
+    * replayed batch would flag its docs as dups of its previous
+    * attempt and land empty), and the append dynamically overwrites
+    * only its own tag.
     */
   def dedupIngestStream(stream: DataFrame, idCol: String,
                         textCol: String, indexPath: String,
@@ -146,12 +156,29 @@ object Streaming {
                         checkpointDir: String,
                         threshold: Double = 0.8,
                         minBandMatches: Int = 1,
-                        dedupWithinBatch: Boolean = false): StreamingQuery =
+                        dedupWithinBatch: Boolean = false,
+                        updateIndex: Boolean = false): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // previously landed batches (minus a replay's own output)
+        // join the probe corpus when the index grows with the stream
+        val corpusNow =
+          if (!updateIndex) corpus
+          else {
+            val p = new org.apache.hadoop.fs.Path(outPath)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(p)) corpus
+            else corpus.select(col(idCol), col(textCol)).unionByName(
+              spark.read.parquet(outPath)
+                .filter(col("batch") =!= batchId)
+                .select(col(idCol), col(textCol)))
+          }
         val dups = graft.llm.Dedup.probeMinhashIndex(
-          indexPath, corpus, batch, idCol, textCol,
-          threshold = threshold, minBandMatches = minBandMatches)
+          indexPath, corpusNow, batch, idCol, textCol,
+          threshold = threshold, minBandMatches = minBandMatches,
+          excludeIndexBatches =
+            if (updateIndex) Seq(s"b$batchId") else Nil)
         try {
           val flagged = dups.select(col("id_b").as("__dup_id")).distinct()
           val survivors = batch
@@ -171,6 +198,12 @@ object Streaming {
               .write.mode("overwrite").parquet(dest)
             finally pairs.unpersist(blocking = false)
           }
+          if (updateIndex)
+            // sign exactly what landed (re-read: cheap, and immune to
+            // any plan nondeterminism between the write and the sign)
+            graft.llm.Dedup.appendToMinhashIndex(
+              spark.read.parquet(dest), idCol, textCol, indexPath,
+              s"b$batchId")
         } finally dups.unpersist(blocking = false)
       }
       .option("checkpointLocation", checkpointDir)

@@ -152,6 +152,44 @@ class StreamingSpec extends SparkSpec {
     assert(landed.contains(cloneSrc) && !landed.contains(cloneSrc + 9000))
   }
 
+  test("updateIndex folds landed survivors so later batches dedup against them") {
+    import graft.llm.Dedup
+    import spark.implicits._
+    val docs = Tables.read(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") < 400).select("doc_id", "text")
+    val idx = tmpDir("upd-idx")
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+
+    // novel vocabulary guarantees no accidental corpus similarity
+    val novelA = Seq.fill(20)("zebra quartz vortex jigsaw").mkString(" ")
+    val novelB = Seq.fill(20)("glimmer fjord yacht pylon").mkString(" ")
+    val src = tmpDir("upd-src") + "/in"
+    val outDir = tmpDir("upd-out") + "/clean"
+    Seq((9100L, novelA)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(src)
+    val q = Streaming.dedupIngestStream(
+      Streaming.readParquetStream(spark, src,
+        Seq((0L, "")).toDF("doc_id", "text")),
+      "doc_id", "text", idx, corpus, outDir,
+      tmpDir("upd-ckpt"), minBandMatches = 3, updateIndex = true)
+    try {
+      q.processAllAvailable()
+      // batch 2: a clone of the batch-1 survivor plus a fresh doc —
+      // the clone must be caught by the index UPDATE, not the base
+      Seq((9200L, novelA), (9300L, novelB)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed.contains(9100L) && landed.contains(9300L))
+    assert(!landed.contains(9200L))
+    // the index now carries base + both batch tags
+    val tags = spark.read.parquet(idx).select("batch").distinct()
+      .as[String].collect().toSet
+    assert(tags.contains("base") && tags.exists(_.startsWith("b")))
+  }
+
   test("dedup within watermark drops injected duplicates") {
     val dup = events.limit(100)
     val withDups = events.unionByName(dup)
