@@ -238,19 +238,61 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = trainCentroids(c, nlist, kmeansIters)
     assignCells(c, centroids)
+      .withColumn("batch", lit(BaseBatchTag))
       .write.mode("overwrite")
       // STATIC: the engine session defaults partitionOverwriteMode to
       // dynamic, under which a rebuild would only replace cells
       // present in the new assignment — a now-empty cell's stale
-      // parquet would survive and resurface deleted vectors on probe
+      // parquet (or a stale append batch) would survive and resurface
+      // deleted vectors on probe
       .option("partitionOverwriteMode", "static")
-      .partitionBy("cell").parquet(s"$path/cells")
+      .partitionBy("batch", "cell").parquet(s"$path/cells")
     centroids.zipWithIndex
       .map { case (cen, i) => (i, cen.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     c.unpersist(blocking = false)
+  }
+
+  private val BaseBatchTag = "base"
+
+  /** Fold new vectors into a persisted IVF index: assign them to the
+    * EXISTING centroids (the quantizer is not retrained — the standard
+    * IVF maintenance tradeoff; rebuild when drift matters) and land
+    * the assignments under `batch=<batchTag>` inside each cell.
+    *
+    * The write dynamically overwrites only this tag's partitions, so
+    * re-running a failed or replayed append with the same tag REPLACES
+    * its previous output — idempotent per tag. Probe cost is unchanged:
+    * `probeIvfIndex`'s `cell IN (...)` filter prunes across the
+    * batch/cell partition tree, so unprobed cells are never read no
+    * matter how many batches have been folded in.
+    */
+  def appendToIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                       path: String, batchTag: String): Unit = {
+    if (batchTag.isEmpty || batchTag == BaseBatchTag ||
+        batchTag.exists(c => c == '/' || c == '=' || c.isWhitespace))
+      throw InvalidArgumentValue(
+        s"batchTag must be a non-empty path-safe tag other than " +
+          s"'$BaseBatchTag', got '$batchTag'")
+    val spark = df.sparkSession
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    if (centroids.isEmpty)
+      throw InvalidArgumentValue(s"no centroids at $path — build first")
+    val v = asDoubleVec(df, idCol, vecCol, "cid", "cv")
+    v.head(1).headOption.map(_.getSeq[Double](1).length).foreach { d =>
+      if (d != centroids.head.length)
+        throw InvalidArgumentValue(
+          s"vector dimension $d != index dimension ${centroids.head.length}")
+    }
+    assignCells(v, centroids)
+      .withColumn("batch", lit(batchTag))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "cell").parquet(s"$path/cells")
   }
 
   /** Top-k search against a persisted IVF index. Probe cells are
