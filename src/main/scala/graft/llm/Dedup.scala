@@ -284,6 +284,11 @@ object Dedup {
       throw InvalidArgumentValue(
         s"batchTag must be a non-empty path-safe tag other than " +
           s"'$BaseBatchTag', got '$batchTag'")
+    // appending to a path that was never built would silently create a
+    // meta-less partial "index" (the meta check passes vacuously)
+    if (readIndexMeta(df.sparkSession, path).isEmpty)
+      throw InvalidArgumentValue(
+        s"no index meta at $path — build the index before appending")
     requireIndexCompatible(df.sparkSession, path, shingleK, numHashes, seed)
     signaturesOf(shingleHashRows(df, idCol, textCol, shingleK),
       numHashes, seed)
@@ -431,6 +436,12 @@ object Dedup {
       .join(bSide, "id_b")
       .filter(estMatches.cast("double") / numHashes >= threshold - slack)
       .select("id_a", "id_b")
+      // a duplicate id in the index (a doc appended under two tags, in
+      // violation of the uniqueness contract) would duplicate rows here
+      // and double-count `ix` below — i.e. emit a WRONG jaccard rather
+      // than an error; distinct on this O(candidates) frame is cheap
+      // insurance that the verify stays exact
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // exact verify: corpus text re-shingled ONLY for candidate docs

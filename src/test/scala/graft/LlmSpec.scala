@@ -113,6 +113,36 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("append rejects an unbuilt path; duplicate-id appends can't skew the probe") {
+    val early = docs.filter($"doc_id" < 300)
+    val mid = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
+    val corpus = docs.filter($"doc_id" < 400)
+    val batch = docs.filter($"doc_id" >= 400)
+    // appending where no build ever ran must fail loudly, not create a
+    // meta-less partial "index" the meta check would then vacuously pass
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Dedup.appendToMinhashIndex(mid, "doc_id", "text",
+        tmpDir("mh-nometa"), "day1")
+    }
+    // a doc landed under TWO tags (caller violates the id-uniqueness
+    // contract) must not double-count shingle intersections — jaccard
+    // stays exact, identical to a clean one-shot build
+    val dup = tmpDir("mh-dup")
+    val clean = tmpDir("mh-clean")
+    Dedup.buildMinhashIndex(early, "doc_id", "text", dup)
+    Dedup.appendToMinhashIndex(mid, "doc_id", "text", dup, "day1")
+    Dedup.appendToMinhashIndex(mid, "doc_id", "text", dup, "day2")
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", clean)
+    def probe(idx: String): Set[(Long, Long, Double)] = {
+      val r = Dedup.probeMinhashIndex(idx, corpus, batch,
+        "doc_id", "text", minBandMatches = 3)
+      val out = r.as[(Long, Long, Double)].collect().toSet
+      r.unpersist()
+      out
+    }
+    assert(probe(dup) == probe(clean))
+  }
+
   test("shingles are distinct lowercase k-grams") {
     val row = Seq(("AbAb")).toDF("t")
       .select(Dedup.shingles($"t", 2).as("s")).head()
