@@ -30,7 +30,11 @@ object Plans {
       "q50_asof_join" ->
         "as-of via union+keyed window - no nested-loop pair generation",
       "q33_ann_topk" ->
-        "broadcast queries, codegen cosine, two-phase top-k")
+        "broadcast queries, codegen cosine, two-phase top-k",
+      "q54_dedup_index_append" ->
+        ("index probe after batch-tagged appends: base + appended " +
+          "partitions scanned as one signature corpus; only candidate " +
+          "corpus docs re-shingled (left_semi before the verify join)"))
 
     val sb = new StringBuilder
     sb ++= s"# PLANS — formatted physical plans at $sfDir\n\n"
@@ -41,6 +45,26 @@ object Plans {
       sb ++= fn(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       sb ++= "```\n"
+      spark.catalog.clearCache()
+    }
+    // persisted-IVF probe: not a CORRECTNESS query (spec-proven), but
+    // the partition-pruning claim — probe reads ONLY `cell IN (...)`
+    // partitions — is the operator's whole scale story, so pin the
+    // plan evidence here too
+    locally {
+      val emb = Tables.read(spark, sfDir, "embeddings")
+      val idx = Tables.scratch(sfDir, "plans_ivf")
+      graft.llm.Similarity.buildIvfIndex(
+        emb, "vec_id", "embedding", idx, nlist = 8)
+      val probe = graft.llm.Similarity.probeIvfIndex(
+        idx, emb.limit(3), "vec_id", "embedding", k = 5, nprobe = 2)
+      sb ++= "\n## ivf_index_probe (spec-only operator)\n\n" +
+        "cell scan must carry a literal PartitionFilters `cell IN (...)`" +
+        " — unprobed cells are never read or listed\n\n```\n"
+      sb ++= probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb ++= "```\n"
+      probe.unpersist()
       spark.catalog.clearCache()
     }
     Files.writeString(Paths.get(out), sb.toString)

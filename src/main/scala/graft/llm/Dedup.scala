@@ -127,6 +127,26 @@ object Dedup {
     *   matches at Jaccard J is bands·J^r — 13 at J=0.8 vs 0.2 at
     *   J=0.27 with b=32, r=4 — so m=3 costs ~1e-5 recall at the
     *   threshold while cutting the exact-verify set by ~100×)
+    * @param maxBandBucket degenerate-bucket guard, 0 (default) = off.
+    *   The band-bucket self-join is quadratic PER BUCKET: a corpus
+    *   with a mass-duplicated boilerplate doc (the common case at
+    *   web scale) puts millions of ids in one bucket and the join
+    *   tries 10^12 pairs — the standard way LSH dedup jobs die.
+    *   When set, buckets larger than the cap emit a min-id STAR
+    *   (every member paired with the bucket's smallest id — linear)
+    *   instead of all pairs. Downstream semantics: returned pairs are
+    *   still exact-verified (never a false positive), but pair
+    *   ENUMERATION inside oversized buckets is reduced to hub edges —
+    *   the mode is built for the `dupClusters`/`dedupNearDups`
+    *   pipeline, where hub connectivity is all a connected component
+    *   needs. For a mass-duplicated doc (bucket members pairwise ≥
+    *   threshold) clusters are identical to the uncapped run; a
+    *   mixed-similarity bucket can split a cluster when a hub edge
+    *   fails verify, which is the documented recall trade for not
+    *   dying. Choose the cap ≥ the corpus' largest legitimate
+    *   near-dup family times a small factor (e.g. 10k): at J=0.8 a
+    *   bucket is overwhelmingly same-doc copies, so the star's hub
+    *   edges verify.
     * @return (idA, idB, jaccard) with idA < idB. The returned pairs
     *   are already materialized (persisted; the funnel's intermediates
     *   are released before returning) — `.unpersist()` the result when
@@ -150,6 +170,7 @@ object Dedup {
                       shingleK: Int = 4, numHashes: Int = 128,
                       bands: Int = 32, threshold: Double = 0.8,
                       minBandMatches: Int = 1,
+                      maxBandBucket: Int = 0,
                       seed: Long = 42L): DataFrame = {
     if (numHashes % bands != 0)
       throw InvalidArgumentValue(
@@ -168,11 +189,39 @@ object Dedup {
     // self-join's two reads cost two cache scans, not two pipelines
     val banded = bandedOf(sig, numHashes, bands)
 
-    val candidates = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // one row per (pair, matching band); both enumeration modes feed
+    // the same band-agreement count below
+    val pairBands =
+      if (maxBandBucket <= 0)
+        banded.as("x")
+          .join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      else {
+        // per-bucket size + min id in one window pass (same window
+        // spec → one shuffle+sort); a hot bucket lands in one task
+        // but costs O(B), never the join's O(B²)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bh")
+        val sized = banded
+          .withColumn("bsz", count(lit(1)).over(w))
+          .withColumn("mn", min("id").over(w))
+        val small = sized.filter(col("bsz") <= maxBandBucket)
+          .select("id", "band", "bh")
+        val allPairs = small.as("x")
+          .join(small.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        // oversized buckets: min-id star, linear in bucket size
+        val starred = sized.filter(col("bsz") > maxBandBucket)
+          .filter(col("id") =!= col("mn"))
+          .select(col("mn").as("id_a"), col("id").as("id_b"))
+        allPairs.unionByName(starred)
+      }
+    val candidates = pairBands
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("mb"))
       .filter(col("mb") >= minBandMatches)
       .select("id_a", "id_b")

@@ -143,6 +143,53 @@ class LlmSpec extends SparkSpec {
     assert(probe(dup) == probe(clean))
   }
 
+  test("maxBandBucket survives a boilerplate flood without losing its cluster") {
+    // the web-scale killer: one doc mass-duplicated 40× puts all 40
+    // ids in ONE bucket of every band — quadratic for the all-pairs
+    // join, linear for the capped star
+    val boiler = "the quick brown fox jumps over the lazy dog while " +
+      "reciting terms of service paragraph seven about liability " +
+      "limitation and consequential damages in all jurisdictions"
+    val nearA = "an entirely different document about spark physical " +
+      "plans, shuffle exchanges, and adaptive query execution knobs"
+    val nearB = nearA.replace("knobs", "flags")
+    val flood = (0L until 40L).map(i => (i, boiler))
+    val filler = Vector(
+      "amber onyx quartz travertine gypsum basalt obsidian marble",
+      "violin cello timpani oboe clarinet bassoon trumpet piccolo",
+      "sourdough focaccia brioche ciabatta baguette pumpernickel rye",
+      "nimbus cirrus stratus cumulus derecho haboob chinook mistral",
+      "peregrine osprey kestrel merlin goshawk harrier gyrfalcon kite")
+    val others = Seq(100L -> nearA, 101L -> nearB) ++
+      filler.zipWithIndex.map { case (t, i) => (200L + i, t) }
+    val df = (flood ++ others).toDF("doc_id", "text")
+    def pairsOf(cap: Int): Set[(Long, Long)] = {
+      val r = Dedup.minhashNearDups(df, "doc_id", "text",
+        threshold = 0.8, maxBandBucket = cap)
+      val out = r.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      r.unpersist()
+      out
+    }
+    val uncapped = pairsOf(0)
+    val capped = pairsOf(8)
+    // capping only removes pairs, never invents them (verify is exact)
+    assert(capped.subsetOf(uncapped))
+    // the ordinary near-dup pair lives in small buckets — untouched
+    assert(capped.contains((100L, 101L)))
+    // identical docs collapse to the min-id star: 39 hub edges, not 780
+    assert(uncapped.count(p => p._1 < 40 && p._2 < 40) == 780)
+    assert(capped.filter(p => p._1 < 40 && p._2 < 40) ==
+      (1L until 40L).map((0L, _)).toSet)
+    // and the star keeps the flood ONE cluster: keep-one-per-cluster
+    // lands the same survivors either way
+    def survivors(pairs: Set[(Long, Long)]): Set[Long] = {
+      val p = pairs.toSeq.toDF("id_a", "id_b")
+      Dedup.dedupNearDups(df, "doc_id", p).select("doc_id")
+        .as[Long].collect().toSet
+    }
+    assert(survivors(capped) == survivors(uncapped))
+  }
+
   test("shingles are distinct lowercase k-grams") {
     val row = Seq(("AbAb")).toDF("t")
       .select(Dedup.shingles($"t", 2).as("s")).head()
