@@ -54,6 +54,17 @@ object QueriesLlm {
         maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** q55 — EXACT word-trigram Jaccard near-dup pairs via prefix
+    * filtering (no sketch — the recall-guaranteed dedup mode). The
+    * oracle recomputes the same thing by brute force in DuckDB.
+    */
+  def q55DedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardNearDups(t(spark, dir, "documents"), "doc_id",
+        "text", n = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
   /** q52 — near-dup CLUSTERS: simhash pairs → connected components →
     * (cluster root, size, surviving docs). Pairs alone over-count on
     * chains; this is the step a dedup pipeline actually ships. The
@@ -300,7 +311,8 @@ object QueriesLlm {
     "q48_quantize_error" -> (q48QuantizeError _),
     "q52_dedup_clusters" -> (q52DedupClusters _),
     "q53_dedup_incremental" -> (q53DedupIncremental _),
-    "q54_dedup_index_append" -> (q54DedupIndexAppend _))
+    "q54_dedup_index_append" -> (q54DedupIndexAppend _),
+    "q55_dedup_jaccard"  -> (q55DedupJaccard _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -369,6 +381,29 @@ object QueriesLlm {
          JOIN sizes sa ON sa.doc_id = id_a
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.8
+         ORDER BY id_a, id_b""",
+    "q55_dedup_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+         pos AS (SELECT doc_id, t,
+                unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+              FROM toks),
+         g AS (SELECT DISTINCT doc_id,
+                 array_to_string(t[i:i+2], ' ') AS gram
+               FROM pos),
+         sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS ix
+                   FROM g a JOIN g b
+                     ON a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(ix * 1.0 / (sa.n + sb.n - ix), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.5
          ORDER BY id_a, id_b""",
     "q52_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id,

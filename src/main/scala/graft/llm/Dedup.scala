@@ -525,6 +525,115 @@ object Dedup {
     result
   }
 
+  /** Distinct (id, 64-bit word-n-gram hash) rows — tokens come from a
+    * whitespace split, grams from explode + slice + concat_ws, all
+    * inside whole-stage codegen. Hashing before the distinct keeps
+    * every downstream shuffle fixed-width (same rationale as
+    * `shingleHashRows`).
+    */
+  private def wordGramRows(df: DataFrame, idCol: String,
+                           textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        split(trim(lower(col(textCol))), "\\s+").as("t"))
+      .select(col("id"), col("t"),
+        explode(sequence(lit(1),
+          greatest(size(col("t")) - (n - 1), lit(1)))).as("i"))
+      .select(col("id"),
+        xxhash64(concat_ws(" ", slice(col("t"), col("i"), lit(n)))).as("g"))
+      .distinct()
+
+  /** EXACT word-n-gram Jaccard near-duplicate pairs — no sketch, no
+    * probabilistic recall: every pair with Jaccard ≥ `threshold` over
+    * distinct word n-grams is returned (the complement of
+    * `minhashNearDups`, for when a recall guarantee is contractual —
+    * eval-set decontamination, licensing dedup).
+    *
+    * Never all-pairs. Candidates come from PREFIX FILTERING
+    * (Chaudhuri et al., ICDE'06; Bayardo et al., WWW'07): order each
+    * document's grams by ascending global document frequency (rarest
+    * first — ties broken by gram hash so the order is total), keep
+    * only the first |d| − ⌈t·|d|⌉ + 1 grams, and join documents on
+    * shared PREFIX grams. Any pair with |A∩B| ≥ α shares a prefix
+    * gram at prefix lengths |·| − α + 1, and Jaccard ≥ t implies
+    * |A∩B| ≥ ⌈t·max(|A|,|B|)⌉ ≥ ⌈t·|d|⌉ per side, so the candidate
+    * set is a guaranteed SUPERSET of the answer; rare-first ordering
+    * makes prefix buckets tiny (a gram shared by half the corpus is
+    * in almost nobody's prefix). A size filter (t·|A| ≤ |B| ≤ |A|/t)
+    * prunes cross-size pairs inside the join, and the exact verify is
+    * the same join-based intersection count as `minhashNearDups` —
+    * no arrays through shuffles, every bulk step codegen'd.
+    *
+    * At 100 TB the funnel is: gram rows shuffle once for the
+    * frequency count, once for the per-doc rank (window), and the
+    * prefix self-join's per-gram cost is quadratic only in PREFIX
+    * bucket sizes, which rare-first ordering keeps near 1 for all but
+    * adversarial corpora (a corpus of identical docs degrades to the
+    * true duplicate mass — which IS the output size).
+    *
+    * Floating-point guard: prefix/size cutoffs use t·|d| − 1e-9
+    * before ⌈·⌉ so a double rounding error can only LENGTHEN a prefix
+    * (costing a candidate, never a miss).
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, already
+    *   materialized; `.unpersist()` the result when done
+    */
+  def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3,
+                           threshold: Double = 0.5): DataFrame = {
+    if (threshold <= 0.0 || threshold > 1.0)
+      throw InvalidArgumentValue(
+        s"threshold must be in (0, 1], got $threshold")
+    if (n <= 0)
+      throw InvalidArgumentValue(s"n must be positive, got $n")
+
+    // persisted: frequency count, ranking, and exact verify all read it
+    val grams = wordGramRows(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+
+    // rarest-first total order; row_number is one shuffle+sort per doc
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("g").asc)
+    val prefix = grams
+      .join(freq, "g")
+      .withColumn("rn", row_number().over(rankW))
+      .join(sizes, "id")
+      .filter(col("rn") <=
+        col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)) + 1)
+      .select(col("id"), col("g"), col("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val candidates = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
+          col("y.sz") >= col("x.sz") * lit(threshold) - lit(1e-9) &&
+          col("x.sz") >= col("y.sz") * lit(threshold) - lit(1e-9))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    // exact verify: identical shape to minhashNearDups' final stage
+    val inter = candidates
+      .join(grams.select(col("id").as("id_a"), col("g")), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("g")),
+        Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ix"))
+    val result = inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("ix").cast("double") / (col("na") + col("nb") - col("ix"))
+          .cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    grams.unpersist(blocking = false)
+    prefix.unpersist(blocking = false)
+    result
+  }
+
   /** Connected components over a near-duplicate pair list: the step
     * that turns pairwise findings into the actual dedup deliverable
     * (one surviving document per duplicate CLUSTER — pairs alone

@@ -52,6 +52,13 @@ class CacheHygieneSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("ngramJaccardNearDups releases its gram and prefix caches") {
+    val n = assertReleasesAll(
+      Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
+        n = 3, threshold = 0.5))
+    assert(n > 0)
+  }
+
   test("ivfTopK releases the corpus vector cache") {
     val n = assertReleasesAll(
       Similarity.ivfTopK(emb, emb.limit(3), "vec_id", "vec_id", "embedding",

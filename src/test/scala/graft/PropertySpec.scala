@@ -237,6 +237,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  /** Brute-force distinct word-n-gram Jaccard (driver-side replica of
+    * ngramJaccardNearDups' semantics: trim+lower, whitespace split,
+    * partial trailing grams via slice).
+    */
+  private def wordGramJaccard(a: String, b: String, n: Int): Double = {
+    def grams(s: String): Set[String] = {
+      val t = s.trim.toLowerCase.split("\\s+").toSeq
+      (1 to math.max(t.length - (n - 1), 1))
+        .map(i => t.slice(i - 1, i - 1 + n).mkString(" ")).toSet
+    }
+    val (ga, gb) = (grams(a), grams(b))
+    ga.intersect(gb).size.toDouble / ga.union(gb).size.toDouble
+  }
+
+  test("ngramJaccardNearDups equals brute-force Jaccard on random corpora") {
+    // prefix filtering is DETERMINISTIC (candidate superset by the
+    // prefix lemma, then exact verify) — so unlike the LSH operators
+    // there is no probabilistic miss budget at all: the result must
+    // EQUAL the all-pairs computation on every corpus, exactly
+    forAllSeeded(corpusGen, cases = 10) { docsList =>
+      val df = docsList.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val res = Dedup.ngramJaccardNearDups(df, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val got = res.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      res.unpersist()
+      val expected = (for {
+        i <- docsList.indices; j <- docsList.indices if i < j
+        jac = wordGramJaccard(docsList(i), docsList(j), 3) if jac >= 0.5
+      } yield ((i.toLong, j.toLong), jac)).toMap
+      assert(got.keySet == expected.keySet,
+        s"jaccard pairs differ; corpus=$docsList")
+      expected.foreach { case (k, v) =>
+        assert(math.abs(got(k) - v) < 1e-9)
+      }
+    }
+  }
+
   test("simhashNearDups equals brute-force Hamming on random corpora") {
     // pigeonhole chunking guarantees the candidate set is a superset,
     // and bit_count verification makes it exact — so the operator must
