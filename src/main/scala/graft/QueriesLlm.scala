@@ -65,6 +65,42 @@ object QueriesLlm {
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** q56 — Gopher-style repetition metrics (distinct-token fraction,
+    * top-bigram fraction, duplicated-bigram fraction) per document.
+    */
+  def q56RepetitionStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(
+        t(spark, dir, "documents").filter(col("doc_id") < 250),
+        "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("distinct_token_frac"), 6).as("distinct_token_frac"),
+        round(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+        round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+
+  /** q57 — leakage-safe train/eval split: minhash near-dup pairs →
+    * connected components → md5-mod split of the cluster ROOT, so no
+    * near-dup pair straddles splits. The oracle recomputes the pair
+    * set by brute-force Jaccard, the components by recursive CTE, and
+    * the same md5 assignment.
+    */
+  def q57LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8,
+      minBandMatches = 3)
+    // dupClusters (inside leakageSafeSplit) is iterative and
+    // therefore eager — by the time split is built, `pairs` has been
+    // fully consumed and its cache can go
+    val split = Dedup.leakageSafeSplit(docs, "doc_id", pairs,
+      evalKeep = 2, evalOutOf = 10)
+    pairs.unpersist(blocking = false)
+    split.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("chars_total"))
+      .orderBy("split")
+  }
+
   /** q52 — near-dup CLUSTERS: simhash pairs → connected components →
     * (cluster root, size, surviving docs). Pairs alone over-count on
     * chains; this is the step a dedup pipeline actually ships. The
@@ -312,7 +348,9 @@ object QueriesLlm {
     "q52_dedup_clusters" -> (q52DedupClusters _),
     "q53_dedup_incremental" -> (q53DedupIncremental _),
     "q54_dedup_index_append" -> (q54DedupIndexAppend _),
-    "q55_dedup_jaccard"  -> (q55DedupJaccard _))
+    "q55_dedup_jaccard"  -> (q55DedupJaccard _),
+    "q56_repetition"     -> (q56RepetitionStats _),
+    "q57_leakage_split"  -> (q57LeakageSafeSplit _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -405,6 +443,65 @@ object QueriesLlm {
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.5
          ORDER BY id_a, id_b""",
+    "q56_repetition" ->
+      """WITH toksa AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents WHERE doc_id < 250),
+         base AS (SELECT doc_id, t, len(t)::BIGINT AS n_tokens FROM toksa),
+         tok AS (SELECT doc_id, unnest(t) AS tok FROM toksa),
+         tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+         ta AS (SELECT doc_id, count(*) AS n_distinct FROM tc GROUP BY 1),
+         bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+                FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t) - 1)) AS i
+                      FROM toksa WHERE len(t) >= 2)),
+         bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         ba AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_c,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_inst
+                FROM bc GROUP BY 1)
+         SELECT b.doc_id, b.n_tokens,
+                round(ta.n_distinct * 1.0 / b.n_tokens, 6)
+                  AS distinct_token_frac,
+                round(coalesce(ba.top_c, 0) * 1.0
+                      / greatest(coalesce(ba.n_bigrams, 0), 1), 6)
+                  AS top_bigram_frac,
+                round(coalesce(ba.dup_inst, 0) * 1.0
+                      / greatest(coalesce(ba.n_bigrams, 0), 1), 6)
+                  AS dup_bigram_frac
+         FROM base b
+         JOIN ta ON ta.doc_id = b.doc_id
+         LEFT JOIN ba ON ba.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
+    "q57_leakage_split" ->
+      """WITH RECURSIVE pos AS (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(length(text) - 3, 1))) AS i
+              FROM documents),
+         sh AS (SELECT DISTINCT doc_id, substr(lower(text), i::INT, 4) AS s
+                FROM pos),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM inter
+                   JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b
+                   WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach AS (SELECT a, b FROM edges
+                   UNION
+                   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         roots AS (SELECT a AS id, least(a, min(b)) AS root
+                   FROM reach GROUP BY a),
+         allr AS (SELECT d.doc_id, coalesce(r.root, d.doc_id) AS root,
+                         d.n_chars
+                  FROM documents d LEFT JOIN roots r ON r.id = d.doc_id)
+         SELECT CASE WHEN ('0x' || substr(md5(CAST(root AS VARCHAR)), 1, 15))
+                            ::BIGINT % 10 < 2
+                     THEN 'eval' ELSE 'train' END AS split,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars_total
+         FROM allr GROUP BY 1 ORDER BY 1""",
     "q52_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id,
                 unnest(string_split_regex(lower(text), '\s+')) AS tok

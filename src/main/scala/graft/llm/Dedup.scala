@@ -755,6 +755,37 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** Dedup-aware train/eval split: assigns each near-duplicate
+    * CLUSTER — not each document — to a split, so no near-dup pair
+    * ever straddles train and eval (per-document random splitting
+    * leaks paraphrases of eval documents into training, silently
+    * inflating the eval).
+    *
+    * Cluster membership comes from `dupClusters` over `pairs`
+    * (documents in no pair are their own singleton cluster), and the
+    * assignment is `TextAnalysis.hashSample`'s md5-mod rule applied to
+    * the cluster ROOT id — deterministic across engines, runs, and
+    * retries, and re-derivable forever from the pair set alone (the
+    * property a 100 TB split needs: no random state to lose).
+    *
+    * @param evalKeep/@param evalOutOf eval fraction = evalKeep/evalOutOf
+    * @return `df` plus (root, split) columns, split ∈ {train, eval}
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       evalKeep: Int = 2, evalOutOf: Int = 10,
+                       idA: String = "id_a",
+                       idB: String = "id_b"): DataFrame = {
+    val roots = dupClusters(pairs, idA, idB)
+      .select(col("id").as("__cid"), col("root").as("__croot"))
+    df.join(roots, col(idCol) === col("__cid"), "left")
+      .withColumn("root",
+        coalesce(col("__croot"), col(idCol).cast("long")))
+      .drop("__cid", "__croot")
+      .withColumn("split",
+        when(TextAnalysis.hashSample(col("root"), evalKeep, evalOutOf),
+          lit("eval")).otherwise(lit("train")))
+  }
+
   private val SimhashBits = 60 // md5-prefix hashes stay under 2^60
 
   /** 60-bit token-level SimHash signature column (row-local variant,

@@ -51,6 +51,67 @@ object TextAnalysis {
       round(lenScore * ttr, 6).as("quality_score"))
   }
 
+  /** Gopher-style repetition metrics per document (Rae et al. 2021,
+    * §A1.1 quality heuristics — the cheap signals that catch
+    * boilerplate, keyword stuffing, and template spam before any
+    * model-based scoring):
+    *
+    *   - `distinct_token_frac` — |distinct tokens| / |tokens| (low ⇒
+    *     the doc repeats itself);
+    *   - `top_bigram_frac` — occurrences of the most frequent word
+    *     bigram / total bigram instances (high ⇒ one phrase dominates);
+    *   - `dup_bigram_frac` — fraction of bigram instances whose bigram
+    *     occurs more than once (high ⇒ pervasive phrase repetition).
+    *
+    * Docs with fewer than 2 tokens have no bigrams: both bigram
+    * metrics are 0 by definition there.
+    *
+    * Scale shape: two explode → count aggregations keyed by
+    * (id, gram-hash) — fixed-width longs through every shuffle
+    * (bigrams are hashed before aggregation), partial aggregation
+    * shrinks the map side, and the final join is per-document. No
+    * windows, no arrays through shuffles, no driver state.
+    */
+  def repetitionStats(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+
+    val tokAgg = base
+      .select(col(idCol), explode(col("t")).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_distinct"))
+
+    val bigramAgg = base
+      .filter(col("n_tokens") >= 2)
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(1), (size(col("t")) - 1))).as("i"))
+      .select(col(idCol),
+        xxhash64(concat_ws(" ", slice(col("t"), col("i"), lit(2)))).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(
+        sum("c").as("n_bigrams"),
+        max("c").as("top_bigram_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L))
+          .as("dup_bigram_inst"))
+
+    base.select(col(idCol), col("n_tokens"))
+      .join(tokAgg, Seq(idCol), "left")
+      .join(bigramAgg, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        (col("n_distinct").cast("double") / col("n_tokens"))
+          .as("distinct_token_frac"),
+        (coalesce(col("top_bigram_c"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)))
+          .as("top_bigram_frac"),
+        (coalesce(col("dup_bigram_inst"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)))
+          .as("dup_bigram_frac"))
+  }
+
   /** Stopword sets for the n-gram-free language heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),

@@ -190,6 +190,51 @@ class LlmSpec extends SparkSpec {
     assert(survivors(capped) == survivors(uncapped))
   }
 
+  test("repetitionStats matches hand-computed metrics") {
+    // "a b a b c": tokens 5, distinct 3 → 0.6; bigrams with
+    // multiplicity: (a b)×2, (b a), (b c) → 4 instances, top = 2/4,
+    // duplicated instances = 2/4
+    val df = Seq((1L, "a b a b c"), (2L, "x"), (3L, "p q"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got(0) == ((1L, 5L, 0.6, 0.5, 0.5)))
+    // single token: no bigrams → both bigram metrics 0 by definition
+    assert(got(1) == ((2L, 1L, 1.0, 0.0, 0.0)))
+    // two distinct tokens: one bigram occurring once
+    assert(got(2) == ((3L, 2L, 1.0, 1.0, 0.0)))
+  }
+
+  test("leakageSafeSplit never lets a near-dup pair straddle splits") {
+    val corpus = docs.select("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
+      threshold = 0.8, minBandMatches = 3)
+    val split = Dedup.leakageSafeSplit(corpus, "doc_id", pairs,
+      evalKeep = 2, evalOutOf = 10)
+    val assign = split.select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val straddling = pairs.select("id_a", "id_b").as[(Long, Long)]
+      .collect().filter { case (a, b) => assign(a) != assign(b) }
+    pairs.unpersist()
+    assert(straddling.isEmpty,
+      s"pairs across train/eval: ${straddling.take(5).mkString(", ")}")
+    // every document is assigned exactly once, to one of the two splits
+    assert(assign.size == corpus.count())
+    assert(assign.values.toSet.subsetOf(Set("train", "eval")))
+    // both splits are populated at a 20% eval target on 500 docs
+    val nEval = assign.values.count(_ == "eval")
+    assert(nEval > 0 && nEval < assign.size)
+    // determinism: a second run assigns identically
+    val pairs2 = Dedup.minhashNearDups(corpus, "doc_id", "text",
+      threshold = 0.8, minBandMatches = 3)
+    val again = Dedup.leakageSafeSplit(corpus, "doc_id", pairs2,
+      evalKeep = 2, evalOutOf = 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    pairs2.unpersist()
+    assert(again == assign)
+  }
+
   test("shingles are distinct lowercase k-grams") {
     val row = Seq(("AbAb")).toDF("t")
       .select(Dedup.shingles($"t", 2).as("s")).head()
