@@ -101,6 +101,20 @@ object QueriesLlm {
       .orderBy("split")
   }
 
+  /** q58 — sequence packing: greedy in-id-order binning of documents
+    * into 256-token contexts across 4 md5-mod shards. The oracle
+    * replays the same sequential fold with a recursive CTE.
+    */
+  def q58PackSequences(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(
+        t(spark, dir, "documents")
+          .withColumn("n_tok", TextAnalysis.approxBpeTokens(col("text"))),
+        "doc_id", "n_tok", capacity = 256L, shards = 4)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("tokens_used"))
+      .orderBy("shard", "bin")
+
   /** q52 — near-dup CLUSTERS: simhash pairs → connected components →
     * (cluster root, size, surviving docs). Pairs alone over-count on
     * chains; this is the step a dedup pipeline actually ships. The
@@ -350,7 +364,8 @@ object QueriesLlm {
     "q54_dedup_index_append" -> (q54DedupIndexAppend _),
     "q55_dedup_jaccard"  -> (q55DedupJaccard _),
     "q56_repetition"     -> (q56RepetitionStats _),
-    "q57_leakage_split"  -> (q57LeakageSafeSplit _))
+    "q57_leakage_split"  -> (q57LeakageSafeSplit _),
+    "q58_pack_sequences" -> (q58PackSequences _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -502,6 +517,30 @@ object QueriesLlm {
                 count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS chars_total
          FROM allr GROUP BY 1 ORDER BY 1""",
+    "q58_pack_sequences" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+                CAST(ceil(length(text) / 4.0) AS BIGINT) AS tok,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     ::BIGINT % 4 AS INT) AS shard
+              FROM documents),
+         s AS (SELECT doc_id, tok, shard,
+                 row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                   AS rn
+               FROM d),
+         st AS (
+           SELECT shard, rn, doc_id, tok,
+                  CAST(0 AS BIGINT) AS bin, tok AS used
+           FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.shard, s.rn, s.doc_id, s.tok,
+                  CASE WHEN st.used + s.tok > 256 THEN st.bin + 1
+                       ELSE st.bin END,
+                  CASE WHEN st.used + s.tok > 256 THEN s.tok
+                       ELSE st.used + s.tok END
+           FROM st JOIN s ON s.shard = st.shard AND s.rn = st.rn + 1)
+         SELECT shard, bin, count(*) AS n_docs,
+                CAST(sum(tok) AS BIGINT) AS tokens_used
+         FROM st GROUP BY 1, 2 ORDER BY 1, 2""",
     "q52_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id,
                 unnest(string_split_regex(lower(text), '\s+')) AS tok

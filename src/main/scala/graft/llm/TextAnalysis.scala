@@ -212,6 +212,55 @@ object TextAnalysis {
           .as("n_chunk_tokens"))
   }
 
+  /** Sequence packing: group documents into training-context bins of
+    * at most `capacity` tokens (the step between tokenization and
+    * batching — unpacked short documents waste most of a context
+    * window as padding).
+    *
+    * Deterministic and shard-parallel: each document lands in a shard
+    * by the md5-mod rule (reproducible across runs/engines, same as
+    * `hashSample`), and within a shard documents are packed GREEDILY
+    * IN ID ORDER — a new bin opens when the next document would
+    * overflow `capacity`. A document larger than `capacity` gets a
+    * bin of its own (truncation/splitting is the caller's policy, see
+    * `chunk`).
+    *
+    * Scale shape: one shuffle (groupByKey on shard), then each shard
+    * streams through `flatMapSortedGroups` — the sort is Spark's
+    * disk-backed group sort, the fold is O(1) state, and nothing is
+    * collected per group. Size `shards` so a shard's BIN COUNT, not
+    * its documents, is what downstream consumes; packing quality is
+    * per-shard greedy (bounded, not global-optimal — the standard
+    * trade for a single pass at corpus scale).
+    *
+    * @return (id, n_tokens, shard, bin) — bin ids are contiguous
+    *   per shard starting at 0
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
+                    capacity: Long, shards: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    require(shards > 0, s"shards must be positive: $shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(nTokensCol).cast("long").as("n_tokens"))
+      .withColumn("shard",
+        pmod(conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(shards.toLong)).cast("int"))
+      .as[(Long, Long, Int)]
+    base.groupByKey(_._3)
+      .flatMapSortedGroups(col("id")) { (shard: Int, it: Iterator[(Long, Long, Int)]) =>
+        var bin = -1L
+        var used = 0L
+        it.map { case (id, tok, _) =>
+          if (bin < 0 || used + tok > capacity) { bin += 1; used = 0L }
+          used += tok
+          (id, tok, shard, bin)
+        }
+      }
+      .toDF("id", "n_tokens", "shard", "bin")
+  }
+
   /** Normalized content fingerprint: lowercase, strip every
     * non-alphanumeric character, md5. Catches duplicates that differ
     * only in case/whitespace/punctuation — the cheap complement to

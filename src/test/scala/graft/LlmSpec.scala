@@ -235,6 +235,35 @@ class LlmSpec extends SparkSpec {
     assert(again == assign)
   }
 
+  test("packSequences packs greedily in id order within each shard") {
+    // single shard so the whole corpus packs as one ordered stream
+    val df = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 300L),
+        (5L, 50L), (6L, 40L))
+      .toDF("doc_id", "n_tok")
+    val got = TextAnalysis
+      .packSequences(df, "doc_id", "n_tok", capacity = 256L, shards = 1)
+      .orderBy("id").as[(Long, Long, Int, Long)].collect()
+    // greedy: [100+100]=200 | [100]=100 + oversized 300 alone | [50+40]
+    val bins = got.map(r => r._1 -> r._4).toMap
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L,
+      5L -> 3L, 6L -> 3L))
+
+    // sharded run: every doc assigned once; no multi-doc bin overflows
+    val docsTok = docs
+      .withColumn("n_tok", TextAnalysis.approxBpeTokens($"text"))
+    val packed = TextAnalysis.packSequences(docsTok, "doc_id", "n_tok",
+      capacity = 256L, shards = 4)
+    assert(packed.count() == docs.count())
+    val over = packed.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("used"), count(lit(1)).as("n"))
+      .filter($"used" > 256 && $"n" > 1)
+    assert(over.isEmpty, "a multi-document bin exceeds capacity")
+    // determinism: identical assignment on a second run
+    val again = TextAnalysis.packSequences(docsTok, "doc_id", "n_tok",
+      capacity = 256L, shards = 4)
+    assert(packed.except(again).isEmpty && again.except(packed).isEmpty)
+  }
+
   test("shingles are distinct lowercase k-grams") {
     val row = Seq(("AbAb")).toDF("t")
       .select(Dedup.shingles($"t", 2).as("s")).head()
