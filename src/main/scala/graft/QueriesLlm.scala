@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.Relational
 
 /** LLM-training-data pipeline operators exercised end-to-end over the
   * `documents` / `embeddings` testdata (SURVEY.md §7.2 M8 — the
@@ -114,6 +115,30 @@ object QueriesLlm {
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").cast("long").as("tokens_used"))
       .orderBy("shard", "bin")
+
+  /** q59 — eval-set contamination: corpus docs (id < 450) sharing a
+    * word 8-gram with any "benchmark" doc (id ≥ 450). Catches exactly
+    * the planted near-dup pairs that straddle the split.
+    */
+  def q59Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.contaminationCheck(
+        docs.filter(col("doc_id") < 450), "doc_id", "text",
+        docs.filter(col("doc_id") >= 450), "doc_id", "text", n = 8)
+      .select(col("id").as("doc_id"), col("n_shared_grams"),
+        col("n_eval_docs"),
+        round(col("contamination_frac"), 6).as("contamination_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** q60 — exactly-5-per-(lang, source) deterministic stratified
+    * sample (md5-rank membership, re-derivable forever).
+    */
+  def q60StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Relational.stratifiedSampleExact(t(spark, dir, "documents"),
+        Seq("lang", "source"), "doc_id", k = 5)
+      .select("lang", "source", "doc_id")
+      .orderBy("lang", "source", "doc_id")
 
   /** q52 — near-dup CLUSTERS: simhash pairs → connected components →
     * (cluster root, size, surviving docs). Pairs alone over-count on
@@ -365,7 +390,9 @@ object QueriesLlm {
     "q55_dedup_jaccard"  -> (q55DedupJaccard _),
     "q56_repetition"     -> (q56RepetitionStats _),
     "q57_leakage_split"  -> (q57LeakageSafeSplit _),
-    "q58_pack_sequences" -> (q58PackSequences _))
+    "q58_pack_sequences" -> (q58PackSequences _),
+    "q59_contamination"  -> (q59Contamination _),
+    "q60_stratified_sample" -> (q60StratifiedSample _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -541,6 +568,35 @@ object QueriesLlm {
          SELECT shard, bin, count(*) AS n_docs,
                 CAST(sum(tok) AS BIGINT) AS tokens_used
          FROM st GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q59_contamination" ->
+      """WITH toksa AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+                 array_to_string(t[i:i+7], ' ') AS gram
+               FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, greatest(len(t) - 7, 1)))
+                         AS i
+                     FROM toksa)),
+         c AS (SELECT doc_id, gram FROM g WHERE doc_id < 450),
+         e AS (SELECT doc_id AS eid, gram FROM g WHERE doc_id >= 450),
+         sizes AS (SELECT doc_id, count(*) AS n_grams FROM c GROUP BY 1),
+         hits AS (SELECT c.doc_id,
+                    count(DISTINCT c.gram) AS n_shared_grams,
+                    count(DISTINCT e.eid) AS n_eval_docs
+                  FROM c JOIN e ON c.gram = e.gram GROUP BY 1)
+         SELECT h.doc_id, h.n_shared_grams, h.n_eval_docs,
+                round(h.n_shared_grams * 1.0 / s.n_grams, 6)
+                  AS contamination_frac
+         FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+         ORDER BY h.doc_id""",
+    "q60_stratified_sample" ->
+      """WITH rk AS (SELECT doc_id, lang, source,
+                row_number() OVER (PARTITION BY lang, source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents)
+         SELECT lang, source, doc_id FROM rk WHERE rk <= 5
+         ORDER BY lang, source, doc_id""",
     "q52_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id,
                 unnest(string_split_regex(lower(text), '\s+')) AS tok

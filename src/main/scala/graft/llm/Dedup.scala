@@ -755,6 +755,42 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** Eval-set contamination check (the decontamination pass every
+    * training corpus needs before a benchmark is trustworthy): flags
+    * corpus documents sharing at least one word n-gram with any eval
+    * document — the n-gram-collision rule of the GPT-3/PaLM
+    * decontamination appendices, with n defaulting to 8.
+    *
+    * @return one row per CONTAMINATED corpus doc:
+    *   (id, n_shared_grams, n_eval_docs, contamination_frac) where
+    *   contamination_frac = shared grams / doc's distinct grams
+    *
+    * Scale shape: both sides reduce to fixed-width (id, gram-hash)
+    * rows; the join is an equi-join on the hash — the eval side is
+    *  benchmarks, i.e. tiny, so AQE broadcasts it and the corpus
+    * never shuffles. Distinct-gram counting is one partial-aggregated
+    * groupBy. No arrays, no windows, no driver state.
+    */
+  def contaminationCheck(corpus: DataFrame, corpusId: String,
+                         corpusText: String, eval: DataFrame,
+                         evalId: String, evalText: String,
+                         n: Int = 8): DataFrame = {
+    if (n <= 0)
+      throw InvalidArgumentValue(s"n must be positive, got $n")
+    val cGrams = wordGramRows(corpus, corpusId, corpusText, n)
+    val eGrams = wordGramRows(eval, evalId, evalText, n)
+      .withColumnRenamed("id", "eid")
+    val sizes = cGrams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    cGrams.join(eGrams, "g")
+      .groupBy("id")
+      .agg(count_distinct(col("g")).as("n_shared_grams"),
+        count_distinct(col("eid")).as("n_eval_docs"))
+      .join(sizes, "id")
+      .select(col("id"), col("n_shared_grams"), col("n_eval_docs"),
+        (col("n_shared_grams").cast("double") /
+          col("n_grams").cast("double")).as("contamination_frac"))
+  }
+
   /** Dedup-aware train/eval split: assigns each near-duplicate
     * CLUSTER — not each document — to a split, so no near-dup pair
     * ever straddles train and eval (per-document random splitting

@@ -270,4 +270,31 @@ object Relational {
       .groupBy(keys.map(col): _*)
       .agg(merged.head, merged.tail: _*)
   }
+
+  /** Exactly-k-per-stratum deterministic sample: keep the `k` rows of
+    * each stratum whose md5(id) ranks lowest (ties broken by id —
+    * total order, so the sample is unique and re-derivable forever,
+    * unlike `TABLESAMPLE`/`rand()` which change per run and per
+    * partitioning). The md5 rank makes membership independent of the
+    * id distribution — sequential ids don't bias toward old rows.
+    *
+    * One window per stratum (shuffle on strataCols, sort by the
+    * hash); a stratum's rows land in one task, which is fine for
+    * strata like language/source/bucket but NOT for high-cardinality
+    * skew — salt first (`saltedAggregate`'s trick) if one stratum is
+    * a large fraction of the corpus.
+    */
+  def stratifiedSampleExact(df: DataFrame, strataCols: Seq[String],
+                            idCol: String, k: Int): DataFrame = {
+    if (strataCols.isEmpty)
+      throw InvalidArgumentValue("strataCols must be non-empty")
+    if (k <= 0)
+      throw InvalidArgumentValue(s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

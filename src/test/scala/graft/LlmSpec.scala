@@ -264,6 +264,24 @@ class LlmSpec extends SparkSpec {
     assert(packed.except(again).isEmpty && again.except(packed).isEmpty)
   }
 
+  test("contaminationCheck flags exactly the docs sharing an n-gram") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated words nothing shared here at all ok"),
+      (3L, "prefix words then the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationCheck(corpus, "doc_id", "text",
+        eval, "doc_id", "text", n = 8)
+      .orderBy("id").as[(Long, Long, Long, Double)].collect()
+    // docs 1 and 3 contain the eval doc's 8-grams; doc 2 shares none
+    assert(got.map(_._1).toSeq == Seq(1L, 3L))
+    assert(got.forall(_._3 == 1L)) // one eval doc hit
+    assert(got.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+  }
+
   test("shingles are distinct lowercase k-grams") {
     val row = Seq(("AbAb")).toDF("t")
       .select(Dedup.shingles($"t", 2).as("s")).head()

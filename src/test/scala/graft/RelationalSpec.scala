@@ -172,4 +172,32 @@ class RelationalSpec extends SparkSpec {
       Relational.saltedJoin(probe, build, Seq("k"), 8, "right")
     }
   }
+
+  test("stratifiedSampleExact keeps exactly min(k, |stratum|) rows, deterministically") {
+    val df = (1L to 100L).map(i => (i, (i % 3).toString))
+      .toDF("id", "stratum")
+    val sampled = Relational.stratifiedSampleExact(df, Seq("stratum"), "id", 7)
+    val perStratum = sampled.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(perStratum.values.forall(_ == 7L))
+    // a stratum smaller than k returns whole
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "stratum")
+    assert(Relational.stratifiedSampleExact(
+      tiny, Seq("stratum"), "id", 7).count() == 3)
+    // membership matches the md5-rank reference and repeats identically
+    val expect = df.as[(Long, String)].collect()
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy { case (id, _) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (md, id)
+        }.take(7).map(_._1)
+      }.toSet
+    val got = sampled.select("id").as[Long].collect().toSet
+    assert(got == expect)
+    val again = Relational.stratifiedSampleExact(df, Seq("stratum"), "id", 7)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+  }
 }
