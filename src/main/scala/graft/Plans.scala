@@ -34,7 +34,17 @@ object Plans {
       "q54_dedup_index_append" ->
         ("index probe after batch-tagged appends: base + appended " +
           "partitions scanned as one signature corpus; only candidate " +
-          "corpus docs re-shingled (left_semi before the verify join)"))
+          "corpus docs re-shingled (left_semi before the verify join)"),
+      "q55_dedup_jaccard" ->
+        ("exact set-similarity join: prefix-filter candidates are an " +
+          "equi-join on rare-first prefix grams (never a cartesian), " +
+          "then join-based exact Jaccard verify"),
+      "q58_pack_sequences" ->
+        ("greedy packing: one shuffle on the md5 shard key, then a " +
+          "sorted-group streaming fold (no per-group collection)"),
+      "q59_contamination" ->
+        ("corpus-vs-eval gram equi-join: tiny eval side broadcast, " +
+          "corpus grams never shuffle"))
 
     val sb = new StringBuilder
     sb ++= s"# PLANS — formatted physical plans at $sfDir\n\n"
