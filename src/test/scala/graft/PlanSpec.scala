@@ -80,6 +80,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__graft_bin"), s"bin key missing from plan:\n$p")
   }
 
+  /** Formatted explain (includes cached-relation child plans — the
+    * LLM operators return persisted frames, so their funnel is only
+    * visible through the InMemoryRelation).
+    */
+  private def formattedPlanOf(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q55 prefix-filter join is an equi-join, never a pair explosion") {
+    val p = formattedPlanOf(QueriesLlm.q55DedupJaccard(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"prefix candidate join fell back to a nested loop:\n$p")
+    // the rare-first prefix rank must be a keyed window, not a sort
+    assert(p.contains("windowspecdefinition(id"),
+      s"prefix rank window must be keyed by doc id:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q58 packing is one shard shuffle + a sorted streaming fold") {
+    val p = formattedPlanOf(QueriesLlm.q58PackSequences(spark, sf))
+    assert(p.contains("MapGroups"), s"expected MapGroups fold in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q59 contamination join stays an equi-join on gram hashes") {
+    val p = formattedPlanOf(QueriesLlm.q59Contamination(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"gram join fell back to a nested loop:\n$p")
+    // at this scale AQE must broadcast the (tiny) eval gram side
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the eval side broadcast in:\n$p")
+  }
+
   test("partitioned dataset read back prunes by partition filter") {
     import graft.sinks.Writer
     import org.apache.spark.sql.functions.col

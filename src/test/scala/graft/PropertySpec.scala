@@ -276,6 +276,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packSequences equals the sequential greedy reference on random inputs") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      toks <- Gen.listOfN(n, Gen.chooseNum(1L, 400L))
+    } yield toks
+    forAllSeeded(gen, cases = 20) { toks =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "n_tok")
+      val got = graft.llm.TextAnalysis
+        .packSequences(df, "doc_id", "n_tok", capacity = 256L, shards = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+      // driver-side replica: md5-mod shard, then greedy fold in id order
+      def shardOf(id: Long): Int = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(md.substring(0, 15), 16) % 3).toInt
+      }
+      val expected = toks.indices.map(_.toLong)
+        .groupBy(shardOf).toSeq.flatMap { case (shard, ids) =>
+          var bin = -1L; var used = 0L
+          ids.sorted.map { id =>
+            val t = toks(id.toInt)
+            if (bin < 0 || used + t > 256L) { bin += 1; used = 0L }
+            used += t
+            (id, shard, bin)
+          }
+        }.toSet
+      assert(got.toSet == expected, s"packing differs; toks=$toks")
+    }
+  }
+
+  test("contaminationCheck equals brute-force gram intersection on random corpora") {
+    forAllSeeded(corpusGen, cases = 10) { docsList =>
+      val (corpusDocs, evalDocs) = docsList.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+        .partition(_._1 % 3 != 0)
+      if (corpusDocs.nonEmpty && evalDocs.nonEmpty) {
+        val n = 3
+        val got = Dedup.contaminationCheck(
+            corpusDocs.toDF("doc_id", "text"), "doc_id", "text",
+            evalDocs.toDF("doc_id", "text"), "doc_id", "text", n = n)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        def grams(s: String): Set[String] = {
+          val t = s.trim.toLowerCase.split("\\s+").toSeq
+          (1 to math.max(t.length - (n - 1), 1))
+            .map(i => t.slice(i - 1, i - 1 + n).mkString(" ")).toSet
+        }
+        val evalGrams = evalDocs.map { case (id, t) => id -> grams(t) }
+        val expected = corpusDocs.flatMap { case (cid, ct) =>
+          val cg = grams(ct)
+          val shared = cg.filter(g => evalGrams.exists(_._2.contains(g)))
+          val hitDocs = evalGrams.count(_._2.exists(shared.contains))
+          if (shared.isEmpty) None
+          else Some((cid, shared.size.toLong, hitDocs.toLong))
+        }.toSet
+        assert(got == expected, s"contamination differs; corpus=$docsList")
+      }
+    }
+  }
+
   test("simhashNearDups equals brute-force Hamming on random corpora") {
     // pigeonhole chunking guarantees the candidate set is a superset,
     // and bit_count verification makes it exact — so the operator must
