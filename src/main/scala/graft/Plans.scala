@@ -44,7 +44,16 @@ object Plans {
           "sorted-group streaming fold (no per-group collection)"),
       "q59_contamination" ->
         ("corpus-vs-eval gram equi-join: tiny eval side broadcast, " +
-          "corpus grams never shuffle"))
+          "corpus grams never shuffle"),
+      "q61_mixture_sample" ->
+        ("token-budget mixture sampling: running sum bucketed over " +
+          "256 hash-prefix buckets — the window partitions are " +
+          "(group, bucket), never one whole group; bucket carry-ins " +
+          "come from a 256-rows-per-group broadcast join"),
+      "q62_dup_gram_frac" ->
+        ("cross-doc duplicated grams: the join's build side is the " +
+          "minDocs-filtered duplicated mass only (broadcast when it " +
+          "fits), never the full gram-frequency table"))
 
     val sb = new StringBuilder
     sb ++= s"# PLANS — formatted physical plans at $sfDir\n\n"

@@ -140,6 +140,58 @@ object QueriesLlm {
       .select("lang", "source", "doc_id")
       .orderBy("lang", "source", "doc_id")
 
+  /** q61 — token-budget mixture sampling: sources src0–src9 at weight
+    * 1, src10–src14 at weight 2 (src15–src19 unweighted ⇒ dropped),
+    * 60k chars of total budget split proportionally; each source
+    * contributes docs in md5-of-id order until its budget is spent.
+    * The oracle replays the identical running-sum rule with one
+    * window (the engine's bucketed two-phase form must be
+    * indistinguishable from the naive global form).
+    */
+  def q61MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val weights =
+      ((0 until 10).map(i => s"src$i" -> 1.0) ++
+        (10 until 15).map(i => s"src$i" -> 2.0)).toMap
+    TextAnalysis.sampleToBudget(t(spark, dir, "documents"),
+        "doc_id", "n_chars", "source", weights, totalBudget = 60000L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("chars_kept"))
+      .orderBy("source")
+  }
+
+  /** q62 — cross-document duplicated-gram fraction (word 5-grams,
+    * shared with ≥ 2 docs): the corpus-level boilerplate signal; the
+    * planted near-dup pairs light up with frac ≈ 1 while the random
+    * tail sits near 0.
+    */
+  def q62DupGramFrac(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedGramStats(t(spark, dir, "documents"),
+        "doc_id", "text", n = 5, minDocs = 2)
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_dup_grams"),
+        round(col("dup_gram_frac"), 6).as("dup_gram_frac"))
+      .orderBy("doc_id")
+
+  /** q63 — product-quantization ANN with exact re-rank: corpus stored
+    * as 8 byte-sized codes per vector (32× compression of the 64-dim
+    * floats), ADC-table scan, top-50 shortlist, exact-cosine re-rank
+    * to top-10. No SQL oracle — PQ's k-means codebooks aren't
+    * SQL-expressible — so the driver records the rows-only check; the
+    * ranking contract is pinned by LlmSpec (exactness in the
+    * one-codeword-per-vector limit, recall ≥ 0.9 clustered, reranked
+    * sims exactly equal brute-force cosines).
+    */
+  def q63AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.pqTopK(
+        emb.filter(col("vec_id") >= 5), emb.filter(col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", k = 10, m = 8, ncodes = 16,
+        shortlist = 50)
+      .select(col("qid"), col("rnk"), col("cid"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rnk")
+  }
+
   /** q52 — near-dup CLUSTERS: simhash pairs → connected components →
     * (cluster root, size, surviving docs). Pairs alone over-count on
     * chains; this is the step a dedup pipeline actually ships. The
@@ -392,7 +444,10 @@ object QueriesLlm {
     "q57_leakage_split"  -> (q57LeakageSafeSplit _),
     "q58_pack_sequences" -> (q58PackSequences _),
     "q59_contamination"  -> (q59Contamination _),
-    "q60_stratified_sample" -> (q60StratifiedSample _))
+    "q60_stratified_sample" -> (q60StratifiedSample _),
+    "q61_mixture_sample" -> (q61MixtureSample _),
+    "q62_dup_gram_frac"  -> (q62DupGramFrac _),
+    "q63_ann_pq_noracle" -> (q63AnnPq _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -597,6 +652,43 @@ object QueriesLlm {
               FROM documents)
          SELECT lang, source, doc_id FROM rk WHERE rk <= 5
          ORDER BY lang, source, doc_id""",
+    "q61_mixture_sample" ->
+      """WITH w AS (SELECT * FROM (VALUES
+             ('src0', 1.0), ('src1', 1.0), ('src2', 1.0), ('src3', 1.0),
+             ('src4', 1.0), ('src5', 1.0), ('src6', 1.0), ('src7', 1.0),
+             ('src8', 1.0), ('src9', 1.0), ('src10', 2.0), ('src11', 2.0),
+             ('src12', 2.0), ('src13', 2.0), ('src14', 2.0))
+             AS w(source, wt)),
+         tot AS (SELECT sum(wt) AS ws FROM w),
+         cum AS (SELECT d.source, d.n_chars,
+                   sum(d.n_chars) OVER (PARTITION BY d.source
+                     ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS c,
+                   CAST(floor(60000 * w.wt / t.ws) AS BIGINT) AS budget
+                 FROM documents d JOIN w USING (source) CROSS JOIN tot t)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars_kept
+         FROM cum WHERE c <= budget
+         GROUP BY source ORDER BY source""",
+    "q62_dup_gram_frac" ->
+      """WITH toksa AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+                 array_to_string(t[i:i+4], ' ') AS gram
+               FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, greatest(len(t) - 4, 1)))
+                         AS i
+                     FROM toksa)),
+         freq AS (SELECT gram, count(*) AS nd FROM g GROUP BY 1),
+         per AS (SELECT doc_id, count(*) AS n_grams,
+                   sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+                 FROM g JOIN freq USING (gram) GROUP BY 1)
+         SELECT doc_id, n_grams,
+                CAST(n_dup AS BIGINT) AS n_dup_grams,
+                round(n_dup * 1.0 / n_grams, 6) AS dup_gram_frac
+         FROM per ORDER BY doc_id""",
     "q52_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id,
                 unnest(string_split_regex(lower(text), '\s+')) AS tok

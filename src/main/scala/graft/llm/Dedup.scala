@@ -791,6 +791,46 @@ object Dedup {
           col("n_grams").cast("double")).as("contamination_frac"))
   }
 
+  /** Cross-document duplicated-gram statistics — the RefinedWeb /
+    * Dolma quality signal "how much of this document is text that
+    * also appears elsewhere in the corpus": per document, the number
+    * of distinct word n-grams, the number of those shared with at
+    * least `minDocs` documents (including itself), and their
+    * fraction. High `dup_gram_frac` flags boilerplate, templated
+    * spam, and licensing-risk mirrors that per-document repetition
+    * metrics (`TextAnalysis.repetitionStats`) are blind to.
+    *
+    * Scale shape: one explode to hashed gram rows (fixed-width longs
+    * through every shuffle), a partial-aggregated document-frequency
+    * groupBy keyed by gram FILTERED to grams meeting `minDocs` — the
+    * join's build side is the DUPLICATED mass only (the thing being
+    * measured, usually a sliver of the corpus — AQE broadcasts it
+    * when it fits, and then the gram rows never shuffle for the
+    * join), a left join to flag each gram row, and a final
+    * per-document aggregation. No windows, no arrays through
+    * shuffles, no driver state.
+    */
+  def duplicatedGramStats(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 5, minDocs: Int = 2): DataFrame = {
+    if (n <= 0)
+      throw InvalidArgumentValue(s"n must be positive, got $n")
+    if (minDocs < 2)
+      throw InvalidArgumentValue(
+        s"minDocs must be >= 2 (a gram always appears in its own " +
+          s"document), got $minDocs")
+    val grams = wordGramRows(df, idCol, textCol, n)
+    val dupGrams = grams.groupBy("g").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+    grams.join(dupGrams, Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__nd").isNotNull, 1L).otherwise(0L))
+          .as("n_dup_grams"))
+      .select(col("id"), col("n_grams"), col("n_dup_grams"),
+        (col("n_dup_grams").cast("double") /
+          col("n_grams").cast("double")).as("dup_gram_frac"))
+  }
+
   /** Dedup-aware train/eval split: assigns each near-duplicate
     * CLUSTER — not each document — to a split, so no near-dup pair
     * ever straddles train and eval (per-document random splitting

@@ -366,6 +366,219 @@ object Similarity {
   def dequantize(qvec: Column, scale: Column): Column =
     transform(qvec, x => x.cast("double") * scale)
 
+  /** L2-normalize (id, vec) rows with a compiled kernel; zero vectors
+    * pass through as zeros (their cosine is undefined — the exact
+    * scorer yields NaN for them and `topK` filters it, matching
+    * `bruteForceTopK`'s contract).
+    */
+  private def normalized(v: DataFrame): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    v.as[(Long, Seq[Double])].mapPartitions { rows =>
+      rows.map { case (id, vec) =>
+        val a = vec.toArray
+        var n = 0.0; var i = 0
+        while (i < a.length) { n += a(i) * a(i); i += 1 }
+        if (n > 0) {
+          val inv = 1.0 / math.sqrt(n); i = 0
+          while (i < a.length) { a(i) *= inv; i += 1 }
+        }
+        (id, a.toSeq)
+      }
+    }.toDF("id", "v")
+  }
+
+  private def sliceOf(a: Array[Double], sub: Int, subDim: Int): Array[Double] = {
+    val out = new Array[Double](subDim)
+    System.arraycopy(a, sub * subDim, out, 0, subDim)
+    out
+  }
+
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Nearest-codeword assignment per subspace (argmin L2, ties to the
+    * lowest code) — the shared kernel of PQ training and encoding.
+    */
+  private def nearestCode(books: Array[Array[Array[Double]]],
+                          sub: Int, slice: Array[Double]): Int = {
+    val codes = books(sub)
+    var best = 0; var bestD = Double.PositiveInfinity
+    var ci = 0
+    while (ci < codes.length) {
+      val d = l2sq(slice, codes(ci))
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** Per-subspace k-means codebooks over normalized (id, v) rows —
+    * books(sub)(code) is a subDim-vector. Deterministic init from the
+    * `ncodes` lowest-id vectors' slices; every iteration assigns ALL
+    * subspaces in one distributed pass (one job per iteration, not
+    * one per subspace), and only the m·ncodes·subDim codebook doubles
+    * ever reach the driver.
+    */
+  private def trainPqCodebooks(v: DataFrame, m: Int, ncodes: Int,
+                               iters: Int): Array[Array[Array[Double]]] = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val init = v.orderBy("id").limit(ncodes)
+      .collect().map(_.getSeq[Double](1).toArray)
+    if (init.isEmpty)
+      throw InvalidArgumentValue("cannot train PQ codebooks on an empty corpus")
+    val subDim = init.head.length / m
+    var books = Array.tabulate(m)(s => init.map(a => sliceOf(a, s, subDim)))
+    for (_ <- 1 to iters) {
+      val b = books // stable reference for the closure
+      val updated = v.as[(Long, Seq[Double])].mapPartitions { rows =>
+        rows.flatMap { case (_, vec) =>
+          val a = vec.toArray
+          (0 until m).map { s =>
+            val sl = sliceOf(a, s, subDim)
+            (s, nearestCode(b, s, sl), sl.toSeq)
+          }
+        }
+      }.toDF("sub", "code", "sl")
+        .select(col("sub"), col("code"), posexplode(col("sl")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos").agg(avg("x").as("mean"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+        .select(col("sub"), col("code"),
+          transform(col("pm"), s => s.getField("mean")).as("cen"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      books = Array.tabulate(m)(s =>
+        books(s).indices.map(c => updated.getOrElse((s, c), books(s)(c))).toArray)
+    }
+    books
+  }
+
+  /** Product-quantization approximate top-k (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011): each
+    * L2-normalized corpus vector is stored as `m` codebook indices
+    * (one byte each at ncodes ≤ 256) instead of dim floats — a 32-64×
+    * memory compression, the difference between a billion-vector
+    * index fitting executor RAM and not. Queries never touch raw
+    * corpus vectors during the scan: per query an ADC (asymmetric
+    * distance computation) table of m·ncodes partial dot products is
+    * built driver-side and broadcast, and each corpus row's
+    * approximate cosine is m table lookups inside a compiled
+    * `mapPartitions` kernel. The `shortlist` best rows per query are
+    * then exact-reranked against the true vectors (`rerank=true`, the
+    * standard PQ pipeline — sims in the result are exact cosines and
+    * recall failures can only come from shortlist misses, analyzed in
+    * the spec), or returned with approximate sims (`rerank=false`).
+    *
+    * At 100 TB: training samples + codebooks are driver-tiny, the
+    * encode and scan are row-parallel single passes (no shuffle until
+    * the two-phase top-k), and the scan reads m-byte codes instead of
+    * 4·dim-byte vectors — memory-bandwidth-bound ANN at 1/32 the
+    * bandwidth. The returned frame is already materialized
+    * (persisted; intermediate caches are released before returning) —
+    * `.unpersist()` the result when done.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             corpusId: String, queryId: String, vecCol: String,
+             k: Int, m: Int = 8, ncodes: Int = 16,
+             kmeansIters: Int = 3, shortlist: Int = 50,
+             rerank: Boolean = true): DataFrame = {
+    if (k <= 0) throw InvalidArgumentValue(s"k must be positive, got $k")
+    if (shortlist < k)
+      throw InvalidArgumentValue(s"shortlist ($shortlist) < k ($k)")
+    if (m <= 0 || ncodes <= 0)
+      throw InvalidArgumentValue(s"m and ncodes must be positive: $m, $ncodes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cRaw = asDoubleVec(corpus, corpusId, vecCol, "id", "v")
+    val qRaw = asDoubleVec(queries, queryId, vecCol, "id", "v")
+    requireSameDim(qRaw, cRaw)
+    val dim = cRaw.head(1).headOption
+      .map(_.getSeq[Double](1).length)
+      .getOrElse(throw InvalidArgumentValue("empty corpus"))
+    if (dim % m != 0)
+      throw InvalidArgumentValue(s"dim ($dim) not divisible by m ($m)")
+    val subDim = dim / m
+
+    // persisted: read by codebook training (iters passes), encoding,
+    // and the exact re-rank join
+    val c = normalized(cRaw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = trainPqCodebooks(c, m, ncodes, kmeansIters)
+
+    val encoded = c.as[(Long, Seq[Double])].mapPartitions { rows =>
+      rows.map { case (id, vec) =>
+        val a = vec.toArray
+        val codes = new Array[Int](m)
+        var s = 0
+        while (s < m) {
+          codes(s) = nearestCode(books, s, sliceOf(a, s, subDim)); s += 1
+        }
+        (id, codes.toSeq)
+      }
+    }.toDF("cid", "codes")
+
+    // queries are small by contract (same as bruteForceTopK's
+    // broadcast) — their ADC tables are built driver-side:
+    // tables(q)(sub·ncodes + code) = <query_sub, codeword>
+    val qArr = normalized(qRaw).as[(Long, Seq[Double])].collect()
+    val tables = qArr.map { case (qid, qv) =>
+      val qa = qv.toArray
+      val t = new Array[Double](m * ncodes)
+      var s = 0
+      while (s < m) {
+        val qs = sliceOf(qa, s, subDim)
+        var ci = 0
+        while (ci < books(s).length) {
+          val cw = books(s)(ci)
+          var d = 0.0; var i = 0
+          while (i < subDim) { d += qs(i) * cw(i); i += 1 }
+          t(s * ncodes + ci) = d
+          ci += 1
+        }
+        s += 1
+      }
+      (qid, t)
+    }
+
+    // one broadcast instead of a per-task closure copy — the tables
+    // grow with |queries|·m·ncodes
+    val tablesB = spark.sparkContext.broadcast(tables)
+    val adc = encoded.as[(Long, Seq[Int])].mapPartitions { rows =>
+      rows.flatMap { case (cid, codes) =>
+        val ca = codes.toArray
+        tablesB.value.iterator.map { case (qid, t) =>
+          var sim = 0.0; var s = 0
+          while (s < m) { sim += t(s * ncodes + ca(s)); s += 1 }
+          (qid, cid, sim)
+        }
+      }
+    }.toDF("qid", "cid", "sim")
+
+    val sl = topK(adc, shortlist)
+    val result = (if (rerank) {
+      val qv = qArr.toSeq.toDF("qid", "qv")
+      topK(scorePairs(
+        sl.select("qid", "cid")
+          .join(broadcast(qv), "qid")
+          .join(c.select(col("id").as("cid"), col("v").as("cv")), "cid")
+          .select("qid", "cid", "qv", "cv"),
+        "qid", "cid"), k)
+    } else {
+      sl.filter(col("rnk") <= k)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize, then release the normalized-corpus cache (the
+    // looping-caller contract shared by ivfTopK/probeMinhashIndex)
+    result.count()
+    c.unpersist(blocking = false)
+    result
+  }
+
   /** Near-duplicate embedding pairs (cosine ≥ threshold) via
     * random-hyperplane LSH: sign-bit band signatures from a compiled
     * kernel, candidates only within matching band buckets, exact

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-quality analysis for training-data pipelines: token counts,
@@ -259,6 +260,74 @@ object TextAnalysis {
         }
       }
       .toDF("id", "n_tokens", "shard", "bin")
+  }
+
+  /** Token-budget mixture sampling: the source-mixing step of a
+    * training-data pipeline (Pile/Dolma-style) — each group (source,
+    * domain, language, …) gets a budget proportional to its weight,
+    * `budget_g = floor(totalBudget · w_g / Σw)`, and contributes its
+    * documents in DETERMINISTIC md5-of-id order until the next
+    * document would not fit. Groups absent from `weights` are dropped
+    * entirely (weight 0). Like `hashSample`, the sample is
+    * re-derivable forever from (weights, budget) alone — no random
+    * state, identical across engines/runs/retries, and growing the
+    * corpus only APPENDS to each group's hash order, so re-sampling
+    * after ingest keeps the old sample's prefix stable.
+    *
+    * Semantics (mirrored exactly by the SQL oracle): keep a row iff
+    * its inclusive running `costCol` sum — over the group, ordered by
+    * (md5(id), id) — is ≤ the group budget.
+    *
+    * Scale shape: the naive form is one window partitioned by group —
+    * at 100 TB a single source can be 30 TB, and a per-group window
+    * serializes it through ONE task. Instead the running sum is
+    * computed in two phases over the 256 two-hex-char prefix buckets
+    * of the hash order (bucket is a PREFIX of the sort key, so
+    * bucket-major order IS hash order): (1) per-(group, bucket) sums
+    * — a partial-aggregated groupBy producing ≤ 256·|groups| rows —
+    * prefix-summed into a carry-in per bucket (a window over ≤ 256
+    * rows per group); (2) the within-bucket running sum, a window
+    * whose partitions are (group, bucket) — 256× the parallelism and
+    * 1/256 the partition size of the naive form. Costs one extra scan
+    * of the input (cheap, column-pruned) to buy the 256× narrower
+    * window.
+    */
+  def sampleToBudget(df: DataFrame, idCol: String, costCol: String,
+                     groupCol: String, weights: Map[String, Double],
+                     totalBudget: Long): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be >= 0: $totalBudget")
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ > 0),
+      s"weights must be positive: $weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wSum = weights.values.sum
+    val budgets = broadcast(
+      weights.toSeq.sorted
+        .map { case (g, w) =>
+          (g, math.floor(totalBudget * w / wSum).toLong) }
+        .toDF(groupCol, "__budget"))
+    val rows = df.join(budgets, Seq(groupCol))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__bkt", substring(col("__h"), 1, 2))
+    val carry = rows
+      .groupBy(col(groupCol), col("__bkt"))
+      .agg(sum(col(costCol).cast("long")).as("__bsum"))
+      .withColumn("__carry",
+        coalesce(
+          sum(col("__bsum")).over(
+            Window.partitionBy(groupCol).orderBy("__bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(groupCol), col("__bkt"), col("__carry"))
+    val wInBucket = Window.partitionBy(col(groupCol), col("__bkt"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.join(broadcast(carry), Seq(groupCol, "__bkt"))
+      .withColumn("__cum",
+        col("__carry") + sum(col(costCol).cast("long")).over(wInBucket))
+      .filter(col("__cum") <= col("__budget"))
+      .drop("__h", "__bkt", "__carry", "__cum", "__budget")
   }
 
   /** Normalized content fingerprint: lowercase, strip every

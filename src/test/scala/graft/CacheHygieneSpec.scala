@@ -66,6 +66,13 @@ class CacheHygieneSpec extends SparkSpec {
     assert(n == 15)
   }
 
+  test("pqTopK releases the normalized-corpus cache") {
+    val n = assertReleasesAll(
+      Similarity.pqTopK(emb, emb.limit(3), "vec_id", "vec_id", "embedding",
+        k = 5, m = 4, ncodes = 8, shortlist = 20))
+    assert(n == 15)
+  }
+
   test("cosineNearDups releases the band signature cache") {
     assertReleasesAll(
       Similarity.cosineNearDups(emb, "vec_id", "embedding",

@@ -561,4 +561,141 @@ class LlmSpec extends SparkSpec {
     assert(r.getLong(1) > 0)
     assert(r.getString(2).length == 32)
   }
+
+  test("pq with one codeword per vector and no rerank is exact cosine") {
+    // m=1, ncodes = |corpus|, distinct vectors: k-means init gives each
+    // vector its own codeword and the means fix-point there, so the ADC
+    // lookup IS dot(q̂, ĉ) = exact cosine — the degenerate configuration
+    // that pins the whole table/encode/scan path numerically
+    val corpus = Seq(
+      (10L, Seq(1f, 0f, 0f, 0f)), (11L, Seq(0f, 1f, 0f, 0f)),
+      (12L, Seq(0f, 0f, 1f, 0f)), (13L, Seq(0f, 0f, 0f, 1f)),
+      (14L, Seq(1f, 1f, 0f, 0f)), (15L, Seq(0f, 1f, 1f, 0f)),
+      (16L, Seq(1f, 0f, 0f, 1f)), (17L, Seq(2f, 1f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(3f, 1f, 0f, 0f)), (1L, Seq(0f, 1f, 2f, 1f)))
+      .toDF("vec_id", "embedding")
+    val pq = Similarity.pqTopK(corpus, queries, "vec_id", "vec_id",
+      "embedding", k = 8, m = 1, ncodes = 8, kmeansIters = 2,
+      shortlist = 8, rerank = false)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+      "vec_id", "embedding", k = 8)
+    val got = pq.orderBy("qid", "rnk")
+      .as[(Long, Long, Long, Double)].collect()
+    val want = exact.orderBy("qid", "rnk")
+      .as[(Long, Long, Long, Double)].collect()
+    pq.unpersist()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gq, gr, gc, gs), (wq, wr, wc, ws)) =>
+      assert((gq, gr, gc) == (wq, wr, wc))
+      assert(math.abs(gs - ws) < 1e-9, s"sim $gs != $ws at ($gq,$gr)")
+    }
+  }
+
+  test("pq rerank recall@10 >= 0.9 on clustered vectors with exact sims") {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8, 16)(rnd.nextGaussian())
+    val vecs = (0L until 300L).map { i =>
+      val c = centers((i % 8).toInt)
+      i -> c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq
+    }.toDF("vec_id", "embedding")
+    val corpus = vecs.filter($"vec_id" >= 10)
+    val queries = vecs.filter($"vec_id" < 10)
+    val pq = Similarity.pqTopK(corpus, queries, "vec_id", "vec_id",
+      "embedding", k = 10, m = 4, ncodes = 16, shortlist = 50)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+      "vec_id", "embedding", k = 10)
+    val pqSet = pq.select("qid", "cid").as[(Long, Long)].collect().toSet
+    val exSims = exact.select("qid", "cid", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, c, s) => (q, c) -> s }.toMap
+    val recall = pqSet.count(exSims.contains).toDouble / exSims.size
+    assert(recall >= 0.9, s"pq recall@10 was $recall")
+    // reranked sims must be the EXACT cosine wherever pq found a true hit
+    val pqSims = pq.select("qid", "cid", "sim")
+      .as[(Long, Long, Double)].collect()
+    pq.unpersist()
+    pqSims.filter(r => exSims.contains((r._1, r._2))).foreach {
+      case (q, c, s) =>
+        assert(math.abs(s - exSims((q, c))) < 1e-9,
+          s"rerank sim not exact for ($q,$c)")
+    }
+  }
+
+  test("pq argument guards reject bad geometry") {
+    val corpus = emb.limit(20)
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Similarity.pqTopK(corpus, corpus.limit(2), "vec_id", "vec_id",
+        "embedding", k = 5, m = 7) // 64 % 7 != 0
+    }
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Similarity.pqTopK(corpus, corpus.limit(2), "vec_id", "vec_id",
+        "embedding", k = 10, shortlist = 5)
+    }
+  }
+
+  test("sampleToBudget equals the naive one-window rule; unweighted groups drop") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = (1L to 60L).map(i =>
+      (i, Seq("a", "b", "c")((i % 3).toInt), i * 7 % 50 + 10))
+      .toDF("doc_id", "source", "n_chars")
+    val got = TextAnalysis.sampleToBudget(corpus, "doc_id", "n_chars",
+      "source", Map("a" -> 1.0, "b" -> 3.0), totalBudget = 400L)
+    // budgets: floor(400·1/4)=100, floor(400·3/4)=300
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = corpus.filter($"source".isin("a", "b"))
+      .withColumn("cum", sum($"n_chars".cast("long")).over(w))
+      .withColumn("budget",
+        when($"source" === "a", 100L).otherwise(300L))
+      .filter($"cum" <= $"budget")
+      .select("doc_id").as[Long].collect().toSet
+    val gotIds = got.select("doc_id").as[Long].collect().toSet
+    assert(gotIds == expected)
+    assert(gotIds.nonEmpty)
+    // the sample is a strict subset: adding any group's next-in-hash-order
+    // doc would blow its budget, and group c (no weight) contributes nothing
+    assert(got.filter($"source" === "c").count() == 0)
+    assert(got.columns.toSeq ==
+      Seq("source", "doc_id", "n_chars")) // original columns, no temps
+  }
+
+  test("sampleToBudget: zero budget keeps nothing; ample budget keeps all weighted") {
+    val corpus = (1L to 20L).map(i => (i, "a", 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val none = TextAnalysis.sampleToBudget(corpus, "doc_id", "n_chars",
+      "source", Map("a" -> 1.0), totalBudget = 0L)
+    assert(none.count() == 0)
+    val all = TextAnalysis.sampleToBudget(corpus, "doc_id", "n_chars",
+      "source", Map("a" -> 1.0), totalBudget = 1000000L)
+    assert(all.count() == 20)
+  }
+
+  test("duplicatedGramStats computes per-doc shared-gram fractions") {
+    val corpus = Seq(
+      (1L, "a b c d e f"), // trigrams: abc bcd cde def
+      (2L, "a b c d e f"), // identical → every gram shared
+      (3L, "x y z w v u")  // disjoint
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedGramStats(corpus, "doc_id", "text", n = 3)
+      .orderBy("id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 4L, 4L, 1.0), (2L, 4L, 4L, 1.0),
+      (3L, 4L, 0L, 0.0)))
+  }
+
+  test("duplicatedGramStats clips docs shorter than n to one gram") {
+    val corpus = Seq((1L, "hello"), (2L, "hello"), (3L, "bye"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedGramStats(corpus, "doc_id", "text", n = 5)
+      .orderBy("id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L, 1.0), (2L, 1L, 1L, 1.0),
+      (3L, 1L, 0L, 0.0)))
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Dedup.duplicatedGramStats(corpus, "doc_id", "text", n = 3,
+        minDocs = 1)
+    }
+  }
 }
