@@ -53,7 +53,20 @@ object Plans {
       "q62_dup_gram_frac" ->
         ("cross-doc duplicated grams: the join's build side is the " +
           "minDocs-filtered duplicated mass only (broadcast when it " +
-          "fits), never the full gram-frequency table"))
+          "fits), never the full gram-frequency table"),
+      "q64_quality_filter" ->
+        ("Gopher-rule quality filter: one codegen'd projection over " +
+          "the scan — zero shuffle, zero joins; at 100 TB this is a " +
+          "pure map"),
+      "q65_remove_spans" ->
+        ("duplicated-span removal: positioned gram-hash rows, " +
+          "doc-frequency filter to the duplicated mass (broadcast), " +
+          "position anti-join, per-document reassembly — the " +
+          "suffix-array dedup re-expressed as equi-joins"),
+      "q66_contamination_bloom" ->
+        ("q59 with the broadcast-Bloom corpus prefilter: corpus gram " +
+          "rows are filtered BEFORE the join, so only might-match " +
+          "grams ever shuffle; results identical (exact join after)"))
 
     val sb = new StringBuilder
     sb ++= s"# PLANS — formatted physical plans at $sfDir\n\n"

@@ -192,6 +192,50 @@ object QueriesLlm {
       .orderBy("qid", "rnk")
   }
 
+  /** q64 — Gopher-rule quality filter: thresholds chosen to split the
+    * corpus on three rules (token count 30–90, avg word length ≤ 4.5,
+    * ≥ 1 English stopword hit) while the symbol/alpha rules pass
+    * trivially on this all-letters corpus (their logic is pinned by
+    * LlmSpec on crafted fixtures).
+    */
+  def q64QualityFilter(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFilter(t(spark, dir, "documents"),
+        "doc_id", "text",
+        TextAnalysis.QualityRules(minTokens = 30, maxTokens = 90,
+          minAvgTokenLen = 3.0, maxAvgTokenLen = 4.5,
+          maxSymbolFrac = 0.1, minAlphaTokenFrac = 0.8,
+          minStopwordHits = 1))
+      .orderBy("doc_id")
+
+  /** q65 — duplicated-span REMOVAL (substring-level dedup): words
+    * covered by any cross-document word 5-gram are deleted and the
+    * survivors rejoined; the planted near-dup pairs lose most of their
+    * text while the random tail passes through (lowercased) intact.
+    */
+  def q65RemoveSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedSpans(t(spark, dir, "documents"),
+        "doc_id", "text", n = 5, minDocs = 2)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+        col("text_clean"))
+      .orderBy("doc_id")
+
+  /** q66 — contamination with the Bloom prefilter engaged: must be
+    * row-identical to q59 (same oracle SQL) — Bloom false positives
+    * die in the exact join, so only the plan changes, never the
+    * answer.
+    */
+  def q66ContaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.contaminationCheck(
+        docs.filter(col("doc_id") < 450), "doc_id", "text",
+        docs.filter(col("doc_id") >= 450), "doc_id", "text", n = 8,
+        bloomFpp = Some(0.01))
+      .select(col("id").as("doc_id"), col("n_shared_grams"),
+        col("n_eval_docs"),
+        round(col("contamination_frac"), 6).as("contamination_frac"))
+      .orderBy("doc_id")
+  }
+
   /** q52 — near-dup CLUSTERS: simhash pairs → connected components →
     * (cluster root, size, surviving docs). Pairs alone over-count on
     * chains; this is the step a dedup pipeline actually ships. The
@@ -447,7 +491,10 @@ object QueriesLlm {
     "q60_stratified_sample" -> (q60StratifiedSample _),
     "q61_mixture_sample" -> (q61MixtureSample _),
     "q62_dup_gram_frac"  -> (q62DupGramFrac _),
-    "q63_ann_pq_noracle" -> (q63AnnPq _))
+    "q63_ann_pq_noracle" -> (q63AnnPq _),
+    "q64_quality_filter" -> (q64QualityFilter _),
+    "q65_remove_spans"   -> (q65RemoveSpans _),
+    "q66_contamination_bloom" -> (q66ContaminationBloom _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -689,6 +736,98 @@ object QueriesLlm {
                 CAST(n_dup AS BIGINT) AS n_dup_grams,
                 round(n_dup * 1.0 / n_grams, 6) AS dup_gram_frac
          FROM per ORDER BY doc_id""",
+    // q64: the same \S+-run counting / length arithmetic as the engine,
+    // via regexp_extract_all + list_filter (DuckDB's RE2 has no
+    // lookarounds, so per-token predicates filter the split array
+    // instead — same counts by construction)
+    "q64_quality_filter" ->
+      """WITH d AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+         m AS (SELECT doc_id,
+                 len(regexp_extract_all(t, '\S+')) AS n_toks,
+                 length(regexp_replace(t, '\s+', '', 'g')) AS non_ws,
+                 len(regexp_extract_all(t, '#|…|\.\.\.')) AS n_sym,
+                 len(list_filter(regexp_split_to_array(t, '\s+'),
+                     x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                 len(list_filter(regexp_split_to_array(t, '\s+'),
+                     x -> x IN ('the','a','of','and','to','in','is')))
+                   AS n_stop
+               FROM d),
+         f AS (SELECT doc_id, n_toks,
+                 CASE WHEN n_toks BETWEEN 30 AND 90
+                      THEN 1 ELSE 0 END AS ok_n,
+                 CASE WHEN n_toks > 0
+                       AND non_ws * 1.0 / n_toks BETWEEN 3.0 AND 4.5
+                      THEN 1 ELSE 0 END AS ok_len,
+                 CASE WHEN n_toks > 0 AND n_sym * 1.0 / n_toks <= 0.1
+                      THEN 1 ELSE 0 END AS ok_sym,
+                 CASE WHEN n_toks > 0 AND n_alpha * 1.0 / n_toks >= 0.8
+                      THEN 1 ELSE 0 END AS ok_alpha,
+                 CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS ok_stop
+               FROM m)
+         SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
+                ok_n AS ok_n_tokens, ok_len AS ok_token_len,
+                ok_sym AS ok_symbol, ok_alpha AS ok_alpha,
+                ok_stop AS ok_stopwords,
+                ok_n * ok_len * ok_sym * ok_alpha * ok_stop AS keep
+         FROM f ORDER BY doc_id""",
+    // q65: duplicated-span removal replayed literally — positioned
+    // grams, doc-frequency filter, covered positions, anti-join,
+    // order-preserving string_agg
+    "q65_remove_spans" ->
+      """WITH toksa AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+         tk AS (SELECT doc_id, i AS p, t[i] AS tok
+                FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t))) AS i
+                      FROM toksa)),
+         g AS (SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS gram
+               FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 4)) AS i
+                     FROM toksa WHERE len(t) >= 5)),
+         freq AS (SELECT gram FROM (SELECT gram,
+                    count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+                  WHERE nd >= 2),
+         cov AS (SELECT DISTINCT g.doc_id, g.i + k.k AS p
+                 FROM g JOIN freq USING (gram)
+                 CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS k)
+                   AS k),
+         kept AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk
+                  ANTI JOIN cov
+                    ON tk.doc_id = cov.doc_id AND tk.p = cov.p),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY p) AS text_clean
+                 FROM kept GROUP BY 1)
+         SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+                CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT)
+                  AS n_removed,
+                coalesce(a.text_clean, '') AS text_clean
+         FROM toksa t LEFT JOIN agg a USING (doc_id)
+         ORDER BY t.doc_id""",
+    // q66: IDENTICAL SQL to q59 — the Bloom prefilter must not change
+    // a single row
+    "q66_contamination_bloom" ->
+      """WITH toksa AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+                 array_to_string(t[i:i+7], ' ') AS gram
+               FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, greatest(len(t) - 7, 1)))
+                         AS i
+                     FROM toksa)),
+         c AS (SELECT doc_id, gram FROM g WHERE doc_id < 450),
+         e AS (SELECT doc_id AS eid, gram FROM g WHERE doc_id >= 450),
+         sizes AS (SELECT doc_id, count(*) AS n_grams FROM c GROUP BY 1),
+         hits AS (SELECT c.doc_id,
+                    count(DISTINCT c.gram) AS n_shared_grams,
+                    count(DISTINCT e.eid) AS n_eval_docs
+                  FROM c JOIN e ON c.gram = e.gram GROUP BY 1)
+         SELECT h.doc_id, h.n_shared_grams, h.n_eval_docs,
+                round(h.n_shared_grams * 1.0 / s.n_grams, 6)
+                  AS contamination_frac
+         FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+         ORDER BY h.doc_id""",
     "q52_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id,
                 unnest(string_split_regex(lower(text), '\s+')) AS tok

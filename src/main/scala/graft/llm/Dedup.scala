@@ -770,18 +770,58 @@ object Dedup {
     *  benchmarks, i.e. tiny, so AQE broadcasts it and the corpus
     * never shuffles. Distinct-gram counting is one partial-aggregated
     * groupBy. No arrays, no windows, no driver state.
+    *
+    * `bloomFpp`: when set, a Bloom filter over the eval gram hashes
+    * (built distributed, ~1.2 MB/million grams at 1% fpp) is broadcast
+    * and applied to the corpus gram rows BEFORE they reach the join —
+    * at 100 TB this is the difference between shuffling every corpus
+    * gram into the join's aggregation and shuffling only the ~0.01%
+    * that might collide with an eval gram. Results are IDENTICAL to
+    * the unfiltered path: Bloom false positives are removed by the
+    * exact hash equi-join, and the contamination denominator
+    * (`n_grams`) is counted before the prefilter.
     */
   def contaminationCheck(corpus: DataFrame, corpusId: String,
                          corpusText: String, eval: DataFrame,
                          evalId: String, evalText: String,
-                         n: Int = 8): DataFrame = {
+                         n: Int = 8,
+                         bloomFpp: Option[Double] = None): DataFrame = {
     if (n <= 0)
       throw InvalidArgumentValue(s"n must be positive, got $n")
+    bloomFpp.foreach { fpp =>
+      if (fpp <= 0 || fpp >= 1)
+        throw InvalidArgumentValue(s"bloomFpp must be in (0,1), got $fpp")
+    }
     val cGrams = wordGramRows(corpus, corpusId, corpusText, n)
     val eGrams = wordGramRows(eval, evalId, evalText, n)
       .withColumnRenamed("id", "eid")
     val sizes = cGrams.groupBy("id").agg(count(lit(1)).as("n_grams"))
-    cGrams.join(eGrams, "g")
+    val cSide = bloomFpp match {
+      case Some(fpp) =>
+        // the count is one cheap job over the (tiny by contract) eval
+        // side; the filter itself is built with a distributed
+        // treeAggregate — only the final bitset hits the driver. The
+        // gram frame is persisted across the two EAGER build jobs
+        // (count + aggregate) so its distinct-shuffle runs once, and
+        // released before returning (the lazy join recomputes it at
+        // action time — cache-hygiene contract: nothing persisted
+        // outlives the call)
+        val hashes = eGrams.select("g")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bf =
+          try {
+            val nE = math.max(hashes.count(), 1L)
+            hashes.stat.bloomFilter("g", nE, fpp)
+          } finally hashes.unpersist()
+        val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
+        // mightContainLong is the one non-codegen step in the module's
+        // dedup family — a deliberate trade: a broadcast bitmap probe
+        // per gram row versus shuffling the full corpus gram mass
+        val might = udf((h: Long) => bfB.value.mightContainLong(h))
+        cGrams.filter(might(col("g")))
+      case None => cGrams
+    }
+    cSide.join(eGrams, "g")
       .groupBy("id")
       .agg(count_distinct(col("g")).as("n_shared_grams"),
         count_distinct(col("eid")).as("n_eval_docs"))
@@ -829,6 +869,84 @@ object Dedup {
       .select(col("id"), col("n_grams"), col("n_dup_grams"),
         (col("n_dup_grams").cast("double") /
           col("n_grams").cast("double")).as("dup_gram_frac"))
+  }
+
+  /** Cross-document duplicated-SPAN removal — the substring-level
+    * dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), re-expressed join-parallel instead of
+    * via a suffix array (which needs the corpus concatenated in one
+    * address space — impossible at 100 TB): every word whose position
+    * is covered by a word n-gram appearing in ≥ `minDocs` DISTINCT
+    * documents is deleted, and the survivors are rejoined with single
+    * spaces. This removes the boilerplate/template/licensing-mirror
+    * text ITSELF, where document-level dedup (`minhashNearDups`) can
+    * only drop whole documents.
+    *
+    * Normalization contract (mirrored exactly by the SQL oracle): the
+    * output text is the trimmed, LOWERCASED, single-space-rejoined
+    * survivor sequence — positions refer to `\s+`-split tokens of the
+    * trimmed lowercase text. Documents shorter than `n` tokens have no
+    * n-grams and pass through unmodified (post-normalization).
+    *
+    * Scale shape: one explode to positioned gram-hash rows (fixed-width
+    * longs through every shuffle), a partial-aggregated
+    * document-frequency groupBy FILTERED to grams in ≥ `minDocs` docs —
+    * the join's build side is the duplicated mass only, which AQE
+    * broadcasts when it fits — a position explode over matched grams
+    * only, one anti-join on (id, pos), and a per-document reassembly
+    * whose array is bounded by a single document's tokens (the same
+    * bound `chunk` already accepts). No windows, no driver state,
+    * never O(n²).
+    *
+    * @return (id, n_tokens, n_removed, text_clean) — one row per input
+    *   document, `text_clean` possibly empty when everything was
+    *   duplicated
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String,
+                            textCol: String, n: Int = 5,
+                            minDocs: Int = 2): DataFrame = {
+    if (n <= 0)
+      throw InvalidArgumentValue(s"n must be positive, got $n")
+    if (minDocs < 2)
+      throw InvalidArgumentValue(
+        s"minDocs must be >= 2 (a gram always appears in its own " +
+          s"document), got $minDocs")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      split(trim(lower(col(textCol))), "\\s+").as("t"))
+    // (id, pos, tok), pos 1-based over the normalized token sequence
+    val toks = base.select(col("id"),
+        posexplode(col("t")).as(Seq("pos0", "tok")))
+      .select(col("id"), (col("pos0") + 1).as("pos"), col("tok"))
+    // positioned full-width grams only (a doc with < n tokens has none)
+    val grams = base.filter(size(col("t")) >= n)
+      .select(col("id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+      .select(col("id"), col("i"),
+        xxhash64(concat_ws(" ", slice(col("t"), col("i"), lit(n))))
+          .as("g"))
+    val dupGrams = grams.select("id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("g")
+    val covered = grams.join(dupGrams, "g")
+      .select(col("id"),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+    val rejoined = kept.groupBy("id")
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos").as("p"),
+              col("tok").as("w")))),
+            x => x.getField("w")),
+          " ").as("__text"))
+    base.select(col("id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(rejoined, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("__text"), lit("")).as("text_clean"))
   }
 
   /** Dedup-aware train/eval split: assigns each near-duplicate

@@ -113,6 +113,93 @@ object TextAnalysis {
           .as("dup_bigram_frac"))
   }
 
+  /** Threshold configuration for `qualityFilter` — the Gopher-rule
+    * document filter (Rae et al. 2021, §A1.1). Each field is one
+    * independent pass/fail rule; defaults follow the paper's published
+    * cutoffs where one exists.
+    *
+    * @param minTokens / @param maxTokens      word-count bounds
+    * @param minAvgTokenLen / @param maxAvgTokenLen  mean word length
+    *   bounds (Gopher: 3–10 chars)
+    * @param maxSymbolFrac  max (hash/ellipsis symbols)/word ratio
+    *   (Gopher: 0.1)
+    * @param minAlphaTokenFrac  min fraction of words containing at
+    *   least one alphabetic character (Gopher: 0.8)
+    * @param minStopwordHits  min occurrences of `stopLang` stopwords
+    *   (Gopher requires 2 of a small English stop set)
+    */
+  case class QualityRules(
+      minTokens: Long = 50,
+      maxTokens: Long = 100000,
+      minAvgTokenLen: Double = 3.0,
+      maxAvgTokenLen: Double = 10.0,
+      maxSymbolFrac: Double = 0.1,
+      minAlphaTokenFrac: Double = 0.8,
+      minStopwordHits: Long = 2,
+      stopLang: String = "en")
+
+  /** Gopher-style rule-based document quality filter — the cheap
+    * deterministic gate a pre-training pipeline runs before any
+    * model-based scoring. Returns one row per document with each
+    * rule's pass flag (as 0/1 int, hash-stable across engines) and the
+    * conjunction `keep`; callers filter on `keep === 1` or inspect
+    * per-rule failure counts to tune thresholds.
+    *
+    * Every metric is a codegen'd row-parallel projection — `\S+`-run
+    * counting and length arithmetic, no splits-into-arrays, no HOFs
+    * (Spark's array lambdas are CodegenFallback), no shuffle at all:
+    * at 100 TB this is a pure map over the scan, and the filter
+    * composes with column pruning (only `textCol` is read).
+    *
+    * Rule semantics (mirrored exactly by the SQL oracle):
+    *   - tokens are `\S+` runs of the trimmed text (count 0 for
+    *     empty/whitespace-only docs, which fail every rule);
+    *   - avg token length = non-whitespace chars / tokens;
+    *   - symbol count = occurrences of `#`, `…`, or `...`;
+    *   - an "alpha token" contains at least one a–z after
+    *     lowercasing;
+    *   - stopword hits use `stopwordHits` (duplicates count).
+    */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+                    rules: QualityRules = QualityRules()): DataFrame = {
+    require(rules.minTokens >= 0 && rules.maxTokens >= rules.minTokens,
+      s"need 0 <= minTokens <= maxTokens: $rules")
+    require(rules.maxAvgTokenLen >= rules.minAvgTokenLen,
+      s"need minAvgTokenLen <= maxAvgTokenLen: $rules")
+    val t = lower(trim(col(textCol)))
+    val nToks = regexp_count(t, lit("\\S+")).cast("long")
+    val nonWs = length(regexp_replace(t, "\\s+", "")).cast("double")
+    // guard the 0-token denominator: metrics become null and every
+    // null comparison folds to false below, so empty docs fail closed
+    val denom = when(nToks > 0, nToks.cast("double"))
+    val avgLen = nonWs / denom
+    val symFrac =
+      regexp_count(t, lit("#|…|\\.\\.\\.")).cast("double") / denom
+    // a token passes iff it has a letter; lookarounds pin the match to
+    // whole \S+ runs so each token is counted at most once
+    val alphaFrac =
+      regexp_count(t, lit("(?<!\\S)\\S*[a-z]\\S*(?!\\S)")).cast("double") /
+        denom
+    val stopHits = stopwordHits(col(textCol), rules.stopLang)
+    def flag(c: Column): Column =
+      when(c, lit(1)).otherwise(lit(0)) // null -> 0 (fail closed)
+    val okN = flag(nToks.between(rules.minTokens, rules.maxTokens))
+    val okLen = flag(
+      avgLen.between(rules.minAvgTokenLen, rules.maxAvgTokenLen))
+    val okSym = flag(symFrac <= rules.maxSymbolFrac)
+    val okAlpha = flag(alphaFrac >= rules.minAlphaTokenFrac)
+    val okStop = flag(stopHits >= rules.minStopwordHits)
+    df.select(
+      col(idCol),
+      nToks.as("n_tokens"),
+      okN.as("ok_n_tokens"),
+      okLen.as("ok_token_len"),
+      okSym.as("ok_symbol"),
+      okAlpha.as("ok_alpha"),
+      okStop.as("ok_stopwords"),
+      (okN * okLen * okSym * okAlpha * okStop).as("keep"))
+  }
+
   /** Stopword sets for the n-gram-free language heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),

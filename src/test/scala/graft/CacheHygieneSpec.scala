@@ -52,6 +52,14 @@ class CacheHygieneSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("bloom-prefiltered contaminationCheck releases the eval gram cache") {
+    val n = assertReleasesAll(
+      Dedup.contaminationCheck(docs.filter(col("doc_id") < 450),
+        "doc_id", "text", docs.filter(col("doc_id") >= 450),
+        "doc_id", "text", n = 8, bloomFpp = Some(0.01)))
+    assert(n > 0)
+  }
+
   test("ngramJaccardNearDups releases its gram and prefix caches") {
     val n = assertReleasesAll(
       Dedup.ngramJaccardNearDups(docs, "doc_id", "text",

@@ -282,6 +282,70 @@ class LlmSpec extends SparkSpec {
     assert(got.forall(r => r._4 > 0.0 && r._4 <= 1.0))
   }
 
+  test("bloom-prefiltered contaminationCheck returns identical rows") {
+    val corpus = docs.filter($"doc_id" < 450)
+    val eval = docs.filter($"doc_id" >= 450)
+    val base = Dedup.contaminationCheck(corpus, "doc_id", "text",
+      eval, "doc_id", "text", n = 8)
+    val bloom = Dedup.contaminationCheck(corpus, "doc_id", "text",
+      eval, "doc_id", "text", n = 8, bloomFpp = Some(0.01))
+    assert(base.except(bloom).isEmpty && bloom.except(base).isEmpty)
+    assert(base.count() > 0, "fixture must actually plant contamination")
+  }
+
+  test("qualityFilter rules pass/fail independently and fail closed") {
+    val rules = TextAnalysis.QualityRules(minTokens = 3, maxTokens = 5,
+      minAvgTokenLen = 2.0, maxAvgTokenLen = 4.0, maxSymbolFrac = 0.3,
+      minAlphaTokenFrac = 0.6, minStopwordHits = 1)
+    val df = Seq(
+      (1L, "the cat sat"),                   // every rule passes
+      (2L, "cat sat"),                       // too short + no stopword
+      (3L, "### ... ### cat the"),           // symbol + alpha fail
+      (4L, "extraordinarily magnificent the"), // avg word length fail
+      (5L, ""))                              // empty: all fail closed
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityFilter(df, "doc_id", "text", rules)
+      .orderBy("doc_id")
+      .select("doc_id", "ok_n_tokens", "ok_token_len", "ok_symbol",
+        "ok_alpha", "ok_stopwords", "keep")
+      .as[(Long, Int, Int, Int, Int, Int, Int)].collect()
+    assert(got(0) == ((1L, 1, 1, 1, 1, 1, 1)))
+    assert(got(1) == ((2L, 0, 1, 1, 1, 0, 0)))
+    assert(got(2) == ((3L, 1, 1, 0, 0, 1, 0)))
+    assert(got(3) == ((4L, 1, 0, 1, 1, 1, 0)))
+    assert(got(4) == ((5L, 0, 0, 0, 0, 0, 0)))
+  }
+
+  test("removeDuplicatedSpans deletes exactly the cross-doc spans") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon unique1 tail1 tail2 tail3"),
+      (2L, "intro alpha beta gamma delta epsilon other words here too"),
+      (3L, "Totally Different Content with no shared five gram run"),
+      (4L, "tiny doc"), // shorter than n: no grams, passes through
+      (5L, "alpha beta gamma delta epsilon")) // fully duplicated
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(corpus, "doc_id", "text",
+        n = 5, minDocs = 2)
+      .orderBy("id").as[(Long, Long, Long, String)].collect()
+    assert(got(0) == ((1L, 9L, 5L, "unique1 tail1 tail2 tail3")))
+    assert(got(1) == ((2L, 10L, 5L, "intro other words here too")))
+    // untouched docs come back normalized (lowercased) but whole
+    assert(got(2) == ((3L, 9L, 0L,
+      "totally different content with no shared five gram run")))
+    assert(got(3) == ((4L, 2L, 0L, "tiny doc")))
+    assert(got(4) == ((5L, 5L, 5L, "")))
+  }
+
+  test("removeDuplicatedSpans is a no-op on a gram-disjoint corpus") {
+    val corpus = Seq(
+      (1L, "one two three four five six"),
+      (2L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(corpus, "doc_id", "text",
+      n = 5, minDocs = 2)
+    assert(got.filter($"n_removed" > 0).count() == 0)
+  }
+
   test("shingles are distinct lowercase k-grams") {
     val row = Seq(("AbAb")).toDF("t")
       .select(Dedup.shingles($"t", 2).as("s")).head()

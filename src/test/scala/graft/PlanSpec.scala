@@ -115,6 +115,25 @@ class PlanSpec extends SparkSpec {
       s"expected the eval side broadcast in:\n$p")
   }
 
+  test("q64 quality filter is a shuffle-free row-parallel projection") {
+    // the operator itself (the query adds a presentation orderBy):
+    // a pure projection over the scan — no Exchange of any kind
+    val p = formattedPlanOf(graft.llm.TextAnalysis.qualityFilter(
+      Tables.read(spark, sf, "documents"), "doc_id", "text"))
+    assert(!p.contains("Exchange"), s"quality filter shuffles:\n$p")
+    assert(p.contains("[codegen id :"), s"not codegen'd:\n$p")
+  }
+
+  test("q65 span removal joins are equi-joins, never a pair explosion") {
+    val p = formattedPlanOf(QueriesLlm.q65RemoveSpans(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"span-removal join fell back to a nested loop:\n$p")
+    // the dup-gram build side is tiny ⇒ the position join broadcasts
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the dup-gram side broadcast in:\n$p")
+  }
+
   test("partitioned dataset read back prunes by partition filter") {
     import graft.sinks.Writer
     import org.apache.spark.sql.functions.col

@@ -308,6 +308,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("removeDuplicatedSpans equals a literal positional replay on random corpora") {
+    forAllSeeded(corpusGen, cases = 10) { docsList =>
+      val docs = docsList.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val n = 3
+      val got = Dedup.removeDuplicatedSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          n = n, minDocs = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      // driver-side replica: positioned grams, cross-doc frequency,
+      // covered positions, survivor rejoin
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+      val gramRows = toks.toSeq.flatMap { case (id, ts) =>
+        if (ts.length < n) Nil
+        else (0 to ts.length - n).map(i =>
+          (id, i, ts.slice(i, i + n).mkString(" ")))
+      }
+      val dupGrams = gramRows.map { case (id, _, g) => (g, id) }.distinct
+        .groupBy(_._1).collect { case (g, ds) if ds.size >= 2 => g }.toSet
+      val expected = toks.map { case (id, ts) =>
+        val covered = gramRows.collect {
+          case (i2, p, g) if i2 == id && dupGrams(g) =>
+            p until (p + n)
+        }.flatten.toSet
+        val kept = ts.zipWithIndex.collect {
+          case (w, p) if !covered(p) => w }
+        (id, ts.length.toLong, (ts.length - kept.length).toLong,
+          kept.mkString(" "))
+      }.toSet
+      assert(got == expected, s"span removal differs; corpus=$docsList")
+    }
+  }
+
   test("contaminationCheck equals brute-force gram intersection on random corpora") {
     forAllSeeded(corpusGen, cases = 10) { docsList =>
       val (corpusDocs, evalDocs) = docsList.zipWithIndex
