@@ -236,6 +236,47 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** q67 — the end-to-end corpus-curation funnel, operators COMPOSED
+    * the way a real pre-training pipeline chains them: Gopher quality
+    * filter → exact n-gram-Jaccard near-dup clusters → keep-one-per-
+    * cluster dedup → greedy sequence packing. One row per stage with
+    * surviving unit count and token mass; the oracle replays all four
+    * stages in one recursive-CTE SQL statement, so the COMPOSITION
+    * (not just each operator) is hash-checked. The packed stage's
+    * token mass must equal the dedup stage's — conservation is built
+    * into the check.
+    */
+  def q67CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tok = TextAnalysis.approxBpeTokens(col("text"))
+    val rules = TextAnalysis.QualityRules(minTokens = 30, maxTokens = 90,
+      minAvgTokenLen = 3.0, maxAvgTokenLen = 4.5, maxSymbolFrac = 0.1,
+      minAlphaTokenFrac = 0.8, minStopwordHits = 1)
+    val quality = docs.join(
+      TextAnalysis.qualityFilter(docs, "doc_id", "text", rules)
+        .filter(col("keep") === 1).select("doc_id"),
+      "doc_id")
+    val pairs = Dedup.ngramJaccardNearDups(quality, "doc_id", "text",
+      n = 3, threshold = 0.5)
+    val deduped = Dedup.dedupNearDups(quality, "doc_id", pairs)
+    val packed = TextAnalysis.packSequences(
+      deduped.withColumn("__tok", tok), "doc_id", "__tok",
+      capacity = 256L, shards = 4)
+    def funnel(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_units"),
+          sum(tok).cast("long").as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_units"), col("n_tokens"))
+    funnel(docs, "0_raw")
+      .unionByName(funnel(quality, "1_quality"))
+      .unionByName(funnel(deduped, "2_dedup"))
+      .unionByName(packed.agg(
+          count_distinct(struct(col("shard"), col("bin"))).as("n_units"),
+          sum("n_tokens").cast("long").as("n_tokens"))
+        .select(lit("3_packed").as("stage"), col("n_units"),
+          col("n_tokens")))
+      .orderBy("stage")
+  }
+
   /** q52 — near-dup CLUSTERS: simhash pairs → connected components →
     * (cluster root, size, surviving docs). Pairs alone over-count on
     * chains; this is the step a dedup pipeline actually ships. The
@@ -494,7 +535,8 @@ object QueriesLlm {
     "q63_ann_pq_noracle" -> (q63AnnPq _),
     "q64_quality_filter" -> (q64QualityFilter _),
     "q65_remove_spans"   -> (q65RemoveSpans _),
-    "q66_contamination_bloom" -> (q66ContaminationBloom _))
+    "q66_contamination_bloom" -> (q66ContaminationBloom _),
+    "q67_curation_pipeline" -> (q67CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -828,6 +870,92 @@ object QueriesLlm {
                   AS contamination_frac
          FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
          ORDER BY h.doc_id""",
+    // q67: all four pipeline stages replayed in one statement —
+    // quality rules (q64 form), exact Jaccard pairs (q55 form),
+    // transitive-closure dedup (q52 form), greedy packing (q58 form)
+    "q67_curation_pipeline" ->
+      """WITH RECURSIVE
+         d AS (SELECT doc_id, trim(lower(text)) AS t, text
+               FROM documents),
+         m AS (SELECT doc_id,
+                 len(regexp_extract_all(t, '\S+')) AS n_toks,
+                 length(regexp_replace(t, '\s+', '', 'g')) AS non_ws,
+                 len(regexp_extract_all(t, '#|…|\.\.\.')) AS n_sym,
+                 len(list_filter(regexp_split_to_array(t, '\s+'),
+                     x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                 len(list_filter(regexp_split_to_array(t, '\s+'),
+                     x -> x IN ('the','a','of','and','to','in','is')))
+                   AS n_stop,
+                 CAST(ceil(length(text) / 4.0) AS BIGINT) AS tok
+               FROM d),
+         q AS (SELECT doc_id, tok FROM m
+               WHERE n_toks BETWEEN 30 AND 90
+                 AND n_toks > 0
+                 AND non_ws * 1.0 / n_toks BETWEEN 3.0 AND 4.5
+                 AND n_sym * 1.0 / n_toks <= 0.1
+                 AND n_alpha * 1.0 / n_toks >= 0.8
+                 AND n_stop >= 1),
+         toksq AS (SELECT d.doc_id, regexp_split_to_array(d.t, '\s+') AS t
+                   FROM d JOIN q USING (doc_id)),
+         g AS (SELECT DISTINCT doc_id,
+                 array_to_string(t[i:i+2], ' ') AS gram
+               FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, greatest(len(t) - 2, 1)))
+                         AS i
+                     FROM toksq)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS ix
+                   FROM g a JOIN g b
+                     ON a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM inter
+                   JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b
+                   WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.5),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach AS (SELECT a, b FROM edges
+                   UNION
+                   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         roots AS (SELECT a AS id, least(a, min(b)) AS root
+                   FROM reach GROUP BY a),
+         ded AS (SELECT q.doc_id, q.tok FROM q
+                 WHERE q.doc_id NOT IN
+                   (SELECT id FROM roots WHERE root <> id)),
+         s AS (SELECT doc_id, tok,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT % 4 AS INT) AS shard
+               FROM ded),
+         sr AS (SELECT doc_id, tok, shard,
+                  row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                    AS rn
+                FROM s),
+         st AS (SELECT shard, rn, tok, CAST(0 AS BIGINT) AS bin,
+                  tok AS used
+                FROM sr WHERE rn = 1
+                UNION ALL
+                SELECT sr.shard, sr.rn, sr.tok,
+                       CASE WHEN st.used + sr.tok > 256 THEN st.bin + 1
+                            ELSE st.bin END,
+                       CASE WHEN st.used + sr.tok > 256 THEN sr.tok
+                            ELSE st.used + sr.tok END
+                FROM st JOIN sr ON sr.shard = st.shard AND sr.rn = st.rn + 1)
+         SELECT stage, n_units, n_tokens FROM (
+           SELECT '0_raw' AS stage, count(*) AS n_units,
+                  CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT))
+                    AS BIGINT) AS n_tokens
+           FROM documents
+           UNION ALL
+           SELECT '1_quality', count(*), CAST(sum(tok) AS BIGINT) FROM q
+           UNION ALL
+           SELECT '2_dedup', count(*), CAST(sum(tok) AS BIGINT) FROM ded
+           UNION ALL
+           SELECT '3_packed',
+                  (SELECT count(*)
+                   FROM (SELECT DISTINCT shard, bin FROM st)),
+                  CAST((SELECT sum(tok) FROM st) AS BIGINT))
+         ORDER BY stage""",
     "q52_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id,
                 unnest(string_split_regex(lower(text), '\s+')) AS tok

@@ -346,6 +346,20 @@ class LlmSpec extends SparkSpec {
     assert(got.filter($"n_removed" > 0).count() == 0)
   }
 
+  test("curation pipeline funnel is monotone and token-conserving") {
+    val rows = QueriesLlm.q67CurationPipeline(spark, sf)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      Seq("0_raw", "1_quality", "2_dedup", "3_packed"))
+    val Seq(raw, quality, dedup, packed) = rows.toSeq
+    // each filtering stage can only shrink the corpus
+    assert(raw._2 >= quality._2 && quality._2 >= dedup._2)
+    assert(raw._3 >= quality._3 && quality._3 >= dedup._3)
+    // packing regroups but never drops tokens; bins ≤ docs
+    assert(packed._3 == dedup._3)
+    assert(packed._2 <= dedup._2 && packed._2 > 0)
+  }
+
   test("shingles are distinct lowercase k-grams") {
     val row = Seq(("AbAb")).toDF("t")
       .select(Dedup.shingles($"t", 2).as("s")).head()
