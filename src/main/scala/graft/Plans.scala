@@ -99,6 +99,26 @@ object Plans {
       probe.unpersist()
       spark.catalog.clearCache()
     }
+    // IVF-PQ probe: the composed index's double pruning claim — cell
+    // partition filter AND a codes-only ReadSchema on the ADC scan
+    // (the vector column is read only by the shortlist re-rank)
+    locally {
+      val emb = Tables.read(spark, sfDir, "embeddings")
+      val idx = Tables.scratch(sfDir, "plans_ivfpq")
+      graft.llm.Similarity.buildIvfPqIndex(
+        emb, "vec_id", "embedding", idx, nlist = 8, m = 8, ncodes = 16)
+      val probe = graft.llm.Similarity.probeIvfPqIndex(
+        idx, emb.limit(3), "vec_id", "embedding", k = 5, nprobe = 2,
+        shortlist = 20)
+      sb ++= "\n## ivf_pq_index_probe (spec-only operator)\n\n" +
+        "probed-cells partition filter plus codes-only column pruning " +
+        "on the ADC scan; raw vectors touched only by the re-rank\n\n```\n"
+      sb ++= probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb ++= "```\n"
+      probe.unpersist()
+      spark.catalog.clearCache()
+    }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
     spark.stop()

@@ -579,6 +579,197 @@ object Similarity {
     result
   }
 
+  /** Materialize an IVF-PQ index — the composition of the persisted
+    * IVF index (cell-partitioned parquet, static pruning) with
+    * product-quantization codes (Jégou et al. 2011), i.e. the layout
+    * a billion-vector ANN service actually deploys: the coarse
+    * quantizer prunes WHICH cells are read, the PQ codes shrink WHAT
+    * is read per row (m bytes of codes instead of 4·dim of floats —
+    * parquet column pruning means the ADC scan never touches the
+    * vector column), and the exact re-rank touches true vectors only
+    * for shortlisted rows inside probed cells.
+    *
+    * Codes are trained/encoded on L2-NORMALIZED copies (ADC dot
+    * products then approximate cosine); the STORED vectors stay raw,
+    * so re-ranked similarities are bit-identical to
+    * `bruteForceTopK`'s. Encoding is non-residual (codes quantize the
+    * vector itself, not vector − centroid — FAISS `by_residual=false`;
+    * one shared codebook, one distributed pass, reproducible from the
+    * sidecars alone).
+    *
+    * Layout: `cells/cell=N/` (cid, codes, cv), `centroids/`,
+    * `codebooks/` (sub, code, centroid).
+    */
+  def buildIvfPqIndex(corpus: DataFrame, corpusId: String,
+                      vecCol: String, path: String, nlist: Int = 8,
+                      m: Int = 8, ncodes: Int = 16,
+                      kmeansIters: Int = 3): Unit = {
+    if (nlist <= 0 || m <= 0 || ncodes <= 0)
+      throw InvalidArgumentValue(
+        s"nlist, m, ncodes must be positive: $nlist, $m, $ncodes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // persisted: centroid training, codebook training, and the final
+    // encode pass all re-read the corpus vectors
+    val c = asDoubleVec(corpus, corpusId, vecCol, "cid", "cv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = c.head(1).headOption
+      .map(_.getSeq[Double](1).length)
+      .getOrElse(throw InvalidArgumentValue("empty corpus"))
+    if (dim % m != 0)
+      throw InvalidArgumentValue(s"dim ($dim) not divisible by m ($m)")
+    val subDim = dim / m
+    val centroids = trainCentroids(c, nlist, kmeansIters)
+    val books = trainPqCodebooks(
+      normalized(c.select(col("cid").as("id"), col("cv").as("v"))),
+      m, ncodes, kmeansIters)
+    val cells = c.as[(Long, Seq[Double])].mapPartitions { rows =>
+      rows.map { case (id, vec) =>
+        val a = vec.toArray
+        var best = 0; var bestSim = Double.NegativeInfinity; var ci = 0
+        while (ci < centroids.length) {
+          val s = cosineKernel(a, centroids(ci))
+          if (s > bestSim) { bestSim = s; best = ci }
+          ci += 1
+        }
+        // codes quantize the normalized vector (cosine geometry)
+        val n = {
+          var sq = 0.0; var i = 0
+          while (i < a.length) { sq += a(i) * a(i); i += 1 }
+          if (sq > 0) math.sqrt(sq) else 1.0
+        }
+        val codes = new Array[Int](m)
+        var s2 = 0
+        while (s2 < m) {
+          val sl = sliceOf(a, s2, subDim)
+          var i = 0
+          while (i < subDim) { sl(i) /= n; i += 1 }
+          codes(s2) = nearestCode(books, s2, sl); s2 += 1
+        }
+        (id, codes.toSeq, vec, best)
+      }
+    }.toDF("cid", "codes", "cv", "cell")
+    cells.write.mode("overwrite")
+      // STATIC for the same stale-cell reason as buildIvfIndex
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(s"$path/cells")
+    centroids.zipWithIndex
+      .map { case (cen, i) => (i, cen.toSeq) }.toSeq
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    books.zipWithIndex.flatMap { case (codes, sub) =>
+      codes.zipWithIndex.map { case (cw, code) => (sub, code, cw.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    c.unpersist(blocking = false)
+  }
+
+  /** Top-k search against a persisted IVF-PQ index: probe cells
+    * resolved driver-side (literal `cell IN (...)` partition filter),
+    * ADC scan over the codes column only, exact re-rank of the
+    * per-query `shortlist` against the true vectors of probed cells.
+    *
+    * With nprobe == nlist and shortlist ≥ |corpus| the result equals
+    * `bruteForceTopK` exactly (every row reaches the exact re-rank);
+    * smaller nprobe/shortlist trade recall for scan cost — the 100 TB
+    * path reads nprobe/nlist of the cells and m bytes per row.
+    *
+    * The returned frame is already materialized (persisted; the probe
+    * cache is released before returning) — `.unpersist()` when done.
+    */
+  def probeIvfPqIndex(path: String, queries: DataFrame, queryId: String,
+                      vecCol: String, k: Int, nprobe: Int,
+                      shortlist: Int = 50): DataFrame = {
+    if (k <= 0) throw InvalidArgumentValue(s"k must be positive, got $k")
+    if (shortlist < k)
+      throw InvalidArgumentValue(s"shortlist ($shortlist) < k ($k)")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    if (nprobe > centroids.length)
+      throw InvalidArgumentValue(
+        s"nprobe ($nprobe) > index nlist (${centroids.length})")
+    val bookRows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = bookRows.map(_._1).max + 1
+    val ncodes = bookRows.map(_._2).max + 1
+    val books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => bookRows.filter(_._1 == s).sortBy(_._2)
+        .map(_._3))
+    val subDim = books.head.head.length
+
+    val qRaw = asDoubleVec(queries, queryId, vecCol, "qid", "qv")
+    qRaw.head(1).headOption.map(_.getSeq[Double](1).length).foreach { qd =>
+      if (qd != m * subDim)
+        throw InvalidArgumentValue(
+          s"query dimension $qd != index dimension ${m * subDim}")
+    }
+    val probes = probeCells(qRaw, centroids, nprobe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wanted = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(wanted.toSeq: _*))
+
+    // per-query ADC tables from the NORMALIZED query (matches the
+    // encode-side geometry); queries are broadcast-small by contract
+    val qArr = normalized(qRaw.select(col("qid").as("id"),
+        col("qv").as("v")))
+      .as[(Long, Seq[Double])].collect()
+    val tables = qArr.map { case (qid, qv) =>
+      val qa = qv.toArray
+      val t = new Array[Double](m * ncodes)
+      var s = 0
+      while (s < m) {
+        val qs = sliceOf(qa, s, subDim)
+        var ci = 0
+        while (ci < books(s).length) {
+          val cw = books(s)(ci)
+          var d = 0.0; var i = 0
+          while (i < subDim) { d += qs(i) * cw(i); i += 1 }
+          t(s * ncodes + ci) = d
+          ci += 1
+        }
+        s += 1
+      }
+      (qid, t)
+    }
+    val tablesB = spark.sparkContext.broadcast(tables.toMap)
+    val mm = m; val nc = ncodes
+    // (cell)-joined pairs: the corpus side contributes only codes —
+    // the vector column is never read in this scan (column pruning)
+    val adc = cells.select(col("cid"), col("codes"), col("cell"))
+      .join(broadcast(probes.select("qid", "cell")), "cell")
+      .select(col("qid"), col("cid"), col("codes"))
+      .as[(Long, Long, Seq[Int])].mapPartitions { rows =>
+        rows.map { case (qid, cid, codes) =>
+          val t = tablesB.value(qid)
+          val ca = codes.toArray
+          var sim = 0.0; var s = 0
+          while (s < mm) { sim += t(s * nc + ca(s)); s += 1 }
+          (qid, cid, sim)
+        }
+      }.toDF("qid", "cid", "sim")
+    val sl = topK(adc, shortlist)
+
+    // exact re-rank against the TRUE (raw) vectors of probed cells —
+    // sims become bit-identical to bruteForceTopK's
+    val qvDf = qRaw
+    val result = topK(scorePairs(
+        sl.select("qid", "cid")
+          .join(broadcast(qvDf), "qid")
+          .join(cells.select(col("cid"), col("cv")), "cid")
+          .select("qid", "cid", "qv", "cv"),
+        "qid", "cid"), k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    probes.unpersist(blocking = false)
+    result
+  }
+
   /** Near-duplicate embedding pairs (cosine ≥ threshold) via
     * random-hyperplane LSH: sign-bit band signatures from a compiled
     * kernel, candidates only within matching band buckets, exact

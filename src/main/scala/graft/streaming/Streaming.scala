@@ -149,6 +149,14 @@ object Streaming {
     * replayed batch would flag its docs as dups of its previous
     * attempt and land empty), and the append dynamically overwrites
     * only its own tag.
+    *
+    * `qualityGate`: optional per-batch transform applied BEFORE the
+    * dedup probe — the streaming form of the pipeline's filter stage
+    * (e.g. `TextAnalysis.qualityFilter` keep==1, `scrub`). Rejected
+    * documents never reach the probe, the landed output, or the
+    * growing index. The gate MUST be deterministic (a pure
+    * filter/projection of the batch), or batch replay would land a
+    * different survivor set and break effectively-once.
     */
   def dedupIngestStream(stream: DataFrame, idCol: String,
                         textCol: String, indexPath: String,
@@ -157,10 +165,13 @@ object Streaming {
                         threshold: Double = 0.8,
                         minBandMatches: Int = 1,
                         dedupWithinBatch: Boolean = false,
-                        updateIndex: Boolean = false): StreamingQuery =
+                        updateIndex: Boolean = false,
+                        qualityGate: Option[DataFrame => DataFrame] = None)
+      : StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val spark = rawBatch.sparkSession
+        val batch = qualityGate.map(_(rawBatch)).getOrElse(rawBatch)
         // previously landed batches (minus a replay's own output)
         // join the probe corpus when the index grows with the stream
         val corpusNow =

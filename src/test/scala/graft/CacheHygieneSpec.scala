@@ -112,4 +112,18 @@ class CacheHygieneSpec extends SparkSpec {
     val leaked = sc.getPersistentRDDs.keySet.diff(before)
     assert(leaked.isEmpty, s"index build leaked ${leaked.size} RDD(s)")
   }
+
+  test("ivf-pq build leaves no caches; probe releases its probe cache") {
+    val sc = spark.sparkContext
+    val dir = tmpDir("graft-hyg-ivfpq")
+    val before = sc.getPersistentRDDs.keySet
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
+      nlist = 4, m = 8, ncodes = 16)
+    val leaked = sc.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty, s"ivf-pq build leaked ${leaked.size} RDD(s)")
+    val n = assertReleasesAll(
+      Similarity.probeIvfPqIndex(dir, emb.limit(2), "vec_id",
+        "embedding", k = 3, nprobe = 4, shortlist = 10))
+    assert(n == 6)
+  }
 }

@@ -423,6 +423,73 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq index probe at full fidelity equals brute force; pruning is static") {
+    val queries = emb.filter($"vec_id" < 3)
+    val corpus = emb.filter($"vec_id" >= 3)
+    val idx = tmpDir("llm-ivfpq-idx")
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", idx,
+      nlist = 4, m = 8, ncodes = 16)
+    // full nprobe + corpus-wide shortlist ⇒ every row reaches the
+    // exact re-rank on RAW vectors ⇒ bit-identical to brute force
+    val n = corpus.count().toInt
+    val probed = Similarity.probeIvfPqIndex(idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4, shortlist = n)
+    val exact = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "vec_id", "embedding", k = 5)
+    assert(probed.orderBy("qid", "rnk").collect().toSeq ==
+      exact.orderBy("qid", "rnk").collect().toSeq)
+    probed.unpersist()
+    // partial probe: literal cell partition filter (static pruning)
+    val partial = Similarity.probeIvfPqIndex(idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 1, shortlist = 10)
+    val plan = partial.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("cell"),
+      s"expected a cell partition filter, got [$pf]")
+    assert(partial.groupBy("qid").count().filter($"count" =!= 5)
+      .count() == 0)
+    partial.unpersist()
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Similarity.probeIvfPqIndex(idx, queries, "vec_id", "embedding",
+        k = 5, nprobe = 9)
+    }
+  }
+
+  test("ivf-pq recall@10 >= 0.9 on clustered vectors at nprobe=nlist/2") {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8, 16)(rnd.nextGaussian())
+    val vecs = (0L until 300L).map { i =>
+      val c = centers((i % 8).toInt)
+      i -> c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq
+    }.toDF("vec_id", "embedding")
+    val corpus = vecs.filter($"vec_id" >= 10)
+    val queries = vecs.filter($"vec_id" < 10)
+    val idx = tmpDir("llm-ivfpq-recall")
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", idx,
+      nlist = 4, m = 4, ncodes = 16)
+    val got = Similarity.probeIvfPqIndex(idx, queries,
+      "vec_id", "embedding", k = 10, nprobe = 2, shortlist = 50)
+    val exact = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "vec_id", "embedding", k = 10)
+    val gotSet = got.select("qid", "cid").as[(Long, Long)].collect().toSet
+    val exSims = exact.select("qid", "cid", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, c, s) => (q, c) -> s }.toMap
+    val recall = gotSet.count(exSims.contains).toDouble / exSims.size
+    assert(recall >= 0.9, s"ivf-pq recall@10 was $recall")
+    // wherever the index found a true hit, the re-ranked sim is the
+    // exact cosine
+    val gotSims = got.select("qid", "cid", "sim")
+      .as[(Long, Long, Double)].collect()
+    got.unpersist()
+    gotSims.filter(r => exSims.contains((r._1, r._2))).foreach {
+      case (q, c, s) =>
+        assert(math.abs(s - exSims((q, c))) < 1e-9,
+          s"rerank sim not exact for ($q,$c)")
+    }
+  }
+
   test("ivf index append equals a full-corpus probe; re-append is idempotent") {
     val queries = emb.filter($"vec_id" < 3).select("vec_id", "embedding")
     val early = emb.filter($"vec_id" >= 3 && $"vec_id" < 40)

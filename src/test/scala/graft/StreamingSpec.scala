@@ -98,6 +98,54 @@ class StreamingSpec extends SparkSpec {
     assert(landed == expected)
   }
 
+  test("ingest quality gate rejects low-quality docs before probe and landing") {
+    import graft.llm.{Dedup, TextAnalysis}
+    import spark.implicits._
+    val docs = Tables.read(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val base = docs.filter(col("doc_id") >= 400).select("doc_id", "text")
+    // plant a doc that fails the token-count rule but duplicates nothing
+    val batch = base.unionByName(
+      Seq((9001L, "too short")).toDF("doc_id", "text"))
+    val idx = tmpDir("stream-gate-idx")
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+
+    // every rule permissive except minTokens — the gate under test
+    val rules = TextAnalysis.QualityRules(minTokens = 5,
+      maxTokens = 100000, minAvgTokenLen = 0.0, maxAvgTokenLen = 1e9,
+      maxSymbolFrac = 1.0, minAlphaTokenFrac = 0.0, minStopwordHits = 0)
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.join(
+        TextAnalysis.qualityFilter(df, "doc_id", "text", rules)
+          .filter(col("keep") === 1).select("doc_id"),
+        Seq("doc_id"))
+
+    val srcDir = tmpDir("stream-gate-src")
+    batch.write.mode("overwrite").parquet(srcDir + "/in")
+    val outDir = tmpDir("stream-gate-out") + "/clean"
+    val q = Streaming.dedupIngestStream(
+      Streaming.readParquetStream(spark, srcDir + "/in", batch,
+        maxFilesPerTrigger = 2),
+      "doc_id", "text", idx, corpus, outDir,
+      tmpDir("stream-gate-ckpt"), minBandMatches = 3,
+      qualityGate = Some(gate))
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+
+    // batch-mode oracle: gate first, then corpus-dup removal
+    val gated = gate(batch)
+    val dups = Dedup.probeMinhashIndex(idx, corpus, gated,
+      "doc_id", "text", minBandMatches = 3)
+    val dupIds = dups.select("id_b").as[Long].collect().toSet
+    dups.unpersist()
+    val expected =
+      gated.select("doc_id").as[Long].collect().toSet -- dupIds
+    assert(!landed.contains(9001L), "gate-rejected doc landed")
+    assert(dupIds.nonEmpty)
+    assert(landed == expected)
+  }
+
   test("within-batch ingest dedup lands one survivor per internal near-dup pair") {
     import graft.llm.Dedup
     import spark.implicits._
