@@ -277,6 +277,34 @@ object QueriesLlm {
       .orderBy("stage")
   }
 
+  /** q68 — corpus-trained unigram cross-entropy per document (the
+    * SQL-replayable perplexity filter): the word-soup corpus scores a
+    * narrow bits-per-token band; outliers would be the filter's catch.
+    */
+  def q68UnigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(t(spark, dir, "documents"),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        round(col("bits_per_token"), 6).as("bits_per_token"))
+      .orderBy("doc_id")
+
+  /** q69 — top-3 best-quality documents per (lang, source): the
+    * selection step of a curation pipeline, via the two-phase
+    * `topKPerGroup` (no single-partition group windows). Ordering is
+    * total: rounded quality score desc, doc_id asc.
+    */
+  def q69TopQualityPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val scored = docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(TextAnalysis.stats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score")), "doc_id")
+    Relational.topKPerGroup(scored, Seq("lang", "source"),
+        Seq(col("quality_score").desc, col("doc_id").asc), k = 3)
+      .select(col("lang"), col("source"), col("rk"), col("doc_id"),
+        col("quality_score"))
+      .orderBy("lang", "source", "rk")
+  }
+
   /** q52 — near-dup CLUSTERS: simhash pairs → connected components →
     * (cluster root, size, surviving docs). Pairs alone over-count on
     * chains; this is the step a dedup pipeline actually ships. The
@@ -536,7 +564,9 @@ object QueriesLlm {
     "q64_quality_filter" -> (q64QualityFilter _),
     "q65_remove_spans"   -> (q65RemoveSpans _),
     "q66_contamination_bloom" -> (q66ContaminationBloom _),
-    "q67_curation_pipeline" -> (q67CurationPipeline _))
+    "q67_curation_pipeline" -> (q67CurationPipeline _),
+    "q68_unigram_logprob" -> (q68UnigramLogprob _),
+    "q69_top_quality_per_group" -> (q69TopQualityPerGroup _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -956,6 +986,42 @@ object QueriesLlm {
                    FROM (SELECT DISTINCT shard, bin FROM st)),
                   CAST((SELECT sum(tok) FROM st) AS BIGINT))
          ORDER BY stage""",
+    // q68: the unigram "model" is a frequency table — replayed exactly;
+    // avg of logs is rounded on both sides (accumulation-order ulps)
+    "q68_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  AS tok
+              FROM documents),
+         freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+                   CAST(count(*) AS DOUBLE) AS v
+                 FROM freq),
+         sc AS (SELECT t.doc_id, count(*) AS n_tokens,
+                  avg(-log2((f.c + 0.5) / (tt.n + 0.5 * tt.v))) AS bits
+                FROM toks t JOIN freq f USING (tok) CROSS JOIN tot tt
+                GROUP BY 1)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                round(bits, 6) AS bits_per_token
+         FROM sc ORDER BY doc_id""",
+    // q69: q36's quality-score formula, ranked per (lang, source) with
+    // a total order (rounded score desc, doc_id asc)
+    "q69_top_quality_per_group" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+                string_split_regex(lower(text), '\s+') AS toks
+              FROM documents),
+         sc AS (SELECT doc_id, lang, source,
+                  round(least(len(toks) / 100.0, 1.0) *
+                    (len(list_distinct(toks)) * 1.0 / len(toks)), 6)
+                    AS quality_score
+                FROM t),
+         rk AS (SELECT *, CAST(row_number() OVER (
+                  PARTITION BY lang, source
+                  ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rk
+                FROM sc)
+         SELECT lang, source, rk, doc_id, quality_score
+         FROM rk WHERE rk <= 3
+         ORDER BY lang, source, rk""",
     "q52_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id,
                 unnest(string_split_regex(lower(text), '\s+')) AS tok

@@ -623,7 +623,32 @@ object Similarity {
     val books = trainPqCodebooks(
       normalized(c.select(col("cid").as("id"), col("cv").as("v"))),
       m, ncodes, kmeansIters)
-    val cells = c.as[(Long, Seq[Double])].mapPartitions { rows =>
+    encodeCells(c, centroids, books, m, subDim)
+      .withColumn("batch", lit(BaseBatchTag))
+      .write.mode("overwrite")
+      // STATIC for the same stale-cell reason as buildIvfIndex
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("batch", "cell").parquet(s"$path/cells")
+    centroids.zipWithIndex
+      .map { case (cen, i) => (i, cen.toSeq) }.toSeq
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    books.zipWithIndex.flatMap { case (codes, sub) =>
+      codes.zipWithIndex.map { case (cw, code) => (sub, code, cw.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    c.unpersist(blocking = false)
+  }
+
+  /** Shared IVF-PQ encode pass: nearest-cell assignment plus PQ codes
+    * of the normalized vector, in one compiled scan.
+    */
+  private def encodeCells(v: DataFrame, centroids: Array[Array[Double]],
+                          books: Array[Array[Array[Double]]],
+                          m: Int, subDim: Int): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    v.as[(Long, Seq[Double])].mapPartitions { rows =>
       rows.map { case (id, vec) =>
         val a = vec.toArray
         var best = 0; var bestSim = Double.NegativeInfinity; var ci = 0
@@ -649,19 +674,63 @@ object Similarity {
         (id, codes.toSeq, vec, best)
       }
     }.toDF("cid", "codes", "cv", "cell")
-    cells.write.mode("overwrite")
-      // STATIC for the same stale-cell reason as buildIvfIndex
-      .option("partitionOverwriteMode", "static")
-      .partitionBy("cell").parquet(s"$path/cells")
-    centroids.zipWithIndex
-      .map { case (cen, i) => (i, cen.toSeq) }.toSeq
-      .toDF("cell", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    books.zipWithIndex.flatMap { case (codes, sub) =>
-      codes.zipWithIndex.map { case (cw, code) => (sub, code, cw.toSeq) }
-    }.toSeq.toDF("sub", "code", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/codebooks")
-    c.unpersist(blocking = false)
+  }
+
+  /** Load the (tiny) centroids + codebooks sidecars of a persisted
+    * IVF-PQ index.
+    */
+  private def loadIvfPqSidecars(spark: org.apache.spark.sql.SparkSession,
+                                path: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cp = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cp))
+      throw InvalidArgumentValue(s"no index at $path — build first")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    if (centroids.isEmpty)
+      throw InvalidArgumentValue(s"no centroids at $path — build first")
+    val bookRows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = bookRows.map(_._1).max + 1
+    val books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => bookRows.filter(_._1 == s).sortBy(_._2)
+        .map(_._3))
+    (centroids, books)
+  }
+
+  /** Fold new vectors into a persisted IVF-PQ index: assign to the
+    * EXISTING centroids and encode with the EXISTING codebooks
+    * (neither is retrained — the same maintenance tradeoff as
+    * `appendToIvfIndex`; rebuild when drift matters), landing under
+    * `batch=<batchTag>`. Dynamic overwrite of only this tag's
+    * partitions ⇒ idempotent per tag; probe pruning is unchanged
+    * (the `cell IN (...)` filter prunes across the batch/cell tree).
+    */
+  def appendToIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                         path: String, batchTag: String): Unit = {
+    if (batchTag.isEmpty || batchTag == BaseBatchTag ||
+        batchTag.exists(c => c == '/' || c == '=' || c.isWhitespace))
+      throw InvalidArgumentValue(
+        s"batchTag must be a non-empty path-safe tag other than " +
+          s"'$BaseBatchTag', got '$batchTag'")
+    val spark = df.sparkSession
+    val (centroids, books) = loadIvfPqSidecars(spark, path)
+    val m = books.length
+    val subDim = books.head.head.length
+    val v = asDoubleVec(df, idCol, vecCol, "cid", "cv")
+    v.head(1).headOption.map(_.getSeq[Double](1).length).foreach { d =>
+      if (d != m * subDim)
+        throw InvalidArgumentValue(
+          s"vector dimension $d != index dimension ${m * subDim}")
+    }
+    encodeCells(v, centroids, books, m, subDim)
+      .withColumn("batch", lit(batchTag))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "cell").parquet(s"$path/cells")
   }
 
   /** Top-k search against a persisted IVF-PQ index: probe cells
@@ -685,20 +754,12 @@ object Similarity {
       throw InvalidArgumentValue(s"shortlist ($shortlist) < k ($k)")
     val spark = queries.sparkSession
     import spark.implicits._
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(r => r.getSeq[Double](1).toArray)
+    val (centroids, books) = loadIvfPqSidecars(spark, path)
     if (nprobe > centroids.length)
       throw InvalidArgumentValue(
         s"nprobe ($nprobe) > index nlist (${centroids.length})")
-    val bookRows = spark.read.parquet(s"$path/codebooks")
-      .orderBy("sub", "code").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val m = bookRows.map(_._1).max + 1
-    val ncodes = bookRows.map(_._2).max + 1
-    val books: Array[Array[Array[Double]]] =
-      Array.tabulate(m)(s => bookRows.filter(_._1 == s).sortBy(_._2)
-        .map(_._3))
+    val m = books.length
+    val ncodes = books.map(_.length).max
     val subDim = books.head.head.length
 
     val qRaw = asDoubleVec(queries, queryId, vecCol, "qid", "qv")

@@ -417,6 +417,43 @@ object TextAnalysis {
       .drop("__h", "__bkt", "__carry", "__cum", "__budget")
   }
 
+  /** Corpus-trained unigram cross-entropy per document — the
+    * SQL-replayable core of a perplexity quality filter (the KenLM
+    * pass of CCNet/RefinedWeb, with the n-gram order dropped to 1 so
+    * the model is a frequency table instead of an opaque binary):
+    * score = −avg log₂ p(token), p from the corpus's own add-k
+    * smoothed unigram distribution, p(t) = (c_t + k)/(N + k·V).
+    * Low bits-per-token ⇒ the document looks like the corpus;
+    * high ⇒ gibberish, wrong language, or codes/IDs. Perplexity is
+    * 2^bits.
+    *
+    * Scale shape: one explode → hashed-token frequency groupBy (the
+    * "model", |vocab| rows, partial-aggregated), a 1-row total, and
+    * one join of hashed token rows against the model — AQE broadcasts
+    * the model when it fits; the per-document aggregation is the only
+    * other shuffle. No windows, no arrays through shuffles, no driver
+    * state.
+    *
+    * @return (id, n_tokens, bits_per_token)
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     smoothK: Double = 0.5): DataFrame = {
+    require(smoothK > 0, s"smoothK must be positive: $smoothK")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("g"))
+    val freq = toks.groupBy("g").agg(count(lit(1)).as("__c"))
+    val tot = freq.agg(sum("__c").as("__n"),
+      count(lit(1)).as("__v"))
+    toks.join(freq, "g")
+      .crossJoin(broadcast(tot))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(-log2((col("__c") + smoothK) /
+          (col("__n") + col("__v") * smoothK)))
+          .as("bits_per_token"))
+  }
+
   /** Normalized content fingerprint: lowercase, strip every
     * non-alphanumeric character, md5. Catches duplicates that differ
     * only in case/whitespace/punctuation — the cheap complement to

@@ -284,6 +284,43 @@ object Relational {
     * skew — salt first (`saltedAggregate`'s trick) if one stratum is
     * a large fraction of the corpus.
     */
+  /** Top-k rows per group under an explicit ordering — the
+    * quality-based selection step of a curation pipeline ("keep the 3
+    * best-scored documents per (lang, source)"), where
+    * `stratifiedSampleExact` keeps a RANDOM k.
+    *
+    * Two-phase, like the ANN top-k: a local rank per
+    * (group, input-partition) keeps ≤ k rows per partition, so the
+    * global per-group rank window receives at most k·P rows per group
+    * — a group holding 30 TB never streams through one task, which a
+    * naive single window per group would force.
+    *
+    * `orderCols` MUST be a total order (add an id tiebreak): with ties
+    * across partitions the two phases could otherwise keep different
+    * representatives.
+    *
+    * @return the surviving rows plus `rk` (1..k within the group)
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+                   orderCols: Seq[Column], k: Int): DataFrame = {
+    if (groupCols.isEmpty)
+      throw InvalidArgumentValue("groupCols must be non-empty")
+    if (orderCols.isEmpty)
+      throw InvalidArgumentValue("orderCols must be non-empty")
+    if (k <= 0)
+      throw InvalidArgumentValue(s"k must be positive: $k")
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col) :+ spark_partition_id(): _*)
+      .orderBy(orderCols: _*)
+    val globalW = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols: _*)
+    df.withColumn("__lr", row_number().over(localW))
+      .filter(col("__lr") <= k).drop("__lr")
+      .withColumn("rk", row_number().over(globalW).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   def stratifiedSampleExact(df: DataFrame, strataCols: Seq[String],
                             idCol: String, k: Int): DataFrame = {
     if (strataCols.isEmpty)

@@ -523,6 +523,42 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq append equals a full-corpus probe; re-append is idempotent") {
+    val queries = emb.filter($"vec_id" < 3).select("vec_id", "embedding")
+    val early = emb.filter($"vec_id" >= 3 && $"vec_id" < 40)
+    val late = emb.filter($"vec_id" >= 40)
+    val idx = tmpDir("ivfpq-append")
+    Similarity.buildIvfPqIndex(early, "vec_id", "embedding", idx,
+      nlist = 4, m = 8, ncodes = 16)
+    Similarity.appendToIvfPqIndex(late, "vec_id", "embedding", idx, "day1")
+    // full fidelity over the grown index == brute force over the union
+    val n = emb.filter($"vec_id" >= 3).count().toInt
+    val probed = Similarity.probeIvfPqIndex(idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4, shortlist = n)
+    val brute = Similarity.bruteForceTopK(emb.filter($"vec_id" >= 3),
+      queries, "vec_id", "vec_id", "embedding", k = 5)
+    assert(probed.orderBy("qid", "rnk").collect().toSeq ==
+      brute.orderBy("qid", "rnk").collect().toSeq)
+    probed.unpersist(); brute.unpersist()
+    // same-tag replay replaces, never doubles
+    val n1 = spark.read.parquet(s"$idx/cells").count()
+    Similarity.appendToIvfPqIndex(late, "vec_id", "embedding", idx, "day1")
+    assert(spark.read.parquet(s"$idx/cells").count() == n1)
+    // rebuild clears stale appends
+    Similarity.buildIvfPqIndex(early, "vec_id", "embedding", idx,
+      nlist = 4, m = 8, ncodes = 16)
+    assert(spark.read.parquet(s"$idx/cells").select("batch").distinct()
+      .as[String].collect().toSeq == Seq("base"))
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Similarity.appendToIvfPqIndex(late, "vec_id", "embedding", idx,
+        "base")
+    }
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Similarity.appendToIvfPqIndex(late, "vec_id", "embedding",
+        tmpDir("ivfpq-unbuilt"), "day1")
+    }
+  }
+
   test("zero vectors never outrank real matches in top-k") {
     // cosine(0-vector, q) = 0/0 = NaN, and Spark sorts NaN above every
     // double — without the NaN guard the zero vector would be rank 1

@@ -200,4 +200,30 @@ class RelationalSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(again == got)
   }
+
+  test("topKPerGroup equals the naive one-window rank; small groups whole") {
+    val df = (1L to 200L)
+      .map(i => (i, (i % 5).toString, (i * 37 % 101).toDouble))
+      .toDF("id", "grp", "score")
+      .repartition(7) // rows of one group spread across partitions
+    val got = Relational.topKPerGroup(df, Seq("grp"),
+        Seq(col("score").desc, col("id").asc), k = 4)
+      .select("grp", "rk", "id").as[(String, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("score").desc, col("id").asc)
+    val naive = df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 4)
+      .select("grp", "rk", "id").as[(String, Long, Long)].collect().toSet
+    assert(got == naive && got.nonEmpty)
+    // a group smaller than k returns whole, correctly ranked
+    val tiny = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 9.0))
+      .toDF("id", "grp", "score")
+    val t = Relational.topKPerGroup(tiny, Seq("grp"),
+        Seq(col("score").desc, col("id").asc), k = 5)
+      .select("grp", "rk", "id").as[(String, Long, Long)].collect().toSet
+    assert(t == Set(("a", 1L, 2L), ("a", 2L, 1L), ("b", 1L, 3L)))
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Relational.topKPerGroup(tiny, Seq.empty, Seq(col("score")), 3)
+    }
+  }
 }
