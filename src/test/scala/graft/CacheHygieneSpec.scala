@@ -113,6 +113,16 @@ class CacheHygieneSpec extends SparkSpec {
     assert(leaked.isEmpty, s"index build leaked ${leaked.size} RDD(s)")
   }
 
+  test("trainBpeMerges leaves no caches behind") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val merges = graft.llm.Bpe.trainBpeMerges(
+      docs.filter(col("doc_id") < 50), "text", numMerges = 4)
+    val leaked = sc.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty, s"bpe training leaked ${leaked.size} RDD(s)")
+    assert(merges.size == 4)
+  }
+
   test("ivf-pq build leaves no caches; probe releases its probe cache") {
     val sc = spark.sparkContext
     val dir = tmpDir("graft-hyg-ivfpq")

@@ -360,6 +360,23 @@ class LlmSpec extends SparkSpec {
     assert(packed._2 <= dedup._2 && packed._2 > 0)
   }
 
+  test("trainBpeMerges learns deterministic merges; token counts shrink with vocab") {
+    import graft.llm.Bpe
+    val corpus = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    // pair counts round 1: (a,a)=2, (a,b)=1 → merge ("a","a");
+    // round 2: only (a,b)=1 remains; round 3: nothing — early stop
+    val merges = Bpe.trainBpeMerges(corpus, "text", numMerges = 5)
+    assert(merges == Seq(("a", "a"), ("a", "b")))
+    def count(ms: Seq[(String, String)]): Long =
+      Bpe.bpeTokenCount(corpus, "doc_id", "text", ms)
+        .as[(Long, Long)].head()._2
+    assert(count(Nil) == 6L)           // 2+2+2 chars
+    assert(count(merges.take(1)) == 4L) // aa,aa merged; a,b split
+    assert(count(merges) == 3L)        // every word one token
+    // determinism: identical merges on a second run
+    assert(Bpe.trainBpeMerges(corpus, "text", numMerges = 5) == merges)
+  }
+
   test("shingles are distinct lowercase k-grams") {
     val row = Seq(("AbAb")).toDF("t")
       .select(Dedup.shingles($"t", 2).as("s")).head()

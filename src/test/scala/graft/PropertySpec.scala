@@ -308,6 +308,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("trainBpeMerges equals the in-memory reference on random corpora") {
+    import graft.llm.Bpe
+    def refTrain(words: Seq[(String, Long)],
+                 numMerges: Int): List[(String, String)] = {
+      var w = words.map { case (k, c) => (k.map(_.toString).toArray, c) }
+      val ms = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      var stop = false
+      while (ms.size < numMerges && !stop) {
+        val counts = scala.collection.mutable
+          .Map.empty[(String, String), Long].withDefaultValue(0L)
+        w.foreach { case (syms, c) =>
+          (0 until syms.length - 1)
+            .foreach(i => counts((syms(i), syms(i + 1))) += c)
+        }
+        if (counts.isEmpty) stop = true
+        else {
+          val top = counts.toSeq
+            .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+          ms += top
+          w = w.map { case (s, c) =>
+            (if (s.length > 1) Bpe.applyMerge(s, top._1, top._2) else s, c)
+          }
+        }
+      }
+      ms.toList
+    }
+    forAllSeeded(corpusGen, cases = 6) { docsList =>
+      val df = docsList.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Bpe.trainBpeMerges(df, "text", numMerges = 6)
+      val wordCounts = docsList
+        .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+        .toSeq
+      assert(got == refTrain(wordCounts, 6),
+        s"merges differ; corpus=$docsList")
+    }
+  }
+
   test("removeDuplicatedSpans equals a literal positional replay on random corpora") {
     forAllSeeded(corpusGen, cases = 10) { docsList =>
       val docs = docsList.zipWithIndex.map { case (t, i) => (i.toLong, t) }
