@@ -66,7 +66,15 @@ object Plans {
       "q66_contamination_bloom" ->
         ("q59 with the broadcast-Bloom corpus prefilter: corpus gram " +
           "rows are filtered BEFORE the join, so only might-match " +
-          "grams ever shuffle; results identical (exact join after)"))
+          "grams ever shuffle; results identical (exact join after)"),
+      "q68_unigram_logprob" ->
+        ("unigram cross-entropy: hashed-token frequency model joined " +
+          "back to token rows — model side broadcast when it fits, " +
+          "1-row total broadcast always"),
+      "q69_top_quality_per_group" ->
+        ("top-k per group: two-phase rank — local per (group, input " +
+          "partition) then global over ≤ k·P survivors; no group ever " +
+          "streams whole through one window task"))
 
     val sb = new StringBuilder
     sb ++= s"# PLANS — formatted physical plans at $sfDir\n\n"
