@@ -305,6 +305,22 @@ object QueriesLlm {
       .orderBy("lang", "source", "rk")
   }
 
+  /** q70 — per-source length-distribution monitoring (exact
+    * interpolated percentiles): the drift dashboard a curation
+    * pipeline watches between ingests. Spark's `percentile` and
+    * DuckDB's `quantile_cont` share the continuous-interpolation
+    * definition, so the oracle is a direct replay.
+    */
+  def q70LengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
+        round(expr("percentile(n_chars, 0.99)"), 6).as("p99"))
+      .orderBy("source")
+
   /** q52 — near-dup CLUSTERS: simhash pairs → connected components →
     * (cluster root, size, surviving docs). Pairs alone over-count on
     * chains; this is the step a dedup pipeline actually ships. The
@@ -566,7 +582,8 @@ object QueriesLlm {
     "q66_contamination_bloom" -> (q66ContaminationBloom _),
     "q67_curation_pipeline" -> (q67CurationPipeline _),
     "q68_unigram_logprob" -> (q68UnigramLogprob _),
-    "q69_top_quality_per_group" -> (q69TopQualityPerGroup _))
+    "q69_top_quality_per_group" -> (q69TopQualityPerGroup _),
+    "q70_length_quantiles" -> (q70LengthQuantiles _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -1022,6 +1039,14 @@ object QueriesLlm {
          SELECT lang, source, rk, doc_id, quality_score
          FROM rk WHERE rk <= 3
          ORDER BY lang, source, rk""",
+    // q70: quantile_cont == Spark's interpolated percentile by
+    // definition; rounded on both sides
+    "q70_length_quantiles" ->
+      """SELECT source, count(*) AS n_docs,
+                round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                round(quantile_cont(n_chars, 0.99), 6) AS p99
+         FROM documents GROUP BY source ORDER BY source""",
     "q52_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id,
                 unnest(string_split_regex(lower(text), '\s+')) AS tok

@@ -336,6 +336,35 @@ class LlmSpec extends SparkSpec {
     assert(got(4) == ((5L, 5L, 5L, "")))
   }
 
+  test("quality filter and span removal handle CJK, emoji, and multi-byte symbols") {
+    // alpha rule: a token counts iff it has an a-z char — CJK and
+    // emoji tokens don't; the '…' ellipsis (multi-byte) is a symbol
+    val rules = TextAnalysis.QualityRules(minTokens = 1,
+      maxTokens = 100, minAvgTokenLen = 0.0, maxAvgTokenLen = 1e9,
+      maxSymbolFrac = 0.0, minAlphaTokenFrac = 0.5, minStopwordHits = 0)
+    val df = Seq(
+      (1L, "日本語 テスト 深層 学習 モデル the"), // 1/6 alpha
+      (2L, "café naïve … résumé #tag"),           // symbols: … and #
+      (3L, "😀 😀 😀 data"))                      // surrogate pairs
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityFilter(df, "doc_id", "text", rules)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "ok_symbol", "ok_alpha")
+      .as[(Long, Long, Int, Int)].collect()
+    assert(got(0) == ((1L, 6L, 1, 0)))
+    assert(got(1) == ((2L, 5L, 0, 1)))
+    assert(got(2) == ((3L, 4L, 1, 0)))
+
+    val rm = Dedup.removeDuplicatedSpans(
+        Seq((1L, "深層 学習 モデル x"), (2L, "y 深層 学習 別"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", n = 2, minDocs = 2)
+      .orderBy("id").as[(Long, Long, Long, String)].collect()
+    // the shared CJK 2-gram is excised at different positions
+    assert(rm(0) == ((1L, 4L, 2L, "モデル x")))
+    assert(rm(1) == ((2L, 4L, 2L, "y 別")))
+  }
+
   test("removeDuplicatedSpans is a no-op on a gram-disjoint corpus") {
     val corpus = Seq(
       (1L, "one two three four five six"),
