@@ -308,6 +308,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("qualityFilter equals a driver-side replica under whitespace noise") {
+    import graft.llm.TextAnalysis
+    val rules = TextAnalysis.QualityRules(minTokens = 3, maxTokens = 12,
+      minAvgTokenLen = 2.0, maxAvgTokenLen = 6.0, maxSymbolFrac = 0.2,
+      minAlphaTokenFrac = 0.6, minStopwordHits = 1)
+    val word = Gen.oneOf("the", "cat", "a", "of", "##", "…", "x1",
+      "longishword", "42", "mixed9z")
+    val ws = Gen.oneOf(" ", "  ", "\t", " \t ", "\n")
+    val docGen = for {
+      n <- Gen.chooseNum(0, 14)
+      toks <- Gen.listOfN(n, word)
+      seps <- Gen.listOfN(n + 1, ws)
+    } yield seps.head + toks.zip(seps.tail)
+      .map { case (t, s) => t + s }.mkString
+    forAllSeeded(Gen.listOfN(12, docGen), cases = 15) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.qualityFilter(df, "doc_id", "text", rules)
+        .select("doc_id", "ok_n_tokens", "ok_token_len", "ok_symbol",
+          "ok_alpha", "ok_stopwords", "keep")
+        .as[(Long, Int, Int, Int, Int, Int, Int)].collect().toSet
+      val stopSet = TextAnalysis.stopwords("en").toSet
+      val expected = docs.zipWithIndex.map { case (t, i) =>
+        val toks = t.trim.toLowerCase.split("\\s+").toSeq
+          .filter(_.nonEmpty)
+        val n = toks.size
+        def flag(b: Boolean) = if (b) 1 else 0
+        val nonWs = toks.map(_.length).sum.toDouble
+        val nSym = toks.map(w => w.count(_ == '#') + w.count(_ == '…') +
+          "\\.\\.\\.".r.findAllIn(w).size).sum.toDouble
+        val nAlpha = toks.count(_.exists(c => c >= 'a' && c <= 'z'))
+        val nStop = toks.count(stopSet.contains)
+        val okN = flag(n >= 3 && n <= 12)
+        val okLen = flag(n > 0 && nonWs / n >= 2.0 && nonWs / n <= 6.0)
+        val okSym = flag(n > 0 && nSym / n <= 0.2)
+        val okAlpha = flag(n > 0 && nAlpha.toDouble / n >= 0.6)
+        val okStop = flag(nStop >= 1)
+        (i.toLong, okN, okLen, okSym, okAlpha, okStop,
+          okN * okLen * okSym * okAlpha * okStop)
+      }.toSet
+      assert(got == expected, s"quality flags differ; docs=$docs")
+    }
+  }
+
   test("trainBpeMerges equals the in-memory reference on random corpora") {
     import graft.llm.Bpe
     def refTrain(words: Seq[(String, Long)],
