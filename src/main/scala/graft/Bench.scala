@@ -169,7 +169,11 @@ object Bench {
     }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
-    val sm = names.flatMap { name =>
+    // metrics for a query with any failed rep would mix partial work
+    // from the failure into the per-rep average (and a query that
+    // failed EVERY rep would fabricate metrics for a run that never
+    // finished) — emit metrics only for clean queries
+    val sm = names.filterNot(failed).flatMap { name =>
       val n = math.max(timings(name).size, 1)
       metrics.agg.get(name).map { a =>
         "\"" + name + "\":{" +

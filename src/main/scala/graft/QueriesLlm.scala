@@ -258,7 +258,12 @@ object QueriesLlm {
       "doc_id")
     val pairs = Dedup.ngramJaccardNearDups(quality, "doc_id", "text",
       n = 3, threshold = 0.5)
-    val deduped = Dedup.dedupNearDups(quality, "doc_id", pairs)
+    // dedupNearDups' cluster propagation is eager (it runs during this
+    // call and checkpoints its labels), so the materialized pair frame
+    // can be released immediately — the caller-unpersists contract
+    val deduped =
+      try Dedup.dedupNearDups(quality, "doc_id", pairs)
+      finally pairs.unpersist(blocking = false)
     val packed = TextAnalysis.packSequences(
       deduped.withColumn("__tok", tok), "doc_id", "__tok",
       capacity = 256L, shards = 4)

@@ -328,23 +328,46 @@ object Dedup {
                            path: String, batchTag: String,
                            shingleK: Int = 4, numHashes: Int = 128,
                            seed: Long = 42L): Unit = {
-    if (batchTag.isEmpty || batchTag == BaseBatchTag ||
-        batchTag.exists(c => c == '/' || c == '=' || c.isWhitespace))
-      throw InvalidArgumentValue(
-        s"batchTag must be a non-empty path-safe tag other than " +
-          s"'$BaseBatchTag', got '$batchTag'")
+    requireValidBatchTag(batchTag, BaseBatchTag)
     // appending to a path that was never built would silently create a
     // meta-less partial "index" (the meta check passes vacuously)
     if (readIndexMeta(df.sparkSession, path).isEmpty)
       throw InvalidArgumentValue(
         s"no index meta at $path — build the index before appending")
     requireIndexCompatible(df.sparkSession, path, shingleK, numHashes, seed)
+    // delete-then-write, not dynamic-overwrite alone: a same-tag re-run
+    // whose batch is now EMPTY writes no partition, which under dynamic
+    // overwrite would silently keep the previous append alive. The
+    // non-atomic window (crash between delete and write) is repaired by
+    // re-running the append — the operation stays idempotent.
+    deleteTagPartition(df.sparkSession, path, batchTag)
     signaturesOf(shingleHashRows(df, idCol, textCol, shingleK),
       numHashes, seed)
       .withColumn("batch", lit(batchTag))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(path)
+  }
+
+  /** Shared batch-tag validation for index appends. */
+  private[llm] def requireValidBatchTag(batchTag: String,
+                                        reserved: String): Unit =
+    if (batchTag.isEmpty || batchTag == reserved ||
+        batchTag.exists(c => c == '/' || c == '=' || c.isWhitespace))
+      throw InvalidArgumentValue(
+        s"batchTag must be a non-empty path-safe tag other than " +
+          s"'$reserved', got '$batchTag'")
+
+  /** Remove `batch=<tag>` under `root` so a re-run REPLACES the tag's
+    * previous output even when the new write lands fewer (or zero)
+    * partitions than the old one did.
+    */
+  private[llm] def deleteTagPartition(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      batchTag: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, s"batch=$batchTag")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
   private val IndexMetaFile = "_graft_minhash_meta"

@@ -271,11 +271,7 @@ object Similarity {
     */
   def appendToIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                        path: String, batchTag: String): Unit = {
-    if (batchTag.isEmpty || batchTag == BaseBatchTag ||
-        batchTag.exists(c => c == '/' || c == '=' || c.isWhitespace))
-      throw InvalidArgumentValue(
-        s"batchTag must be a non-empty path-safe tag other than " +
-          s"'$BaseBatchTag', got '$batchTag'")
+    Dedup.requireValidBatchTag(batchTag, BaseBatchTag)
     val spark = df.sparkSession
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()
@@ -288,6 +284,12 @@ object Similarity {
         throw InvalidArgumentValue(
           s"vector dimension $d != index dimension ${centroids.head.length}")
     }
+    // delete-then-write: dynamic overwrite alone only replaces
+    // (tag, cell) partitions PRESENT in the new batch — a re-run whose
+    // vectors land in fewer cells (or none) would leave the old cells'
+    // data alive under the same tag. A crash between delete and write
+    // is repaired by re-running the append.
+    Dedup.deleteTagPartition(spark, s"$path/cells", batchTag)
     assignCells(v, centroids)
       .withColumn("batch", lit(batchTag))
       .write.mode("overwrite")
@@ -459,6 +461,33 @@ object Similarity {
     books
   }
 
+  /** Per-query ADC tables over normalized query vectors:
+    * tables(q)(sub·ncodes + code) = ⟨query_sub, codeword⟩ — shared by
+    * `pqTopK` and `probeIvfPqIndex`.
+    */
+  private def buildAdcTables(qArr: Array[(Long, Seq[Double])],
+                             books: Array[Array[Array[Double]]],
+                             m: Int, ncodes: Int,
+                             subDim: Int): Array[(Long, Array[Double])] =
+    qArr.map { case (qid, qv) =>
+      val qa = qv.toArray
+      val t = new Array[Double](m * ncodes)
+      var s = 0
+      while (s < m) {
+        val qs = sliceOf(qa, s, subDim)
+        var ci = 0
+        while (ci < books(s).length) {
+          val cw = books(s)(ci)
+          var d = 0.0; var i = 0
+          while (i < subDim) { d += qs(i) * cw(i); i += 1 }
+          t(s * ncodes + ci) = d
+          ci += 1
+        }
+        s += 1
+      }
+      (qid, t)
+    }
+
   /** Product-quantization approximate top-k (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011): each
     * L2-normalized corpus vector is stored as `m` codebook indices
@@ -524,27 +553,9 @@ object Similarity {
     }.toDF("cid", "codes")
 
     // queries are small by contract (same as bruteForceTopK's
-    // broadcast) — their ADC tables are built driver-side:
-    // tables(q)(sub·ncodes + code) = <query_sub, codeword>
+    // broadcast) — their ADC tables are built driver-side
     val qArr = normalized(qRaw).as[(Long, Seq[Double])].collect()
-    val tables = qArr.map { case (qid, qv) =>
-      val qa = qv.toArray
-      val t = new Array[Double](m * ncodes)
-      var s = 0
-      while (s < m) {
-        val qs = sliceOf(qa, s, subDim)
-        var ci = 0
-        while (ci < books(s).length) {
-          val cw = books(s)(ci)
-          var d = 0.0; var i = 0
-          while (i < subDim) { d += qs(i) * cw(i); i += 1 }
-          t(s * ncodes + ci) = d
-          ci += 1
-        }
-        s += 1
-      }
-      (qid, t)
-    }
+    val tables = buildAdcTables(qArr, books, m, ncodes, subDim)
 
     // one broadcast instead of a per-task closure copy — the tables
     // grow with |queries|·m·ncodes
@@ -711,11 +722,7 @@ object Similarity {
     */
   def appendToIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
                          path: String, batchTag: String): Unit = {
-    if (batchTag.isEmpty || batchTag == BaseBatchTag ||
-        batchTag.exists(c => c == '/' || c == '=' || c.isWhitespace))
-      throw InvalidArgumentValue(
-        s"batchTag must be a non-empty path-safe tag other than " +
-          s"'$BaseBatchTag', got '$batchTag'")
+    Dedup.requireValidBatchTag(batchTag, BaseBatchTag)
     val spark = df.sparkSession
     val (centroids, books) = loadIvfPqSidecars(spark, path)
     val m = books.length
@@ -726,6 +733,9 @@ object Similarity {
         throw InvalidArgumentValue(
           s"vector dimension $d != index dimension ${m * subDim}")
     }
+    // delete-then-write — same shrunken-cell-set hazard as
+    // appendToIvfIndex
+    Dedup.deleteTagPartition(spark, s"$path/cells", batchTag)
     encodeCells(v, centroids, books, m, subDim)
       .withColumn("batch", lit(batchTag))
       .write.mode("overwrite")
@@ -780,24 +790,7 @@ object Similarity {
     val qArr = normalized(qRaw.select(col("qid").as("id"),
         col("qv").as("v")))
       .as[(Long, Seq[Double])].collect()
-    val tables = qArr.map { case (qid, qv) =>
-      val qa = qv.toArray
-      val t = new Array[Double](m * ncodes)
-      var s = 0
-      while (s < m) {
-        val qs = sliceOf(qa, s, subDim)
-        var ci = 0
-        while (ci < books(s).length) {
-          val cw = books(s)(ci)
-          var d = 0.0; var i = 0
-          while (i < subDim) { d += qs(i) * cw(i); i += 1 }
-          t(s * ncodes + ci) = d
-          ci += 1
-        }
-        s += 1
-      }
-      (qid, t)
-    }
+    val tables = buildAdcTables(qArr, books, m, ncodes, subDim)
     val tablesB = spark.sparkContext.broadcast(tables.toMap)
     val mm = m; val nc = ncodes
     // (cell)-joined pairs: the corpus side contributes only codes —

@@ -271,19 +271,6 @@ object Relational {
       .agg(merged.head, merged.tail: _*)
   }
 
-  /** Exactly-k-per-stratum deterministic sample: keep the `k` rows of
-    * each stratum whose md5(id) ranks lowest (ties broken by id —
-    * total order, so the sample is unique and re-derivable forever,
-    * unlike `TABLESAMPLE`/`rand()` which change per run and per
-    * partitioning). The md5 rank makes membership independent of the
-    * id distribution — sequential ids don't bias toward old rows.
-    *
-    * One window per stratum (shuffle on strataCols, sort by the
-    * hash); a stratum's rows land in one task, which is fine for
-    * strata like language/source/bucket but NOT for high-cardinality
-    * skew — salt first (`saltedAggregate`'s trick) if one stratum is
-    * a large fraction of the corpus.
-    */
   /** Top-k rows per group under an explicit ordering — the
     * quality-based selection step of a curation pipeline ("keep the 3
     * best-scored documents per (lang, source)"), where
@@ -321,6 +308,19 @@ object Relational {
       .filter(col("rk") <= k)
   }
 
+  /** Exactly-k-per-stratum deterministic sample: keep the `k` rows of
+    * each stratum whose md5(id) ranks lowest (ties broken by id —
+    * total order, so the sample is unique and re-derivable forever,
+    * unlike `TABLESAMPLE`/`rand()` which change per run and per
+    * partitioning). The md5 rank makes membership independent of the
+    * id distribution — sequential ids don't bias toward old rows.
+    *
+    * One window per stratum (shuffle on strataCols, sort by the
+    * hash); a stratum's rows land in one task, which is fine for
+    * strata like language/source/bucket but NOT for high-cardinality
+    * skew — salt first (`saltedAggregate`'s trick) if one stratum is
+    * a large fraction of the corpus.
+    */
   def stratifiedSampleExact(df: DataFrame, strataCols: Seq[String],
                             idCol: String, k: Int): DataFrame = {
     if (strataCols.isEmpty)

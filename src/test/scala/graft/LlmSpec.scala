@@ -77,6 +77,24 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("minhash append with an empty batch retracts the tag's previous rows") {
+    val corpus = docs.filter($"doc_id" < 400)
+    val late = docs.filter($"doc_id" >= 400 && $"doc_id" < 420)
+    val idx = tmpDir("mh-retract")
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+    Dedup.appendToMinhashIndex(late, "doc_id", "text", idx, "day1")
+    val withTag = spark.read.parquet(idx)
+      .select("batch").distinct().as[String].collect().toSet
+    assert(withTag == Set("base", "day1"))
+    // retraction: a same-tag re-run whose batch is now empty must
+    // REMOVE the previous append, not silently keep it
+    Dedup.appendToMinhashIndex(docs.filter(lit(false)),
+      "doc_id", "text", idx, "day1")
+    val after = spark.read.parquet(idx)
+      .select("batch").distinct().as[String].collect().toSet
+    assert(after == Set("base"), s"stale tag survived retraction: $after")
+  }
+
   test("index append equals one-shot build; re-append is idempotent") {
     val early = docs.filter($"doc_id" < 300)
     val mid = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
@@ -569,6 +587,10 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  private def corpusIds(idx: String): Set[Long] =
+    spark.read.parquet(s"$idx/cells").select("cid").as[Long]
+      .collect().toSet
+
   test("ivf-pq append equals a full-corpus probe; re-append is idempotent") {
     val queries = emb.filter($"vec_id" < 3).select("vec_id", "embedding")
     val early = emb.filter($"vec_id" >= 3 && $"vec_id" < 40)
@@ -590,6 +612,14 @@ class LlmSpec extends SparkSpec {
     val n1 = spark.read.parquet(s"$idx/cells").count()
     Similarity.appendToIvfPqIndex(late, "vec_id", "embedding", idx, "day1")
     assert(spark.read.parquet(s"$idx/cells").count() == n1)
+    // SHRUNKEN same-tag re-run: the corrected batch lands in fewer
+    // cells — the old cells' rows under the tag must not survive
+    val sub = late.filter($"vec_id" < 45)
+    Similarity.appendToIvfPqIndex(sub, "vec_id", "embedding", idx, "day1")
+    val n2 = corpusIds(idx)
+    val want2 = (early.select("vec_id").as[Long].collect() ++
+      sub.select("vec_id").as[Long].collect()).toSet
+    assert(n2 == want2, "stale cells survived a shrunken re-append")
     // rebuild clears stale appends
     Similarity.buildIvfPqIndex(early, "vec_id", "embedding", idx,
       nlist = 4, m = 8, ncodes = 16)
