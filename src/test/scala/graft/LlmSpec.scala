@@ -424,6 +424,59 @@ class LlmSpec extends SparkSpec {
     assert(Bpe.trainBpeMerges(corpus, "text", numMerges = 5) == merges)
   }
 
+  test("trainBpeMerges survives 500 merges (checkpoint rotation) and equals the in-memory reference") {
+    import graft.llm.Bpe
+    // deterministic corpus with enough pair vocabulary for 500 full
+    // rounds: 200 pseudo-random 16-char words over a 26-letter
+    // alphabet. Without the per-round localCheckpoint the plan nests
+    // one cached plan per round and the per-job explain string grows
+    // ~2^N (AQE prints nested plans twice) — measured driver OOM
+    // around round ~100 with a 32-round persist rotation.
+    // 400 DISTINCT words (base-26 prefix guarantees distinctness — a
+    // modular generator alone collapses to 26 repeated words and the
+    // pair vocabulary runs dry before 500 rounds)
+    val words = (0 until 400).map { i =>
+      val prefix = {
+        var n = i
+        (0 until 4).map { _ =>
+          val c = ('a' + n % 26).toChar; n /= 26; c
+        }.mkString
+      }
+      val body = (0 until 16).map { j =>
+        ('a' + ((i * 31 + j * 7 + i * j) % 26 + 26) % 26).toChar
+      }.mkString
+      prefix + body
+    }
+    val corpus = words.grouped(20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Bpe.trainBpeMerges(corpus, "text", numMerges = 500)
+    assert(got.size == 500, s"early stop at ${got.size} merges")
+    // rotation frees every persist AND every checkpoint block it made
+    assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore)
+    // in-memory reference replay (same tie-break: count desc, pair asc)
+    var w = words.groupBy(identity)
+      .map { case (k, ks) => (k.map(_.toString).toArray, ks.size.toLong) }
+      .toSeq
+    val ref = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    while (ref.size < 500) {
+      val counts = scala.collection.mutable
+        .Map.empty[(String, String), Long].withDefaultValue(0L)
+      w.foreach { case (syms, c) =>
+        (0 until syms.length - 1)
+          .foreach(i => counts((syms(i), syms(i + 1))) += c)
+      }
+      val top = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+      ref += top
+      w = w.map { case (s, c) =>
+        (if (s.length > 1) Bpe.applyMerge(s, top._1, top._2) else s, c)
+      }
+    }
+    assert(got == ref.toList)
+  }
+
   test("shingles are distinct lowercase k-grams") {
     val row = Seq(("AbAb")).toDF("t")
       .select(Dedup.shingles($"t", 2).as("s")).head()
