@@ -802,7 +802,10 @@ object Dedup {
     * that might collide with an eval gram. Results are IDENTICAL to
     * the unfiltered path: Bloom false positives are removed by the
     * exact hash equi-join, and the contamination denominator
-    * (`n_grams`) is counted before the prefilter.
+    * (`n_grams`) is counted before the prefilter. In this mode the
+    * result is persisted and materialized before returning (so the
+    * one-shot Bloom broadcast's executor copies can be released) —
+    * `.unpersist()` the result when done.
     */
   def contaminationCheck(corpus: DataFrame, corpusId: String,
                          corpusText: String, eval: DataFrame,
@@ -819,6 +822,7 @@ object Dedup {
     val eGrams = wordGramRows(eval, evalId, evalText, n)
       .withColumnRenamed("id", "eid")
     val sizes = cGrams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    var bloomB: Option[org.apache.spark.broadcast.Broadcast[_]] = None
     val cSide = bloomFpp match {
       case Some(fpp) =>
         // the count is one cheap job over the (tiny by contract) eval
@@ -837,6 +841,7 @@ object Dedup {
             hashes.stat.bloomFilter("g", nE, fpp)
           } finally hashes.unpersist()
         val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
+        bloomB = Some(bfB)
         // mightContainLong is the one non-codegen step in the module's
         // dedup family — a deliberate trade: a broadcast bitmap probe
         // per gram row versus shuffling the full corpus gram mass
@@ -844,7 +849,7 @@ object Dedup {
         cGrams.filter(might(col("g")))
       case None => cGrams
     }
-    cSide.join(eGrams, "g")
+    val res = cSide.join(eGrams, "g")
       .groupBy("id")
       .agg(count_distinct(col("g")).as("n_shared_grams"),
         count_distinct(col("eid")).as("n_eval_docs"))
@@ -852,6 +857,21 @@ object Dedup {
       .select(col("id"), col("n_shared_grams"), col("n_eval_docs"),
         (col("n_shared_grams").cast("double") /
           col("n_grams").cast("double")).as("contamination_frac"))
+    bloomB match {
+      case Some(bfB) =>
+        // the Bloom broadcast is one-shot: materialize the (small —
+        // contaminated docs only) result, persist it, and free the
+        // executor copies so repeated calls in a long-lived session
+        // don't accumulate broadcast memory. unpersist, not destroy —
+        // a recompute after executor loss re-sends from the driver
+        // instead of failing. `.unpersist()` the result when done.
+        val out = res.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        bfB.unpersist(blocking = false)
+        out
+      case None => res
+    }
   }
 
   /** Cross-document duplicated-gram statistics — the RefinedWeb /

@@ -821,6 +821,12 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
     probes.unpersist(blocking = false)
+    // the ADC tables are one-shot: the result is materialized, so the
+    // executor copies can go now. unpersist, not destroy — if an
+    // executor dies and the cached result partition must be
+    // recomputed, the broadcast re-sends from the driver instead of
+    // failing the job
+    tablesB.unpersist(blocking = false)
     result
   }
 

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.exceptions._
+
 /** Text-quality analysis for training-data pipelines: token counts,
   * type/token ratios, quality scoring, stopword-based language ID, and
   * content fingerprinting. Every metric is a pure codegen'd column
@@ -219,6 +221,10 @@ object TextAnalysis {
     * language-ID pass stays a row-parallel projection.
     */
   def stopwordHits(text: Column, lang: String): Column = {
+    if (!stopwords.contains(lang))
+      throw InvalidArgumentValue(
+        s"unsupported stopword language '$lang'; supported: " +
+          stopwords.keys.toSeq.sorted.mkString(", "))
     val pat = stopwords(lang).map(java.util.regex.Pattern.quote)
       .mkString("(?<!\\S)(?:", "|", ")(?!\\S)")
     regexp_count(lower(text), lit(pat)).cast("long")
@@ -432,7 +438,11 @@ object TextAnalysis {
     * one join of hashed token rows against the model — AQE broadcasts
     * the model when it fits; the per-document aggregation is the only
     * other shuffle. No windows, no arrays through shuffles, no driver
-    * state.
+    * state. The hashed-token frame feeds BOTH the model build and the
+    * scoring join, so it is persisted across the two uses (one corpus
+    * tokenization, not two full-corpus scans) and released before
+    * returning; the result (one small row per document) is persisted
+    * and materialized — `.unpersist()` the result when done.
     *
     * @return (id, n_tokens, bits_per_token)
     */
@@ -442,16 +452,21 @@ object TextAnalysis {
     val toks = df.select(col(idCol).cast("long").as("id"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = toks.groupBy("g").agg(count(lit(1)).as("__c"))
     val tot = freq.agg(sum("__c").as("__n"),
       count(lit(1)).as("__v"))
-    toks.join(freq, "g")
+    val out = toks.join(freq, "g")
       .crossJoin(broadcast(tot))
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"),
         avg(-log2((col("__c") + smoothK) /
           (col("__n") + col("__v") * smoothK)))
           .as("bits_per_token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    toks.unpersist(blocking = false)
+    out
   }
 
   /** Normalized content fingerprint: lowercase, strip every

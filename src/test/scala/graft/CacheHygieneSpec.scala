@@ -60,6 +60,12 @@ class CacheHygieneSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("unigramLogProb releases the hashed-token cache") {
+    val n = assertReleasesAll(
+      graft.llm.TextAnalysis.unigramLogProb(docs, "doc_id", "text"))
+    assert(n > 0)
+  }
+
   test("ngramJaccardNearDups releases its gram and prefix caches") {
     val n = assertReleasesAll(
       Dedup.ngramJaccardNearDups(docs, "doc_id", "text",

@@ -373,6 +373,16 @@ class LlmSpec extends SparkSpec {
     assert(got(1) == ((2L, 5L, 0, 1)))
     assert(got(2) == ((3L, 4L, 1, 0)))
 
+    // an unknown stopword language is a caller error, reported with
+    // the module's exception type and the supported set — not a raw
+    // NoSuchElementException out of the map lookup
+    val bad = intercept[graft.exceptions.InvalidArgumentValue] {
+      TextAnalysis.qualityFilter(df, "doc_id", "text",
+        TextAnalysis.QualityRules(stopLang = "xx"))
+    }
+    assert(bad.getMessage.contains("xx"))
+    assert(bad.getMessage.contains("en"))
+
     val rm = Dedup.removeDuplicatedSpans(
         Seq((1L, "深層 学習 モデル x"), (2L, "y 深層 学習 別"))
           .toDF("doc_id", "text"),
