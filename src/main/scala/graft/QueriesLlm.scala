@@ -460,17 +460,24 @@ object QueriesLlm {
   }
 
   /** q39 — multimodal binary plumbing: text payloads as binary
-    * columns with extracted metadata, aggregated.
+    * columns with extracted metadata, aggregated. The image-header
+    * decode runs over every payload too: none of the text payloads is
+    * a valid PNG/GIF/BMP/JPEG, so the fail-soft decoder must produce
+    * exactly zero decoded rows (and, critically, zero task failures) —
+    * the oracle pins that contract as a constant.
     */
   def q39MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.withMeta(
-      t(spark, dir, "documents")
-        .withColumn("content", col("text").cast("binary")),
-      "doc_id", "content", "text/plain")
+    val docs = t(spark, dir, "documents")
+      .withColumn("content", col("text").cast("binary"))
+    val media = Multimodal.withMeta(docs, "doc_id", "content",
+      "text/plain")
+    val decoded = Multimodal.withImageMeta(docs, "doc_id", "content")
+      .agg(count(col("image_format")).as("n_decoded"))
     media.agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("meta.size_bytes")).as("total_bytes"),
-      countDistinct(col("meta.sha")).as("n_distinct_sha"))
+        count(lit(1)).as("n_docs"),
+        sum(col("meta.size_bytes")).as("total_bytes"),
+        countDistinct(col("meta.sha")).as("n_distinct_sha"))
+      .crossJoin(broadcast(decoded))
   }
 
   /** q41 — sliding-window document chunking (64-token chunks, 16-token
@@ -1202,7 +1209,10 @@ object QueriesLlm {
       """SELECT count(*) AS n_docs,
                 CAST(sum(octet_length(encode(text))) AS BIGINT)
                   AS total_bytes,
-                count(DISTINCT md5(text)) AS n_distinct_sha
+                count(DISTINCT md5(text)) AS n_distinct_sha,
+                -- text payloads are never valid image containers; the
+                -- fail-soft header decoder must yield 0 decoded rows
+                CAST(0 AS BIGINT) AS n_decoded
          FROM documents""",
     "q41_chunking" ->
       """WITH t AS (SELECT doc_id,

@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads travel as
   * opaque `binary` columns with a typed metadata struct alongside.
   *
-  * The decode step is a clearly-marked STUB (this environment has no
-  * image/audio codecs); everything around it — schema shape,
-  * partition-friendly batching via mapPartitions, deterministic
-  * feature layout — is the real production plumbing. Swap
-  * `FakeDecoder` for a JNI/codec-backed decoder without touching the
-  * Spark side.
+  * The image METADATA decode is real: `ImageHeaders` parses PNG, GIF,
+  * BMP, and JPEG headers (container signatures + dimension fields,
+  * public file-format knowledge) directly from the payload bytes —
+  * no codec library, no pixel decode, fail-soft `None` on anything
+  * corrupt, truncated, or unrecognized. Full PIXEL decode (the input
+  * to a vision encoder) remains a clearly-marked stub seam
+  * (`FakeDecoder`): this environment has no image/audio codecs, and
+  * everything around the seam — schema shape, partition-friendly
+  * batching via mapPartitions, deterministic feature layout — is the
+  * real production plumbing. Swap `FakeDecoder` for a
+  * JNI/codec-backed decoder without touching the Spark side.
   */
 object Multimodal {
 
@@ -20,6 +25,114 @@ object Multimodal {
   case class MediaRow(id: Long, content: Array[Byte], mime: String)
   case class MediaFeatures(id: Long, sizeBytes: Long,
                            features: Array[Float])
+
+  /** Parsed image header: container format and pixel dimensions. */
+  case class ImageInfo(format: String, width: Int, height: Int)
+
+  /** Header-only image metadata extraction — signatures and dimension
+    * fields per the public format specs (PNG IHDR, GIF logical screen
+    * descriptor, BMP info header, JPEG SOF segment). Everything is
+    * bounds-checked; ANY malformed, truncated, or unknown payload
+    * returns None rather than throwing — at 100 TB some payloads WILL
+    * be garbage and a task failure on row 10^12 is not acceptable.
+    */
+  object ImageHeaders {
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 8) | u8(b, i + 1)
+    private def le16(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8)
+    private def be32(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) |
+        (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def le32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) |
+        (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+    /** PNG: 8-byte signature, then the IHDR chunk (len + "IHDR" +
+      * width/height as big-endian int32).
+      */
+    private def png(b: Array[Byte]): Option[ImageInfo] =
+      if (b.length >= 24 &&
+        u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        u8(b, 4) == 0x0d && u8(b, 5) == 0x0a &&
+        u8(b, 6) == 0x1a && u8(b, 7) == 0x0a &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+        val w = be32(b, 16); val h = be32(b, 20)
+        if (w > 0 && h > 0) Some(ImageInfo("png", w, h)) else None
+      } else None
+
+    /** GIF87a/GIF89a: logical screen width/height, little-endian
+      * uint16 at offset 6.
+      */
+    private def gif(b: Array[Byte]): Option[ImageInfo] =
+      if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+        val w = le16(b, 6); val h = le16(b, 8)
+        if (w > 0 && h > 0) Some(ImageInfo("gif", w, h)) else None
+      } else None
+
+    /** BMP: "BM" file header, then an info header whose first field is
+      * its own size — 40+ (BITMAPINFOHEADER, int32 dims; height may be
+      * negative for top-down rows) or 12 (BITMAPCOREHEADER, uint16).
+      */
+    private def bmp(b: Array[Byte]): Option[ImageInfo] =
+      if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+        val hdr = le32(b, 14)
+        if (hdr >= 40 && b.length >= 26) {
+          val w = le32(b, 18); val h = math.abs(le32(b, 22))
+          if (w > 0 && h > 0) Some(ImageInfo("bmp", w, h)) else None
+        } else if (hdr == 12 && b.length >= 22) {
+          val w = le16(b, 18); val h = le16(b, 20)
+          if (w > 0 && h > 0) Some(ImageInfo("bmp", w, h)) else None
+        } else None
+      } else None
+
+    /** JPEG: FF D8 start-of-image, then marker segments; dimensions
+      * live in the first SOFn frame header (markers C0–CF excluding
+      * C4/C8/CC): [len][precision][height be16][width be16].
+      */
+    private def jpeg(b: Array[Byte]): Option[ImageInfo] = {
+      if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xff) return None // marker desync = corrupt
+        var marker = u8(b, i + 1)
+        // fill bytes: FF can repeat before the marker id
+        while (marker == 0xff && i + 2 < b.length) {
+          i += 1; marker = u8(b, i + 1)
+        }
+        if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS first
+        if (marker >= 0xd0 && marker <= 0xd7) { i += 2 } // RSTn: no length
+        else {
+          if (i + 3 >= b.length) return None
+          val len = be16(b, i + 2)
+          if (len < 2) return None
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (i + 8 >= b.length) return None
+            val h = be16(b, i + 5); val w = be16(b, i + 7)
+            return if (w > 0 && h > 0) Some(ImageInfo("jpeg", w, h))
+            else None
+          }
+          i += 2 + len
+        }
+      }
+      None
+    }
+
+    /** Parse any supported container; None for everything else. Never
+      * throws.
+      */
+    def parse(bytes: Array[Byte]): Option[ImageInfo] =
+      if (bytes == null) None
+      else
+        try png(bytes).orElse(gif(bytes)).orElse(bmp(bytes))
+          .orElse(jpeg(bytes))
+        catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Attach a metadata struct computed from the binary payload —
     * pure column expressions, no decode needed.
@@ -33,6 +146,34 @@ object Multimodal {
         lit(mime).as("mime"),
         octet_length(col(binCol)).cast("long").as("size_bytes"),
         md5(col(binCol)).as("sha")).as("meta"))
+
+  private case class ImageMetaRow(id: Long, image_format: Option[String],
+                                  image_width: Option[Int],
+                                  image_height: Option[Int])
+
+  /** Image metadata columns decoded from the payload header:
+    * (id, image_format, image_width, image_height), all three null
+    * when the payload is not a recognizable PNG/GIF/BMP/JPEG — the
+    * fail-soft row, never a task failure. mapPartitions (the module's
+    * batching seam), payload column pruned after parsing so only the
+    * narrow metadata frame flows on.
+    */
+  def withImageMeta(df: DataFrame, idCol: String,
+                    binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          ImageHeaders.parse(bytes) match {
+            case Some(info) => ImageMetaRow(id, Some(info.format),
+              Some(info.width), Some(info.height))
+            case None => ImageMetaRow(id, None, None, None)
+          }
+        }
+      }.toDF()
+  }
 
   /** STUB decoder: a real implementation would hand `bytes` to an
     * image/audio codec. This deterministic fake derives a fixed-size

@@ -882,6 +882,58 @@ class LlmSpec extends SparkSpec {
     assert(r.getString(2).length == 32)
   }
 
+  /** Encode a real image with the JDK's own writers — the fixtures
+    * are genuine PNG/GIF/BMP/JPEG byte streams, not hand-built
+    * headers.
+    */
+  private def encodeImage(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) { img.setRGB(x, 0, 0xff8800 + x); x += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos),
+      s"no JDK writer for $fmt")
+    bos.toByteArray
+  }
+
+  test("withImageMeta decodes real encoded PNG/GIF/BMP/JPEG headers") {
+    val fixtures = Seq(
+      (1L, encodeImage("png", 13, 7), "png", 13, 7),
+      (2L, encodeImage("gif", 5, 9), "gif", 5, 9),
+      (3L, encodeImage("bmp", 21, 4), "bmp", 21, 4),
+      (4L, encodeImage("jpg", 16, 11), "jpeg", 16, 11))
+    val df = fixtures.map { case (id, b, _, _, _) => (id, b) }
+      .toDF("id", "content")
+    val got = Multimodal.withImageMeta(df, "id", "content")
+      .orderBy("id").collect()
+    fixtures.zip(got).foreach { case ((id, _, f, w, h), r) =>
+      assert(r.getLong(0) == id)
+      assert(r.getString(1) == f, s"format for id=$id")
+      assert(r.getInt(2) == w, s"width for id=$id")
+      assert(r.getInt(3) == h, s"height for id=$id")
+    }
+  }
+
+  test("withImageMeta fails soft (null row, no task failure) on bad payloads") {
+    val png = encodeImage("png", 8, 8)
+    val rows = Seq(
+      (1L, png.take(10)),                               // truncated PNG
+      (2L, Array[Byte](0xff.toByte, 0xd8.toByte, 0, 1)), // JPEG desync
+      (3L, "just some text".getBytes("UTF-8")),          // not an image
+      (4L, Array.empty[Byte]),                           // empty
+      (5L, null.asInstanceOf[Array[Byte]]),              // null payload
+      (6L, png))                                         // one good row
+    val got = Multimodal.withImageMeta(rows.toDF("id", "content"),
+      "id", "content").orderBy("id").collect()
+    got.take(5).foreach { r =>
+      assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3),
+        s"row ${r.getLong(0)} should be all-null")
+    }
+    assert(got(5).getString(1) == "png")
+    assert(got(5).getInt(2) == 8 && got(5).getInt(3) == 8)
+  }
+
   test("pq with one codeword per vector and no rerank is exact cosine") {
     // m=1, ncodes = |corpus|, distinct vectors: k-means init gives each
     // vector its own codeword and the means fix-point there, so the ADC
