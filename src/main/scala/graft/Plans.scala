@@ -87,10 +87,10 @@ object Plans {
       sb ++= "```\n"
       spark.catalog.clearCache()
     }
-    // persisted-IVF probe: not a CORRECTNESS query (spec-proven), but
-    // the partition-pruning claim — probe reads ONLY `cell IN (...)`
-    // partitions — is the operator's whole scale story, so pin the
-    // plan evidence here too
+    // persisted-IVF probe: the exhaustive configuration is
+    // oracle-checked as q71; what's pinned HERE is the pruned
+    // (nprobe < nlist) plan — probe reads ONLY `cell IN (...)`
+    // partitions, the operator's whole scale story
     locally {
       val emb = Tables.read(spark, sfDir, "embeddings")
       val idx = Tables.scratch(sfDir, "plans_ivf")
@@ -98,7 +98,7 @@ object Plans {
         emb, "vec_id", "embedding", idx, nlist = 8)
       val probe = graft.llm.Similarity.probeIvfIndex(
         idx, emb.limit(3), "vec_id", "embedding", k = 5, nprobe = 2)
-      sb ++= "\n## ivf_index_probe (spec-only operator)\n\n" +
+      sb ++= "\n## ivf_index_probe (pruned config of q71)\n\n" +
         "cell scan must carry a literal PartitionFilters `cell IN (...)`" +
         " — unprobed cells are never read or listed\n\n```\n"
       sb ++= probe.queryExecution.explainString(
@@ -107,9 +107,10 @@ object Plans {
       probe.unpersist()
       spark.catalog.clearCache()
     }
-    // IVF-PQ probe: the composed index's double pruning claim — cell
-    // partition filter AND a codes-only ReadSchema on the ADC scan
-    // (the vector column is read only by the shortlist re-rank)
+    // IVF-PQ probe (exhaustive config oracle-checked as q73): the
+    // composed index's double pruning claim — cell partition filter
+    // AND a codes-only ReadSchema on the ADC scan (the vector column
+    // is read only by the shortlist re-rank)
     locally {
       val emb = Tables.read(spark, sfDir, "embeddings")
       val idx = Tables.scratch(sfDir, "plans_ivfpq")
@@ -118,7 +119,7 @@ object Plans {
       val probe = graft.llm.Similarity.probeIvfPqIndex(
         idx, emb.limit(3), "vec_id", "embedding", k = 5, nprobe = 2,
         shortlist = 20)
-      sb ++= "\n## ivf_pq_index_probe (spec-only operator)\n\n" +
+      sb ++= "\n## ivf_pq_index_probe (pruned config of q73)\n\n" +
         "probed-cells partition filter plus codes-only column pruning " +
         "on the ADC scan; raw vectors touched only by the re-rank\n\n```\n"
       sb ++= probe.queryExecution.explainString(

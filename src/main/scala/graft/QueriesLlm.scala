@@ -561,6 +561,64 @@ object QueriesLlm {
       .orderBy("label")
   }
 
+  /** q71 — persisted IVF index through its full lifecycle: build over
+    * vec_id < 400, fold [400, 495) in via a tagged append, probe with
+    * the last five vectors at nprobe == nlist. Exhaustive probing
+    * must be indistinguishable from brute force over build ∪ append —
+    * which is exactly what the oracle computes (q34's SQL); the
+    * pruned (nprobe < nlist) configuration's cell-scan plan and
+    * recall are spec-pinned.
+    */
+  def q71IvfIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val idx = Tables.scratch(dir, "q71_idx")
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", idx, nlist = 8)
+    Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") >= 400 && col("vec_id") < 495),
+      "vec_id", "embedding", idx, "day1")
+    Similarity.probeIvfIndex(idx, emb.filter(col("vec_id") >= 495),
+        "vec_id", "embedding", k = 10, nprobe = 8)
+      .select(col("qid"), col("rnk"), col("cid"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** q72 — exact BPE token counts under a FIXED merge list
+    * (("e","r"), ("t","h"), ("th","e") — all frequent in the corpus,
+    * the third merging a produced symbol). The oracle replays
+    * segmentation in SQL: each merge rule becomes a
+    * `replace(pair → placeholder char)`, and SQL replace's
+    * left-to-right non-overlapping scan is exactly `applyMerge`'s;
+    * uppercase placeholders cannot collide with lowercased text.
+    * Final token count = string length after the chain.
+    */
+  def q72BpeTokenCount(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Bpe.bpeTokenCount(t(spark, dir, "documents"),
+        "doc_id", "text", Seq(("e", "r"), ("t", "h"), ("th", "e")))
+      .select(col("id").as("doc_id"), col("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** q73 — persisted IVF-PQ probe at nprobe == nlist with shortlist ≥
+    * |corpus|: every row reaches the exact re-rank, so the result is
+    * bit-identical to brute force (the documented contract) and the
+    * plain cosine top-k oracle applies even though the PQ codebooks
+    * themselves aren't SQL-expressible — they only decide what gets
+    * PRUNED, and here nothing is. The pruned configuration's recall
+    * is spec-pinned (LlmSpec).
+    */
+  def q73IvfPqIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val idx = Tables.scratch(dir, "q73_idx")
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 495),
+      "vec_id", "embedding", idx, nlist = 8, m = 8, ncodes = 16)
+    Similarity.probeIvfPqIndex(idx, emb.filter(col("vec_id") >= 495),
+        "vec_id", "embedding", k = 10, nprobe = 8, shortlist = 500)
+      .select(col("qid"), col("rnk"), col("cid"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rnk")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -595,7 +653,10 @@ object QueriesLlm {
     "q67_curation_pipeline" -> (q67CurationPipeline _),
     "q68_unigram_logprob" -> (q68UnigramLogprob _),
     "q69_top_quality_per_group" -> (q69TopQualityPerGroup _),
-    "q70_length_quantiles" -> (q70LengthQuantiles _))
+    "q70_length_quantiles" -> (q70LengthQuantiles _),
+    "q71_ivf_index_probe" -> (q71IvfIndexProbe _),
+    "q72_bpe_token_count" -> (q72BpeTokenCount _),
+    "q73_ivfpq_index_probe" -> (q73IvfPqIndexProbe _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -1274,5 +1335,48 @@ object QueriesLlm {
          SELECT label, count(*) AS n,
                 round(avg(err), 6) AS avg_max_err,
                 round(max(err), 6) AS worst_err
-         FROM errs GROUP BY 1 ORDER BY 1""")
+         FROM errs GROUP BY 1 ORDER BY 1""",
+    // q71/q73: exhaustive probing of a persisted index equals brute
+    // force over the full corpus — same SQL as q34 by design
+    "q71_ivf_index_probe" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                    FROM embeddings WHERE vec_id >= 495),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+               FROM embeddings WHERE vec_id < 495),
+         s AS (SELECT qid, cid, list_cosine_similarity(qe, ce) AS sim
+               FROM q CROSS JOIN c),
+         r AS (SELECT qid, cid, sim,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, cid ASC) AS rnk
+               FROM s)
+         SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 4) AS sim
+         FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    // q72: each merge rule is a replace(pair -> placeholder); SQL
+    // replace's left-to-right non-overlapping scan IS applyMerge's,
+    // and uppercase placeholders cannot occur in lowercased text
+    "q72_bpe_token_count" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(lower(text)), '\s+'))
+                    AS wd
+           FROM documents),
+         s AS (SELECT doc_id,
+                      replace(replace(replace(wd, 'er', 'A'),
+                        'th', 'B'), 'Be', 'C') AS w2
+               FROM w)
+         SELECT doc_id, CAST(sum(length(w2)) AS BIGINT) AS n_bpe_tokens
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
+    "q73_ivfpq_index_probe" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                    FROM embeddings WHERE vec_id >= 495),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+               FROM embeddings WHERE vec_id < 495),
+         s AS (SELECT qid, cid, list_cosine_similarity(qe, ce) AS sim
+               FROM q CROSS JOIN c),
+         r AS (SELECT qid, cid, sim,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, cid ASC) AS rnk
+               FROM s)
+         SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 4) AS sim
+         FROM r WHERE rnk <= 10 ORDER BY qid, rnk""")
 }
