@@ -71,6 +71,11 @@ private class StageMetricsListener extends SparkListener {
   *     query): q53 times index build + probe together, so this times
   *     the probe against a pre-built index — the cost that actually
   *     recurs per ingest batch;
+  *   - "flood_dedup_guard" is a bench-only extra: minhash dedup over
+  *     the corpus plus a 3000×-replicated boilerplate doc with the
+  *     degenerate-bucket guard on — the mass-duplication resilience
+  *     the composed pipelines now default to; excluded (like
+  *     q53_probe_only) from the headline total;
   *   - the JSON line is printed to stdout AND written to
   *     $SPARK_GRAFT_BENCH_OUT (default bench_out.json) so the driver
   *     doesn't have to fish it out of the sbt log tail.
@@ -100,6 +105,27 @@ object Bench {
       "doc_id", "text", Tables.scratch(dir, "q53b_idx"))
   }
 
+  /** Bench-only flood extra: the corpus plus ONE boilerplate doc
+    * replicated 3000× — the mass-duplication case that kills LSH dedup
+    * jobs. With `maxBandBucket = 1000` the oversized band buckets emit
+    * linear min-id stars, so the run completes in near-clean-corpus
+    * time; uncapped, the same corpus puts ~1.4e8 rows through the band
+    * self-join and ~4.5e6 all-above-threshold pairs through the exact
+    * verify (measured once in BENCHNOTES.md — the quadratic slope, not
+    * a timing worth repeating every round).
+    */
+  private def floodGuard(spark: SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.read(spark, dir, "documents")
+      .select(F.col("doc_id").cast("long").as("doc_id"), F.col("text"))
+    val boiler = docs.orderBy("doc_id").limit(1)
+      .select("text").head().getString(0)
+    val corpus = docs.unionByName(spark.range(3000).select(
+      (F.col("id") + 1000000L).as("doc_id"), F.lit(boiler).as("text")))
+    graft.llm.Dedup.minhashNearDups(corpus, "doc_id", "text",
+      threshold = 0.8, minBandMatches = 3, maxBandBucket = 1000)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -123,7 +149,9 @@ object Bench {
 
     setupProbeIndex(spark, warmDir)
     setupProbeIndex(spark, sfDir)
-    val queries = SparkEntry.queries + ("q53_probe_only" -> (probeOnly _))
+    val queries = SparkEntry.queries +
+      ("q53_probe_only" -> (probeOnly _)) +
+      ("flood_dedup_guard" -> (floodGuard _))
 
     // warmup (untimed, small scale; no job group → excluded from metrics)
     queries.foreach { case (_, fn) =>
@@ -165,7 +193,8 @@ object Bench {
     // bench-only extras stay out of the headline total so it remains
     // comparable round-over-round with the CORRECTNESS query set
     val total = results.collect {
-      case (k, v) if v >= 0 && k != "q53_probe_only" => v
+      case (k, v) if v >= 0 && k != "q53_probe_only" &&
+        k != "flood_dedup_guard" => v
     }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def r3(x: Double): Double = math.rint(x * 1000) / 1000

@@ -157,6 +157,14 @@ object Streaming {
     * growing index. The gate MUST be deterministic (a pure
     * filter/projection of the batch), or batch replay would land a
     * different survivor set and break effectively-once.
+    *
+    * `maxBandBucket`: the within-batch self-pairing inherits
+    * `minhashNearDups`' degenerate-bucket guard, ON by default here
+    * (10k) because an ingest pipe is exactly where a boilerplate
+    * flood arrives unsupervised — a batch of near-identical docs
+    * would otherwise cost a quadratic band self-join. On clean
+    * batches the cap changes nothing (StreamingSpec's equivalence
+    * cases hold with it on); set 0 to disable.
     */
   def dedupIngestStream(stream: DataFrame, idCol: String,
                         textCol: String, indexPath: String,
@@ -166,7 +174,8 @@ object Streaming {
                         minBandMatches: Int = 1,
                         dedupWithinBatch: Boolean = false,
                         updateIndex: Boolean = false,
-                        qualityGate: Option[DataFrame => DataFrame] = None)
+                        qualityGate: Option[DataFrame => DataFrame] = None,
+                        maxBandBucket: Int = 10000)
       : StreamingQuery =
     stream.writeStream
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
@@ -201,7 +210,8 @@ object Streaming {
           else {
             val pairs = graft.llm.Dedup.minhashNearDups(
               survivors, idCol, textCol,
-              threshold = threshold, minBandMatches = minBandMatches)
+              threshold = threshold, minBandMatches = minBandMatches,
+              maxBandBucket = maxBandBucket)
             // dedupNearDups' cluster labels materialize eagerly
             // (dupClusters is iterative), so pairs is only read
             // during the call; released right after the write
