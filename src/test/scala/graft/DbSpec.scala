@@ -42,6 +42,27 @@ class DbSpec extends SparkSpec {
     assert(df.agg(sum("n")).head.getLong(0) == cust.count())
   }
 
+  test("partitioned JDBC read produces numPartitions splits with identical rows") {
+    val cust = Tables.read(spark, sf, "customer")
+    Db.toSql(cust, "customer_part", derby, mode = "overwrite",
+      columnTypes = Some(custTypes))
+    val whole = Db.readSqlTable(spark, "customer_part", derby)
+    // the reference's chunksize becomes Spark's bounded partitioned
+    // read: each of the 4 partitions issues its own bounded query —
+    // the parallel-scan path a real warehouse extract rides
+    val parts = Db.readSqlTable(spark, "customer_part", derby,
+      options = Map(
+        "partitionColumn" -> "c_custkey",
+        "lowerBound" -> "0",
+        "upperBound" -> cust.count().toString,
+        "numPartitions" -> "4"))
+    assert(parts.rdd.getNumPartitions == 4,
+      s"expected 4 JDBC partitions, got ${parts.rdd.getNumPartitions}")
+    val a = whole.orderBy("c_custkey").collect().toSeq
+    val b = parts.orderBy("c_custkey").collect().toSeq
+    assert(a == b, "partitioned read must return identical rows")
+  }
+
   test("upsert replaces matching primary keys and inserts new rows") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("id", "name", "v")
