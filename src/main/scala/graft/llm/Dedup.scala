@@ -593,6 +593,15 @@ object Dedup {
     * adversarial corpora (a corpus of identical docs degrades to the
     * true duplicate mass — which IS the output size).
     *
+    * Sizing `n` (measured, SCALING.md round 5): prefix filtering is
+    * linear only while the gram space stays ≫ the corpus' gram mass.
+    * A closed/templated vocabulary saturates small-n gram spaces —
+    * on a 31-word corpus, n=3 (≤ 31³ distinct grams) went quadratic
+    * at 50k docs while n=5 over the same corpora stayed linear
+    * (9.8× shuffle for 10× data). Open-vocabulary web text at n ≥ 5
+    * is safely unsaturated; for templated corpora raise n or use
+    * `minhashNearDups` (signatures don't saturate).
+    *
     * Floating-point guard: prefix/size cutoffs use t·|d| − 1e-9
     * before ⌈·⌉ so a double rounding error can only LENGTHEN a prefix
     * (costing a candidate, never a miss).

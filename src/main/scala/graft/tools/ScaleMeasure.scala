@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd}
+
+import scala.collection.concurrent.TrieMap
+
+import graft.{GraftSession, SparkEntry}
+
+/** Scaling-decade measurement harness (SCALING.md's data source for
+  * the sf1 decade): times the six dedup heavies at one scale dir with
+  * per-query stage metrics, Bench's methodology (noop write action,
+  * interleaved reps, job-group-keyed listener) without requiring the
+  * non-documents tables the full bench needs.
+  *
+  * Usage: runMain graft.tools.ScaleMeasure <sfDir> [reps]
+  */
+object ScaleMeasure {
+
+  private val Heavies = Seq(
+    "q31_dedup_minhash", "q52_dedup_clusters", "q53_dedup_incremental",
+    "q55_dedup_jaccard", "q57_leakage_split", "q65_remove_spans")
+
+  /** Diagnostic extras, selectable via the 3rd arg: q55 at n=5 pins
+    * the gram-space-saturation explanation for q55's sf1 ratio (31³
+    * possible 3-grams saturate at 50k docs; 31⁵ does not).
+    */
+  private val Extras: Map[String,
+      (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+    "q55_n5" -> ((s, dir) =>
+      graft.llm.Dedup.ngramJaccardNearDups(
+        graft.Tables.read(s, dir, "documents"), "doc_id", "text",
+        n = 5, threshold = 0.5)))
+
+  private class Listener extends SparkListener {
+    private val stageGroup = TrieMap[Int, String]()
+    val agg = TrieMap[String, Array[Long]]() // shuffleR, shuffleW, taskMs, tasks
+
+    override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+      for {
+        props <- Option(e.properties)
+        g <- Option(props.getProperty("spark.jobGroup.id"))
+      } stageGroup.put(e.stageInfo.stageId, g)
+
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+      for {
+        g <- stageGroup.get(e.stageId)
+        m <- Option(e.taskMetrics)
+      } {
+        val a = agg.getOrElseUpdate(g, Array.fill(4)(0L))
+        a.synchronized {
+          a(0) += m.shuffleReadMetrics.totalBytesRead
+          a(1) += m.shuffleWriteMetrics.bytesWritten
+          a(2) += m.executorRunTime
+          a(3) += 1
+        }
+      }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/target/graft-sf1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val names = args.lift(2).map(_.split(",").toSeq).getOrElse(Heavies)
+    val spark = GraftSession.builder("graft-scale", "local[32]")
+      .config("spark.sql.shuffle.partitions", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.applyEngineConf(spark)
+    val sc = spark.sparkContext
+    val listener = new Listener
+    sc.addSparkListener(listener)
+
+    val timings = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    // one untimed warmup pass, then interleaved timed reps
+    for (rep <- 0 to reps; name <- names) {
+      val fn = Extras.getOrElse(name, SparkEntry.queries(name))
+      if (rep > 0) sc.setJobGroup(name, s"scale $name")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        if (rep > 0) timings(name) ::= (System.nanoTime() - t0) / 1e9
+      } finally {
+        spark.catalog.clearCache()
+        if (rep > 0) sc.clearJobGroup()
+      }
+    }
+    Thread.sleep(2000)
+    def median(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
+    println(f"## $sfDir reps=$reps")
+    println("query | wall_median_s | shuffle_mb_per_rep | task_sec_per_rep | tasks_per_rep")
+    names.foreach { name =>
+      val ts = timings(name)
+      val a = listener.agg.getOrElse(name, Array.fill(4)(0L))
+      val n = math.max(ts.size, 1)
+      println(f"$name | ${median(ts)}%.2f | " +
+        f"${(a(0) + a(1)) / n / 1e6}%.2f | ${a(2) / n / 1e3}%.1f | ${a(3) / n}")
+    }
+    spark.stop()
+  }
+}
