@@ -158,6 +158,18 @@ class CatalogSpec extends SparkSpec {
       .contains("orders snapshot"))
   }
 
+  test("QuickSight column extraction reads ordered athena types") {
+    import graft.qs.QuickSight
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`qs_cols` " +
+      "(id BIGINT, body STRING, score DOUBLE) USING parquet")
+    assert(QuickSight.extractTableColumns(spark, db, "qs_cols") == Seq(
+      "id" -> "bigint", "body" -> "string", "score" -> "double"))
+    // query path: the analyzer answers schema without executing
+    assert(QuickSight.extractQueryColumns(spark,
+      "SELECT 1 AS one, CAST('2020-01-01' AS DATE) AS d") ==
+      Seq("one" -> "int", "d" -> "date"))
+  }
+
   test("projection parameters build the Athena property map") {
     val props = Catalog.buildProjectionParameters(
       types = Map("dt" -> "date", "region" -> "enum"),

@@ -61,6 +61,107 @@ class EmrSpec extends AnyFunSuite {
     assert(Emr.getStepState(client, "j-123", id) == "COMPLETED")
   }
 
+  private class FakeCluster extends Emr.ClusterClient {
+    var ran: Seq[Map[String, Any]] = Nil
+    var terminated: Seq[String] = Nil
+    def runJobFlow(args: Map[String, Any]): String = {
+      ran :+= args; s"j-${ran.size}"
+    }
+    def clusterState(clusterId: String): String = "WAITING"
+    def terminateJobFlows(ids: Seq[String]): Unit = terminated ++= ids
+  }
+
+  // navigate the untyped RunJobFlow arg tree in assertions
+  private def sub(m: Any, key: String): Any =
+    m.asInstanceOf[Map[String, Any]](key)
+  private def seqOf(m: Any, key: String): Seq[Map[String, Any]] =
+    sub(m, key).asInstanceOf[Seq[Map[String, Any]]]
+
+  test("buildClusterArgs assembles fleets, configurations, and defaults") {
+    val cfg = Emr.ClusterConfig(subnetId = "subnet-1",
+      core = Emr.FleetConfig(numSpot = 4, numOnDemand = 1),
+      applications = Seq("Hadoop", "Spark"),
+      sparkPyarrow = true,
+      tags = Map("team" -> "data"))
+    val args = Emr.buildClusterArgs(cfg, accountId = "111122223333")
+
+    assert(sub(args, "LogUri") ==
+      "s3://aws-logs-111122223333-us-east-1/elasticmapreduce/")
+    assert(sub(args, "ReleaseLabel") == "emr-6.0.0")
+    val inst = sub(args, "Instances")
+    assert(sub(inst, "Ec2SubnetId") == "subnet-1")
+    val fleets = seqOf(inst, "InstanceFleets")
+    // task fleet has zero capacity → only MASTER + CORE materialize
+    assert(fleets.map(_("Name")) == Seq("MASTER", "CORE"))
+    val core = fleets.find(_("Name") == "CORE").get
+    assert(core("TargetSpotCapacity") == 4)
+    // spot capacity present → launch spec with the on-demand fallback
+    val spot = sub(sub(core, "LaunchSpecifications"), "SpotSpecification")
+    assert(sub(spot, "TimeoutAction") == "SWITCH_TO_ON_DEMAND")
+    // master is all on-demand → no launch spec at all
+    assert(!fleets.head.contains("LaunchSpecifications"))
+
+    val classifications =
+      seqOf(args, "Configurations").map(_("Classification"))
+    // pyarrow flips on spark-defaults + the three env exports
+    assert(classifications.contains("spark-defaults"))
+    assert(Seq("spark-env", "yarn-env", "livy-env")
+      .forall(classifications.contains))
+    // glue catalog trio defaults on
+    assert(Seq("spark-hive-site", "hive-site", "presto-connector-hive")
+      .forall(classifications.contains))
+    assert(seqOf(args, "Applications").map(_("Name")) ==
+      Seq("Hadoop", "Spark"))
+    assert(seqOf(args, "Tags").head ==
+      Map("Key" -> "team", "Value" -> "data"))
+    // debugging defaults on → the state-pusher step is queued
+    val steps = sub(args, "Steps").asInstanceOf[Seq[Emr.Step]]
+    assert(steps.map(_.name) == Seq("Setup Hadoop Debugging"))
+  }
+
+  test("buildClusterArgs docker registries honor extraPublicRegistries") {
+    val cfg = Emr.ClusterConfig(subnetId = "s", docker = true,
+      extraPublicRegistries = Seq("quay.io"), region = "eu-west-1",
+      debugging = false)
+    val args = Emr.buildClusterArgs(cfg, "999")
+    val ce = seqOf(args, "Configurations")
+      .find(_("Classification") == "container-executor").get
+    val dockerProps = sub(seqOf(ce, "Configurations").head, "Properties")
+    assert(sub(dockerProps, "docker.trusted.registries") ==
+      "local,centos,999.dkr.ecr.eu-west-1.amazonaws.com,quay.io")
+    assert(!args.contains("Steps")) // debugging off, no steps
+    intercept[InvalidArgumentValue] {
+      Emr.buildClusterArgs(Emr.ClusterConfig(subnetId = "s",
+        master = Emr.FleetConfig(numOnDemand = 0)), "999")
+    }
+  }
+
+  test("cluster lifecycle routes through the injected client") {
+    val client = new FakeCluster
+    val id = Emr.createCluster(client,
+      Emr.ClusterConfig(subnetId = "subnet-9"), "123456789012")
+    assert(id == "j-1")
+    assert(Emr.getClusterState(client, id) == "WAITING")
+    Emr.terminateCluster(client, id)
+    assert(client.terminated == Seq("j-1"))
+  }
+
+  test("submitEcrCredentialsRefresh stages the script then submits the step") {
+    val client = new FakeEmr
+    var staged: Seq[(String, String)] = Nil
+    val stepId = Emr.submitEcrCredentialsRefresh(client, "j-7",
+      "s3://bucket/emr/", (p, body) => staged :+= (p -> body),
+      region = "us-west-2")
+    assert(staged.map(_._1) ==
+      Seq("s3://bucket/emr/ecr_credentials_refresh.py"))
+    assert(staged.head._2.contains("aws ecr get-login --region us-west-2"))
+    assert(stepId.startsWith("s-"))
+    val step = client.submitted.head._2
+    assert(step.name == "ECR Credentials Refresh")
+    assert(step.args.take(3) ==
+      Seq("spark-submit", "--deploy-mode", "cluster"))
+  }
+
   test("getBucketRegion maps null LocationConstraint to us-east-1") {
     val client = new FsOps.BucketClient {
       def bucketLocation(bucket: String): String =
