@@ -74,7 +74,20 @@ object Plans {
       "q69_top_quality_per_group" ->
         ("top-k per group: two-phase rank — local per (group, input " +
           "partition) then global over ≤ k·P survivors; no group ever " +
-          "streams whole through one window task"))
+          "streams whole through one window task"),
+      "q74_remove_dup_lines" ->
+        ("duplicated-line removal: line rows hashed once, " +
+          "distinct-doc count filtered to the duplicated mass " +
+          "(broadcast when it fits), one anti-join, per-document " +
+          "reassembly — no windows, no position explode"),
+      "q75_tfidf_top_terms" ->
+        ("tf-idf keywords: per-(doc, term-hash) counts with map-side " +
+          "combine, vocabulary df aggregate joined back (broadcast " +
+          "when it fits), 1-row N broadcast, two-phase top-k rank"),
+      "q76_source_affinity" ->
+        ("source centroids: posexplode → partial-aggregated " +
+          "(group, dim) means — one linear shuffle; the pair stage " +
+          "runs on the groups×dims centroid table only"))
 
     val sb = new StringBuilder
     sb ++= s"# PLANS — formatted physical plans at $sfDir\n\n"

@@ -623,6 +623,56 @@ object QueriesLlm {
       .orderBy("qid", "rnk")
   }
 
+  /** q74 — duplicated-LINE removal (boilerplate filter). The corpus
+    * has no newlines, so line structure is synthesized DETERMINISTI-
+    * CALLY on both sides: every ` the ` becomes a newline (plain
+    * non-overlapping left-to-right replace in both engines), and the
+    * first 100 docs are re-keyed copies — their lines are exact
+    * duplicates and must vanish, plus whatever shorter segments
+    * recur naturally across the random tail.
+    */
+  def q74RemoveDupLines(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .select(col("doc_id"),
+        regexp_replace(col("text"), " the ", "\n").as("text"))
+    Dedup.removeDuplicatedLines(corpus, "doc_id", "text",
+        sep = "\n", minDocs = 2)
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_removed"),
+        col("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  /** q75 — TF-IDF top-3 keywords per document (smoothed sklearn idf),
+    * ranked by (score desc, term asc) — a total order, so the two-
+    * phase rank is deterministic and the oracle's row_number replays
+    * it exactly.
+    */
+  def q75TfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(t(spark, dir, "documents"),
+        "doc_id", "text", k = 3)
+      .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("score"), col("rk"))
+      .orderBy("doc_id", "rk")
+
+  /** q76 — source-affinity map: per-source embedding centroids,
+    * pairwise cosine between all 190 source pairs. The float means
+    * accumulate in double on both sides; rounding at 6 absorbs
+    * summation-order ulps.
+    */
+  def q76SourceAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val docs = t(spark, dir, "documents").select(
+      col("doc_id"), col("source"))
+    val joined = emb.join(docs, emb("vec_id") === docs("doc_id"))
+    Similarity.groupCentroidAffinity(joined, "source", "embedding")
+      .select(col("group_a"), col("group_b"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("group_a", "group_b")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -660,7 +710,10 @@ object QueriesLlm {
     "q70_length_quantiles" -> (q70LengthQuantiles _),
     "q71_ivf_index_probe" -> (q71IvfIndexProbe _),
     "q72_bpe_token_count" -> (q72BpeTokenCount _),
-    "q73_ivfpq_index_probe" -> (q73IvfPqIndexProbe _))
+    "q73_ivfpq_index_probe" -> (q73IvfPqIndexProbe _),
+    "q74_remove_dup_lines" -> (q74RemoveDupLines _),
+    "q75_tfidf_top_terms" -> (q75TfidfTopTerms _),
+    "q76_source_affinity" -> (q76SourceAffinity _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -1382,5 +1435,75 @@ object QueriesLlm {
                         ORDER BY sim DESC, cid ASC) AS rnk
                FROM s)
          SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 4) AS sim
-         FROM r WHERE rnk <= 10 ORDER BY qid, rnk""")
+         FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    // q74: duplicated-line removal — line synthesis (replace is the
+    // same non-overlapping left-to-right scan as regexp_replace),
+    // distinct-doc frequency, anti-join, order-preserving reassembly
+    "q74_remove_dup_lines" ->
+      """WITH corpus AS (
+           SELECT doc_id, replace(text, ' the ', chr(10)) AS text
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, replace(text, ' the ', chr(10))
+           FROM documents WHERE doc_id < 100),
+         la AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM corpus),
+         ln AS (SELECT doc_id, i AS p, ls[i] AS line
+                FROM (SELECT doc_id, ls,
+                        unnest(generate_series(1, len(ls))) AS i
+                      FROM la)),
+         dup AS (SELECT line FROM (
+                   SELECT line, count(DISTINCT doc_id) AS nd FROM ln
+                   WHERE length(trim(line)) >= 1 GROUP BY 1)
+                 WHERE nd >= 2),
+         kept AS (SELECT ln.doc_id, ln.p, ln.line FROM ln
+                  ANTI JOIN dup ON ln.line = dup.line),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY p) AS text_clean
+                 FROM kept GROUP BY 1)
+         SELECT la.doc_id, CAST(len(la.ls) AS BIGINT) AS n_lines,
+                CAST(len(la.ls) - coalesce(agg.n_kept, 0) AS BIGINT)
+                  AS n_removed,
+                coalesce(agg.text_clean, '') AS text_clean
+         FROM la LEFT JOIN agg USING (doc_id) ORDER BY la.doc_id""",
+    // q75: tf / df / N are integers, ln is the one float op; the rank
+    // order (score desc, term asc) is total on both sides
+    "q75_tfidf_top_terms" ->
+      """WITH d AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+         tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM tok GROUP BY 1, 2),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                 FROM tok GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM d),
+         s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                 tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0)
+                   AS score
+               FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term) AS rk FROM s)
+         SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                CAST(df AS BIGINT) AS df, round(score, 6) AS score,
+                CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // q76: centroids are per-(source, dim) double means; pairwise
+    // cosine over the 20-source centroid table
+    "q76_source_affinity" ->
+      """WITH e AS (SELECT d.source AS grp, em.embedding AS v
+                    FROM embeddings em
+                    JOIN documents d ON em.vec_id = d.doc_id),
+         x AS (SELECT grp, i AS dim, CAST(v[i] AS DOUBLE) AS val
+               FROM (SELECT grp, v,
+                       unnest(generate_series(1, len(v))) AS i FROM e)),
+         c AS (SELECT grp, dim, avg(val) AS c FROM x GROUP BY 1, 2),
+         p AS (SELECT a.grp AS group_a, b.grp AS group_b,
+                 sum(a.c * b.c) AS dot, sum(a.c * a.c) AS na,
+                 sum(b.c * b.c) AS nb
+               FROM c a JOIN c b USING (dim) WHERE a.grp < b.grp
+               GROUP BY 1, 2)
+         SELECT group_a, group_b, round(dot / sqrt(na * nb), 6)
+           AS cosine
+         FROM p ORDER BY 1, 2""")
 }

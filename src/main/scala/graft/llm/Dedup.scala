@@ -1001,6 +1001,71 @@ object Dedup {
         coalesce(col("__text"), lit("")).as("text_clean"))
   }
 
+  /** Cross-document duplicated-LINE removal — the RefinedWeb /
+    * CCNet-style boilerplate filter: any line (a `sep`-delimited
+    * segment, kept verbatim) that appears in at least `minDocs`
+    * DISTINCT documents is deleted from every document, and the
+    * survivors are rejoined with `sep` in their original order. This
+    * is the natural-granularity sibling of [[removeDuplicatedSpans]]:
+    * spans catch re-flowed text at word level; lines catch the
+    * overwhelmingly common case — navigation chrome, cookie banners,
+    * license headers — at a fraction of the cost (one row per line,
+    * not per token, and no position-coverage explode).
+    *
+    * Matching is EXACT on the line text (no normalization — mirrored
+    * by the SQL oracle); whitespace-only lines are structural, never
+    * counted and never removed.
+    *
+    * Scale shape: one posexplode to (id, pos, line) rows, a
+    * partial-aggregated distinct-document count keyed by line hash
+    * FILTERED to lines meeting `minDocs` — the anti-join's build side
+    * is the duplicated mass only (AQE broadcasts it when it fits) —
+    * and a per-document reassembly bounded by one document's lines.
+    * Hashing (xxhash64) keeps the count/join shuffles fixed-width;
+    * the raw line text never shuffles twice. No windows, no driver
+    * state.
+    *
+    * @return (id, n_lines, n_removed, text_clean) — one row per input
+    *   document, `text_clean` empty when every line was boilerplate
+    */
+  def removeDuplicatedLines(df: DataFrame, idCol: String,
+                            textCol: String, sep: String = "\n",
+                            minDocs: Int = 2): DataFrame = {
+    if (sep.isEmpty)
+      throw InvalidArgumentValue("sep must be non-empty")
+    if (minDocs < 2)
+      throw InvalidArgumentValue(
+        s"minDocs must be >= 2 (a line always appears in its own " +
+          s"document), got $minDocs")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      split(col(textCol), java.util.regex.Pattern.quote(sep), -1)
+        .as("ls"))
+    val lines = base.select(col("id"),
+        posexplode(col("ls")).as(Seq("pos0", "line")))
+      .select(col("id"), (col("pos0") + 1).as("pos"), col("line"),
+        xxhash64(col("line")).as("h"))
+    val dupLines = lines.filter(trim(col("line")) =!= "")
+      .select("id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("h")
+    val kept = lines.join(dupLines, Seq("h"), "left_anti")
+    val rejoined = kept.groupBy("id")
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos").as("p"),
+              col("line").as("l")))),
+            x => x.getField("l")),
+          sep).as("__text"))
+    base.select(col("id"), size(col("ls")).cast("long").as("n_lines"))
+      .join(rejoined, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("__text"), lit("")).as("text_clean"))
+  }
+
   /** Dedup-aware train/eval split: assigns each near-duplicate
     * CLUSTER — not each document — to a split, so no near-dup pair
     * ever straddles train and eval (per-document random splitting

@@ -368,6 +368,44 @@ object Similarity {
   def dequantize(qvec: Column, scale: Column): Column =
     transform(qvec, x => x.cast("double") * scale)
 
+  /** Per-group embedding centroids and pairwise centroid cosine — the
+    * "source affinity map" of a mixture designer: which sources carry
+    * near-identical content (merge or dedup them), which are outliers
+    * (inspect before upweighting). One row per unordered group pair.
+    *
+    * Scale shape: one posexplode to (group, dim, value) rows, a
+    * partial-aggregated mean per (group, dim) — the only full-data
+    * shuffle, linear in corpus size — then a self-join of the tiny
+    * centroid table (groups × dims rows) on dim and a per-pair
+    * reduction. Group count is dashboard-scale by nature (sources,
+    * languages, shards), so the pair stage never grows with the
+    * corpus. Zero-norm centroids yield null cosine (no NaN through
+    * the gate).
+    *
+    * @return (group_a, group_b, cosine), group_a < group_b
+    */
+  def groupCentroidAffinity(df: DataFrame, groupCol: String,
+                            vecCol: String): DataFrame = {
+    val cent = df.select(col(groupCol).cast("string").as("grp"),
+        posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("dim", "v")))
+      .groupBy("grp", "dim").agg(avg(col("v")).as("c"))
+    val a = cent.select(col("grp").as("group_a"), col("dim"),
+      col("c").as("ca"))
+    val b = cent.select(col("grp").as("group_b"), col("dim"),
+      col("c").as("cb"))
+    a.join(b, Seq("dim"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(sum(col("ca") * col("cb")).as("__dot"),
+        sum(col("ca") * col("ca")).as("__na"),
+        sum(col("cb") * col("cb")).as("__nb"))
+      .select(col("group_a"), col("group_b"),
+        when(col("__na") > 0 && col("__nb") > 0,
+          col("__dot") / sqrt(col("__na") * col("__nb")))
+          .as("cosine"))
+  }
+
   /** L2-normalize (id, vec) rows with a compiled kernel; zero vectors
     * pass through as zeros (their cosine is undefined — the exact
     * scorer yields NaN for them and `topK` filters it, matching

@@ -469,6 +469,56 @@ object TextAnalysis {
     out
   }
 
+  /** TF-IDF top terms per document — the classic keyword extractor,
+    * used in a curation pipeline for topic tagging, per-source drift
+    * dashboards, and cheap relevance filtering. Smoothed sklearn-style
+    * idf = ln((N+1)/(df+1)) + 1 (never zero, never divides by zero),
+    * score = tf · idf over `\s+` tokens of the trimmed lowercase text.
+    * Fully SQL-replayable — tf, df, and N are integers and the only
+    * float is the final product.
+    *
+    * Scale shape: one explode → per-(doc, term) count (partial
+    * aggregation does the map-side combine), a vocabulary-sized
+    * document-frequency aggregate joined back on the hashed term (AQE
+    * broadcasts it when it fits), a broadcast 1-row corpus count, and
+    * `Relational.topKPerGroup`'s two-phase rank — no single-partition
+    * global window at any point. The raw term string rides along only
+    * for the output; every shuffle key is a fixed-width long.
+    *
+    * @return (id, term, tf, df, score, rk) — `rk` 1..k by
+    *   (score desc, term asc), a total order
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, minDf: Int = 1): DataFrame = {
+    if (k <= 0)
+      throw graft.exceptions.InvalidArgumentValue(
+        s"k must be positive, got $k")
+    if (minDf < 1)
+      throw graft.exceptions.InvalidArgumentValue(
+        s"minDf must be >= 1, got $minDf")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .withColumn("g", xxhash64(col("term")))
+    // min, not first: term is functionally determined by its hash, and
+    // min is partial-aggregatable in hash mode (first forces a
+    // SortAggregate + extra sort)
+    val tf = toks.groupBy("id", "g")
+      .agg(min(col("term")).as("term"), count(lit(1)).as("tf"))
+    val dfreq = toks.select("id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val nDocs = df.select(col(idCol)).agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "g")
+      .crossJoin(broadcast(nDocs))
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        (col("tf") * (log((col("__n") + lit(1.0)) /
+          (col("df") + lit(1.0))) + lit(1.0))).as("score"))
+    graft.operators.Relational.topKPerGroup(scored, Seq("id"),
+        Seq(col("score").desc, col("term").asc), k)
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+
   /** Normalized content fingerprint: lowercase, strip every
     * non-alphanumeric character, md5. Catches duplicates that differ
     * only in case/whitespace/punctuation — the cheap complement to

@@ -1070,4 +1070,104 @@ class LlmSpec extends SparkSpec {
         minDocs = 1)
     }
   }
+
+  test("removeDuplicatedLines strips cross-doc boilerplate, keeps structure") {
+    val corpus = Seq(
+      (1L, "cookie banner\nunique one\ncookie banner"),
+      (2L, "cookie banner\nunique two"),
+      (3L, "   \nunique three\n   "), // whitespace-only lines stay
+      (4L, "cookie banner")           // all boilerplate → empty doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedLines(corpus, "doc_id", "text")
+      .orderBy("id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, "unique one"),
+      (2L, 2L, 1L, "unique two"),
+      (3L, 3L, 0L, "   \nunique three\n   "),
+      (4L, 1L, 1L, "")))
+    // multi-char separator round trip
+    val sep2 = Dedup.removeDuplicatedLines(
+        Seq((1L, "dup||keep a"), (2L, "dup||keep b"))
+          .toDF("doc_id", "text"), "doc_id", "text", sep = "||")
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(sep2 == Seq((1L, 2L, 1L, "keep a"), (2L, 2L, 1L, "keep b")))
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Dedup.removeDuplicatedLines(corpus, "doc_id", "text", minDocs = 1)
+    }
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Dedup.removeDuplicatedLines(corpus, "doc_id", "text", sep = "")
+    }
+  }
+
+  test("removeDuplicatedLines counts docs, not occurrences") {
+    // the dup line repeats 3x in ONE doc — distinct-doc count is 1,
+    // below minDocs=2, so nothing is removed
+    val corpus = Seq((1L, "x\nx\nx"), (2L, "y")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedLines(corpus, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 3L, 0L, "x\nx\nx"), (2L, 1L, 0L, "y")))
+  }
+
+  test("tfidfTopTerms equals the naive one-window formulation") {
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana cherry cherry date"),
+      (3L, "apple date date date egg"),
+      (4L, "fig fig fig grape apple")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .select("id", "term", "tf", "df", "score", "rk")
+      .orderBy("id", "rk")
+      .as[(Long, String, Long, Long, Double, Long)].collect().toSeq
+    // naive replica: explode, count, window rank — driver-side
+    val n = 4.0
+    val rows = Seq(1L -> "apple apple banana cherry",
+      2L -> "banana cherry cherry date",
+      3L -> "apple date date date egg",
+      4L -> "fig fig fig grape apple")
+    val toks = rows.flatMap { case (id, t) =>
+      t.split("\\s+").map(id -> _) }
+    val tf = toks.groupBy(identity).map { case ((id, w), xs) =>
+      (id, w, xs.size.toLong) }
+    val dfm = toks.distinct.groupBy(_._2).map { case (w, xs) =>
+      w -> xs.size.toLong }
+    val expect = tf.map { case (id, w, f) =>
+      (id, w, f, dfm(w),
+        f * (math.log((n + 1.0) / (dfm(w) + 1.0)) + 1.0)) }
+      .groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+        xs.toSeq.sortBy(x => (-x._5, x._2)).take(2).zipWithIndex
+          .map { case ((id, w, f, d, s), i) =>
+            (id, w, f, d, s, (i + 1).toLong) }
+      }.sortBy(x => (x._1, x._6))
+    assert(got.map(x => (x._1, x._2, x._3, x._4, x._6)) ==
+      expect.map(x => (x._1, x._2, x._3, x._4, x._6)))
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._5 - e._5) < 1e-12) }
+    // minDf drops singletons entirely
+    val rare = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text",
+      k = 5, minDf = 2)
+    assert(!rare.select("term").as[String].collect().contains("egg"))
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 0)
+    }
+  }
+
+  test("groupCentroidAffinity: hand-checked cosines, zero-norm is null") {
+    val vecs = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("a", Seq(3.0f, 0.0f)), // centroid (2,0)
+      ("b", Seq(0.0f, 2.0f)),                         // centroid (0,2)
+      ("c", Seq(1.0f, 1.0f)),                         // centroid (1,1)
+      ("z", Seq(0.0f, 0.0f))                          // zero centroid
+    ).toDF("src", "vec")
+    val got = Similarity.groupCentroidAffinity(vecs, "src", "vec")
+      .orderBy("group_a", "group_b")
+      .as[(String, String, Option[Double])].collect().toSeq
+    val byPair = got.map(x => (x._1, x._2) -> x._3).toMap
+    assert(byPair(("a", "b")).get == 0.0)
+    assert(math.abs(byPair(("a", "c")).get - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(math.abs(byPair(("b", "c")).get - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(byPair(("a", "z")).isEmpty) // zero-norm → null, not NaN
+    assert(got.size == 6) // 4 groups → 6 unordered pairs
+  }
 }
