@@ -119,6 +119,19 @@ class CacheHygieneSpec extends SparkSpec {
     assert(leaked.isEmpty, s"index build leaked ${leaked.size} RDD(s)")
   }
 
+  test("round-5 operators leave no caches behind") {
+    assert(assertReleasesAll(Dedup.removeDuplicatedLines(
+      docs.select(col("doc_id"),
+        regexp_replace(col("text"), " the ", "\n").as("text")),
+      "doc_id", "text")) > 0)
+    assert(assertReleasesAll(graft.llm.TextAnalysis.tfidfTopTerms(
+      docs, "doc_id", "text", k = 3)) > 0)
+    assert(assertReleasesAll(Similarity.groupCentroidAffinity(
+      emb.join(docs.select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id")),
+      "source", "embedding")) > 0)
+  }
+
   test("trainBpeMerges leaves no caches behind") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
