@@ -937,4 +937,29 @@ object Similarity {
     banded.unpersist(blocking = false)
     result
   }
+
+  /** Semantic (embedding-level) dedup — the SemDeDup idea (Abbas et
+    * al. 2023: documents whose embeddings are near-identical are
+    * redundant even when their text n-grams differ): drop every row
+    * except one representative per transitively-closed group of
+    * cosine-≥-threshold neighbors. Candidate pairs come from
+    * [[cosineNearDups]] (hyperplane LSH + exact verify, never
+    * all-pairs); grouping and the keep-min-id rule are
+    * `Dedup.dedupNearDups`' pointer-jump clustering, so the
+    * representative choice is deterministic and re-derivable.
+    *
+    * Scale shape: exactly its two components' — banded LSH self-join
+    * plus O(log diameter) cluster rounds; the pair frame is released
+    * before returning (the clustering materializes eagerly).
+    *
+    * @return the surviving rows of `df`, schema unchanged
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, bands: Int = 32,
+                    planesPerBand: Int = 8, seed: Long = 7L): DataFrame = {
+    val pairs = cosineNearDups(df, idCol, vecCol, threshold, bands,
+      planesPerBand, seed)
+    try Dedup.dedupNearDups(df, idCol, pairs)
+    finally pairs.unpersist(blocking = false)
+  }
 }

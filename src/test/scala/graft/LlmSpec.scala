@@ -1153,6 +1153,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup keeps one representative per high-cosine group") {
+    val rnd = new scala.util.Random(11L)
+    val base = (0L until 10L).map(i =>
+      i -> Array.fill(16)(rnd.nextGaussian().toFloat))
+    // ids 10..14 are jittered copies of bases 0..4 → cosine ≈ 1
+    val jitter = (0L until 5L).map { i =>
+      (i + 10L) -> base(i.toInt)._2.map(x => x * 1.0001f + 1e-6f)
+    }
+    val df = (base ++ jitter).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    // each jitter clusters with its base; min id (the base) survives
+    assert(kept == (0L until 10L).toSet)
+    // schema passes through unchanged
+    assert(Similarity.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.999).columns.toSeq == Seq("vec_id", "embedding"))
+  }
+
   test("groupCentroidAffinity: hand-checked cosines, zero-norm is null") {
     val vecs = Seq(
       ("a", Seq(1.0f, 0.0f)), ("a", Seq(3.0f, 0.0f)), // centroid (2,0)

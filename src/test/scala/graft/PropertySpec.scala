@@ -426,6 +426,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("removeDuplicatedLines equals a literal replay on random corpora") {
+    forAllSeeded(corpusGen, cases = 10) { docsList =>
+      // synthesize line structure: every 3 words become one line
+      val docs = docsList.zipWithIndex.map { case (t, i) =>
+        (i.toLong,
+          t.trim.split("\\s+").grouped(3).map(_.mkString(" "))
+            .mkString("\n"))
+      }
+      val got = Dedup.removeDuplicatedLines(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      // driver-side replica: distinct-doc frequency over non-blank
+      // lines, removal, order-preserving rejoin
+      val lines = docs.map { case (id, t) =>
+        id -> t.split("\n", -1).toSeq }.toMap
+      val dupSet = lines.toSeq.flatMap { case (id, ls) =>
+          ls.filter(_.trim.nonEmpty).distinct.map(_ -> id)
+        }.groupBy(_._1).collect { case (l, ds) if ds.size >= 2 => l }
+        .toSet
+      val expected = lines.map { case (id, ls) =>
+        val kept = ls.filterNot(dupSet)
+        (id, ls.length.toLong, (ls.length - kept.length).toLong,
+          kept.mkString("\n"))
+      }.toSet
+      assert(got == expected, s"line removal differs; corpus=$docsList")
+    }
+  }
+
   test("contaminationCheck equals brute-force gram intersection on random corpora") {
     forAllSeeded(corpusGen, cases = 10) { docsList =>
       val (corpusDocs, evalDocs) = docsList.zipWithIndex
