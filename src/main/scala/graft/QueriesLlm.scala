@@ -673,6 +673,25 @@ object QueriesLlm {
       .orderBy("group_a", "group_b")
   }
 
+  /** q77 — SEMANTIC dedup end-to-end (SemDeDup): the q35 corpus
+    * (embeddings ∪ +0.05-jittered copies of the first 50 vectors) must
+    * collapse back to the originals — survivors are the min-id
+    * representative of each transitively-closed cosine-≥-0.9 group.
+    * The oracle replays the grouping with a brute-force pair set and a
+    * recursive-CTE transitive closure (the q52 form).
+    */
+  def q77SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val corpus = emb.unionByName(
+      emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("v"), x => x + 0.05).as("v")))
+    Similarity.semanticDedup(corpus, "vec_id", "v", threshold = 0.9)
+      .select("vec_id").orderBy("vec_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -713,7 +732,8 @@ object QueriesLlm {
     "q73_ivfpq_index_probe" -> (q73IvfPqIndexProbe _),
     "q74_remove_dup_lines" -> (q74RemoveDupLines _),
     "q75_tfidf_top_terms" -> (q75TfidfTopTerms _),
-    "q76_source_affinity" -> (q76SourceAffinity _))
+    "q76_source_affinity" -> (q76SourceAffinity _),
+    "q77_semantic_dedup" -> (q77SemanticDedup _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -1505,5 +1525,25 @@ object QueriesLlm {
                GROUP BY 1, 2)
          SELECT group_a, group_b, round(dot / sqrt(na * nb), 6)
            AS cosine
-         FROM p ORDER BY 1, 2""")
+         FROM p ORDER BY 1, 2""",
+    "q77_semantic_dedup" ->
+      """WITH RECURSIVE corpus AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000,
+                  list_transform(embedding::DOUBLE[], x -> x + 0.05)
+           FROM embeddings WHERE vec_id < 50),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+               WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p
+                   UNION SELECT id_b, id_a FROM p),
+         reach AS (SELECT a, b FROM edges
+                   UNION
+                   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         roots AS (SELECT a AS id, least(a, min(b)) AS root
+                   FROM reach GROUP BY a)
+         SELECT vec_id FROM corpus
+         WHERE vec_id NOT IN (SELECT id FROM roots WHERE root <> id)
+         ORDER BY vec_id""")
 }
