@@ -277,6 +277,27 @@ object QueriesRelational2 {
       .orderBy("band_id")
   }
 
+  /** q78 — gap-based sessionization: per-user sessions break on >4 h
+    * inactivity (`Relational.sessionize`), then session-level stats.
+    * Epoch seconds (not timestamp strings) cross the oracle boundary —
+    * sub-second formatting differs between engines, integer seconds
+    * don't. The session numbering is a total order (ts, event_id), so
+    * the grouping is deterministic.
+    */
+  def q78Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = graft.operators.Relational.sessionize(
+      t(spark, dir, "events"), "user_id", "ts",
+      gapSeconds = 14400, tiebreak = Seq("event_id"))
+    sessions
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min("sec").as("start_sec"), max("sec").as("end_sec"),
+           (max("sec") - min("sec")).as("dur_sec"),
+           round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_window_rank"    -> (q08WindowRank _),
     "q09_window_running" -> (q09WindowRunning _),
@@ -295,7 +316,8 @@ object QueriesRelational2 {
     "q44_explode_tokens" -> (q44ExplodeTokens _),
     "q45_regexp"         -> (q45Regexp _),
     "q50_asof_join"      -> (q50AsofJoin _),
-    "q51_range_join"     -> (q51RangeJoin _))
+    "q51_range_join"     -> (q51RangeJoin _),
+    "q78_sessionize"     -> (q78Sessionize _))
 
   val oracles: Map[String, String] = Map(
     "q08_window_rank" ->
@@ -439,5 +461,29 @@ object QueriesRelational2 {
                       (3, 30000.0, 150000.0), (4, 150000.0, 600000.0))
               b(band_id, lo, hi)
            ON o_totalprice >= lo AND o_totalprice < hi
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+    "q78_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, event_id, value, ts,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                  lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev
+           FROM events),
+         b AS (SELECT *, CASE WHEN prev IS NULL OR
+                      CAST(floor(epoch(ts)) AS BIGINT)
+                        - CAST(floor(epoch(prev)) AS BIGINT) > 14400
+                    THEN 1 ELSE 0 END AS brk
+               FROM o),
+         s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS session_id
+               FROM b)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                count(*) AS n_events,
+                min(sec) AS start_sec, max(sec) AS end_sec,
+                max(sec) - min(sec) AS dur_sec,
+                round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""")
 }

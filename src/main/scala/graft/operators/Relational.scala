@@ -334,4 +334,40 @@ object Relational {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Gap-based sessionization: number each key's rows into sessions
+    * that break whenever consecutive timestamps are more than
+    * `gapSeconds` apart (the classic 30-minute web-session rule; also
+    * the batch twin of `streaming`'s session windows, which hold the
+    * same gap semantics under a watermark).
+    *
+    * One shuffle on the key, one keyed window (lag + running sum of
+    * boundary flags) — the same per-key-fits-a-task contract as
+    * [[asOfJoin]]; users with pathological single-key volume are in
+    * the salting regime, not the sessionization regime.
+    *
+    * `tiebreak` completes the order for same-timestamp rows; pass the
+    * event id so session numbering is a total order and therefore
+    * deterministic.
+    *
+    * @return `df` plus `sessionCol` (1-based Long, scoped per key)
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 gapSeconds: Long, tiebreak: Seq[String] = Seq.empty,
+                 sessionCol: String = "session_id"): DataFrame = {
+    if (gapSeconds <= 0)
+      throw InvalidArgumentValue(
+        s"gapSeconds must be positive: $gapSeconds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc +: tiebreak.map(col(_).asc): _*)
+    val prev = lag(col(tsCol), 1).over(w)
+    val boundary = when(prev.isNull, 1L)
+      .when(unix_timestamp(col(tsCol)) - unix_timestamp(prev)
+        > gapSeconds, 1L)
+      .otherwise(0L)
+    df.withColumn(sessionCol,
+      sum(boundary).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+  }
 }

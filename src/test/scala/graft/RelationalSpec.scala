@@ -226,4 +226,29 @@ class RelationalSpec extends SparkSpec {
       Relational.topKPerGroup(tiny, Seq.empty, Seq(col("score")), 3)
     }
   }
+
+  test("sessionize breaks on gap, not at exactly-gap, per key") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: 3 events inside 10-min gaps, then a >10-min jump
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (1L, 2L, ts("2024-01-01 00:05:00")),
+      (1L, 3L, ts("2024-01-01 00:15:00")), // exactly 600 s: SAME session
+      (1L, 4L, ts("2024-01-01 01:00:00")), // new session
+      // same timestamp: event_id tiebreak keeps numbering deterministic
+      (1L, 5L, ts("2024-01-01 01:00:00")),
+      // user 2: independent numbering restarts at 1
+      (2L, 6L, ts("2024-01-01 05:00:00")))
+      .toDF("user_id", "event_id", "ts")
+      .repartition(5)
+    val got = Relational.sessionize(events, "user_id", "ts",
+        gapSeconds = 600, tiebreak = Seq("event_id"))
+      .select("user_id", "event_id", "session_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (1L, 4L, 2L), (1L, 5L, 2L), (2L, 6L, 1L)))
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Relational.sessionize(events, "user_id", "ts", gapSeconds = 0)
+    }
+  }
 }
