@@ -692,6 +692,30 @@ object QueriesLlm {
       .select("vec_id").orderBy("vec_id")
   }
 
+  /** q79 — distributed k-means (k=8, 2 Lloyd rounds, cosine): the
+    * per-iteration centroid ROUNDING makes the whole trajectory
+    * engine- and partitioning-independent, so DuckDB replays the two
+    * update rounds exactly with chained CTEs (init = 8 lowest-id
+    * vectors, empty cells COALESCE to their previous centroid).
+    */
+  def q79Kmeans(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2)
+      .select(col("id").as("vec_id"), col("cluster"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("vec_id")
+
+  /** q80 — prototype pruning (SSL-prototypes/D4): drop the most
+    * cluster-prototypical 25% of every k-means cluster. Oracle =
+    * the q79 chain + per-cluster rank + floor(n·0.25) cutoff.
+    */
+  def q80PrototypePrune(spark: SparkSession, dir: String): DataFrame =
+    Similarity.prototypePrune(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2, pruneFraction = 0.25)
+      .select(col("id").as("vec_id"), col("cluster"),
+        round(col("sim"), 6).as("sim"), col("rk"))
+      .orderBy("vec_id")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -733,7 +757,9 @@ object QueriesLlm {
     "q74_remove_dup_lines" -> (q74RemoveDupLines _),
     "q75_tfidf_top_terms" -> (q75TfidfTopTerms _),
     "q76_source_affinity" -> (q76SourceAffinity _),
-    "q77_semantic_dedup" -> (q77SemanticDedup _))
+    "q77_semantic_dedup" -> (q77SemanticDedup _),
+    "q79_kmeans"         -> (q79Kmeans _),
+    "q80_prototype_prune" -> (q80PrototypePrune _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -1545,5 +1571,103 @@ object QueriesLlm {
                    FROM reach GROUP BY a)
          SELECT vec_id FROM corpus
          WHERE vec_id NOT IN (SELECT id FROM roots WHERE root <> id)
+         ORDER BY vec_id""",
+    "q79_kmeans" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
+                       v AS cen
+                FROM (SELECT id, v FROM e ORDER BY id LIMIT 8)),
+         a1 AS (SELECT id, v, cell FROM (
+                  SELECT e.id, e.v, c0.cell,
+                         row_number() OVER (PARTITION BY e.id
+                           ORDER BY list_cosine_similarity(e.v, c0.cen)
+                             DESC, c0.cell ASC) AS rn
+                  FROM e CROSS JOIN c0) WHERE rn = 1),
+         x1 AS (SELECT cell, i AS dim, v[i] AS val
+                FROM (SELECT cell, v,
+                        unnest(generate_series(1, len(v))) AS i
+                      FROM a1)),
+         m1 AS (SELECT cell, list(m ORDER BY dim) AS cen
+                FROM (SELECT cell, dim, round(avg(val), 6) AS m
+                      FROM x1 GROUP BY cell, dim) GROUP BY cell),
+         c1 AS (SELECT c0.cell, COALESCE(m1.cen, c0.cen) AS cen
+                FROM c0 LEFT JOIN m1 USING (cell)),
+         a2 AS (SELECT id, v, cell FROM (
+                  SELECT e.id, e.v, c1.cell,
+                         row_number() OVER (PARTITION BY e.id
+                           ORDER BY list_cosine_similarity(e.v, c1.cen)
+                             DESC, c1.cell ASC) AS rn
+                  FROM e CROSS JOIN c1) WHERE rn = 1),
+         x2 AS (SELECT cell, i AS dim, v[i] AS val
+                FROM (SELECT cell, v,
+                        unnest(generate_series(1, len(v))) AS i
+                      FROM a2)),
+         m2 AS (SELECT cell, list(m ORDER BY dim) AS cen
+                FROM (SELECT cell, dim, round(avg(val), 6) AS m
+                      FROM x2 GROUP BY cell, dim) GROUP BY cell),
+         c2 AS (SELECT c1.cell, COALESCE(m2.cen, c1.cen) AS cen
+                FROM c1 LEFT JOIN m2 USING (cell)),
+         af AS (SELECT id, cell, sim FROM (
+                  SELECT e.id, c2.cell,
+                         list_cosine_similarity(e.v, c2.cen) AS sim,
+                         row_number() OVER (PARTITION BY e.id
+                           ORDER BY list_cosine_similarity(e.v, c2.cen)
+                             DESC, c2.cell ASC) AS rn
+                  FROM e CROSS JOIN c2) WHERE rn = 1)
+         SELECT id AS vec_id, CAST(cell AS BIGINT) AS cluster,
+                round(sim, 6) AS sim
+         FROM af ORDER BY vec_id""",
+    "q80_prototype_prune" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
+                       v AS cen
+                FROM (SELECT id, v FROM e ORDER BY id LIMIT 8)),
+         a1 AS (SELECT id, v, cell FROM (
+                  SELECT e.id, e.v, c0.cell,
+                         row_number() OVER (PARTITION BY e.id
+                           ORDER BY list_cosine_similarity(e.v, c0.cen)
+                             DESC, c0.cell ASC) AS rn
+                  FROM e CROSS JOIN c0) WHERE rn = 1),
+         x1 AS (SELECT cell, i AS dim, v[i] AS val
+                FROM (SELECT cell, v,
+                        unnest(generate_series(1, len(v))) AS i
+                      FROM a1)),
+         m1 AS (SELECT cell, list(m ORDER BY dim) AS cen
+                FROM (SELECT cell, dim, round(avg(val), 6) AS m
+                      FROM x1 GROUP BY cell, dim) GROUP BY cell),
+         c1 AS (SELECT c0.cell, COALESCE(m1.cen, c0.cen) AS cen
+                FROM c0 LEFT JOIN m1 USING (cell)),
+         a2 AS (SELECT id, v, cell FROM (
+                  SELECT e.id, e.v, c1.cell,
+                         row_number() OVER (PARTITION BY e.id
+                           ORDER BY list_cosine_similarity(e.v, c1.cen)
+                             DESC, c1.cell ASC) AS rn
+                  FROM e CROSS JOIN c1) WHERE rn = 1),
+         x2 AS (SELECT cell, i AS dim, v[i] AS val
+                FROM (SELECT cell, v,
+                        unnest(generate_series(1, len(v))) AS i
+                      FROM a2)),
+         m2 AS (SELECT cell, list(m ORDER BY dim) AS cen
+                FROM (SELECT cell, dim, round(avg(val), 6) AS m
+                      FROM x2 GROUP BY cell, dim) GROUP BY cell),
+         c2 AS (SELECT c1.cell, COALESCE(m2.cen, c1.cen) AS cen
+                FROM c1 LEFT JOIN m2 USING (cell)),
+         af AS (SELECT id, cell, sim FROM (
+                  SELECT e.id, c2.cell,
+                         list_cosine_similarity(e.v, c2.cen) AS sim,
+                         row_number() OVER (PARTITION BY e.id
+                           ORDER BY list_cosine_similarity(e.v, c2.cen)
+                             DESC, c2.cell ASC) AS rn
+                  FROM e CROSS JOIN c2) WHERE rn = 1),
+         r AS (SELECT id, cell, sim,
+                      row_number() OVER (PARTITION BY cell
+                        ORDER BY sim DESC, id ASC) AS rk,
+                      count(*) OVER (PARTITION BY cell) AS n
+               FROM af)
+         SELECT id AS vec_id, CAST(cell AS BIGINT) AS cluster,
+                round(sim, 6) AS sim, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk > CAST(floor(n * 0.25) AS BIGINT)
          ORDER BY vec_id""")
 }

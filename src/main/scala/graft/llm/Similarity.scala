@@ -141,15 +141,27 @@ object Similarity {
   /** K-means coarse quantizer over (cid, cv) rows; deterministic init
     * from the nlist lowest-id vectors. Only the centroids (nlist·dim
     * doubles) ever reach the driver.
+    *
+    * `roundTo`: round each updated centroid coordinate to that many
+    * decimals. Distributed `avg` is summation-order-dependent at the
+    * ulp level, so an UNROUNDED trajectory can differ between
+    * partitionings (and engines); rounding pins every iteration to one
+    * exactly re-derivable value. The IVF quantizer keeps `None` (its
+    * probes don't need cross-engine replay); [[kmeansAssign]] rounds.
     */
-  private def trainCentroids(c: DataFrame, nlist: Int,
-                             iters: Int): Array[Array[Double]] = {
+  private def trainCentroids(c: DataFrame, nlist: Int, iters: Int,
+                             roundTo: Option[Int] = None
+                            ): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = c.orderBy("cid").limit(nlist)
       .collect().map(_.getSeq[Double](1).toArray)
+    val mean = roundTo match {
+      case Some(n) => round(avg("x"), n)
+      case None    => avg("x")
+    }
     for (_ <- 1 to iters) {
       val updated = assignCells(c, centroids)
         .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell", "pos").agg(mean.as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .as("pm"))
@@ -162,6 +174,97 @@ object Similarity {
           .map(i => updated.getOrElse(i, centroids(i))).toArray
     }
     centroids
+  }
+
+  /** Distributed Lloyd's k-means over an embedding column with COSINE
+    * assignment — the clustering step under SemDeDup-style semantic
+    * curation and density-aware pruning ([[prototypePrune]]), exposed
+    * as a first-class operator (the IVF quantizer uses the same
+    * trainer internally).
+    *
+    * Fully deterministic and re-derivable: init = the k lowest-id
+    * vectors (no random state), and every updated centroid coordinate
+    * is rounded to `roundTo` decimals so the trajectory is independent
+    * of distributed summation order. Empty clusters keep their
+    * previous centroid. Ties in assignment resolve to the lowest
+    * cluster id.
+    *
+    * Scale shape: per iteration one compiled map over the corpus (k·dim
+    * doubles broadcast in the task closure) plus one (cell, pos) agg —
+    * k·dim rows to the driver, never vector data. Zero-norm vectors
+    * have undefined cosine everywhere and deterministically land in
+    * cluster 0 with null-like sim (NaN never wins `>`).
+    *
+    * @return (id, cluster, sim) — sim is cosine to the FINAL centroid
+    *         of the assigned cluster, after `iters` update rounds
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int, roundTo: Int = 6): DataFrame = {
+    if (k <= 0) throw InvalidArgumentValue(s"k must be positive: $k")
+    if (iters < 0)
+      throw InvalidArgumentValue(s"iters must be >= 0: $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val c = asDoubleVec(df, idCol, vecCol, "cid", "cv")
+    val cents = trainCentroids(c, k, iters, Some(roundTo))
+    c.as[(Long, Seq[Double])].mapPartitions { rows =>
+      rows.map { case (id, vec) =>
+        val a = vec.toArray
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cents.length) {
+          val s = cosineKernel(a, cents(ci))
+          if (s > bestSim) { bestSim = s; best = ci }
+          ci += 1
+        }
+        // zero-norm vectors score NaN against every centroid, so the
+        // loop never updates; surface NaN (not -Inf) so they sort
+        // first under sim DESC and are pruned first downstream
+        val sim = if (bestSim == Double.NegativeInfinity) Double.NaN
+                  else bestSim
+        (id, best.toLong, sim)
+      }
+    }.toDF("id", "cluster", "sim")
+  }
+
+  /** Density-aware prototype pruning (the SSL-prototypes/D4 recipe —
+    * Sorscher et al. 2022: the easiest, most cluster-prototypical
+    * examples teach the least): k-means the embeddings, rank each
+    * cluster by cosine-to-centroid DESCENDING, and drop the top
+    * `pruneFraction` of every cluster — the redundant near-centroid
+    * core — keeping the harder, more diverse tail.
+    *
+    * The per-cluster rank is exact but never one-task-per-cluster
+    * (a cluster holds ~n/k rows — a single window per cluster would
+    * re-serialize the corpus at 100 TB): a range-partitioned global
+    * index over (cluster, sim desc, id) assigns positions
+    * distributively, and rank = position − cluster offset, where the
+    * offsets are a k-row broadcast.
+    *
+    * n_drop = floor(clusterSize · pruneFraction); ties break by id so
+    * the survivor set is unique. NaN sims (zero-norm vectors) sort
+    * first and are pruned first — undefined similarity carries no
+    * information.
+    *
+    * @return (id, cluster, sim, rk) for SURVIVING rows; rk is the
+    *         1-based prototypicality rank within the cluster
+    */
+  def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int, pruneFraction: Double,
+                     roundTo: Int = 6): DataFrame = {
+    if (pruneFraction < 0.0 || pruneFraction >= 1.0)
+      throw InvalidArgumentValue(
+        s"pruneFraction must be in [0, 1): $pruneFraction")
+    val assigned = kmeansAssign(df, idCol, vecCol, k, iters, roundTo)
+    val idx = graft.operators.Relational.withGlobalIndex(assigned,
+      Seq(col("cluster").asc, col("sim").desc, col("id").asc), "__gidx")
+    val offsets = idx.groupBy("cluster")
+      .agg(min("__gidx").as("__off"), count(lit(1)).as("__n"))
+    idx.join(broadcast(offsets), Seq("cluster"))
+      .withColumn("rk", col("__gidx") - col("__off") + 1L)
+      .filter(col("rk") >
+        floor(col("__n") * lit(pruneFraction)).cast("long"))
+      .select(col("id"), col("cluster"), col("sim"), col("rk"))
   }
 
   /** (qid, qv, cell) probe list: each query's nprobe nearest cells. */

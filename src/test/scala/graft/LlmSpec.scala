@@ -1190,4 +1190,74 @@ class LlmSpec extends SparkSpec {
     assert(byPair(("a", "z")).isEmpty) // zero-norm → null, not NaN
     assert(got.size == 6) // 4 groups → 6 unordered pairs
   }
+
+  test("kmeansAssign splits obvious clusters; trajectory is partitioning-independent") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.02f)), (2L, Seq(0.9f, -0.01f)),
+      (3L, Seq(1.1f, 0.0f)),
+      (4L, Seq(0.01f, 1.0f)), (5L, Seq(0.0f, 0.9f)),
+      (6L, Seq(-0.02f, 1.2f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(df, "vec_id", "embedding",
+        k = 2, iters = 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val cl = got.map(r => r._1 -> r._2).toMap
+    assert(Set(cl(1L), cl(2L), cl(3L)).size == 1)
+    assert(Set(cl(4L), cl(5L), cl(6L)).size == 1)
+    assert(cl(1L) != cl(4L))
+    assert(got.forall(_._3 > 0.9)) // tight clusters → high cosine
+    // the rounded trajectory must not depend on input partitioning
+    val re = Similarity.kmeansAssign(df.repartition(7), "vec_id",
+        "embedding", k = 2, iters = 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(re == got)
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Similarity.kmeansAssign(df, "vec_id", "embedding", k = 0, iters = 1)
+    }
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Similarity.kmeansAssign(df, "vec_id", "embedding", k = 2, iters = -1)
+    }
+  }
+
+  test("kmeansAssign: zero-norm vector lands in cluster 0 with NaN sim") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (9L, Seq(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val z = Similarity.kmeansAssign(df, "vec_id", "embedding",
+        k = 2, iters = 1)
+      .filter($"id" === 9L).as[(Long, Long, Double)].head()
+    assert(z._2 == 0L)
+    assert(z._3.isNaN)
+  }
+
+  test("prototypePrune drops floor(n*f) per cluster; ranks match a naive window") {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val sizes = assigned.groupBy("cluster").count()
+      .as[(Long, Long)].collect().toMap
+    val pruned = Similarity.prototypePrune(emb, "vec_id", "embedding",
+      k = 4, iters = 2, pruneFraction = 0.25)
+    val kept = pruned.groupBy("cluster").count()
+      .as[(Long, Long)].collect().toMap
+    sizes.foreach { case (c, n) =>
+      assert(kept.getOrElse(c, 0L) == n - math.floor(n * 0.25).toLong)
+    }
+    // fraction 0 keeps every row, and the distributed global-index
+    // rank must equal the one-window-per-cluster naive rank
+    val all = Similarity.prototypePrune(emb, "vec_id", "embedding",
+      k = 4, iters = 2, pruneFraction = 0.0)
+    assert(all.count() == assigned.count())
+    val naive = assigned.withColumn("rk_naive",
+      row_number().over(Window.partitionBy("cluster")
+        .orderBy(col("sim").desc, col("id").asc)).cast("long"))
+    val mismatches = all.join(naive.select("id", "rk_naive"), "id")
+      .filter($"rk" =!= $"rk_naive").count()
+    assert(mismatches == 0)
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Similarity.prototypePrune(emb, "vec_id", "embedding",
+        k = 4, iters = 1, pruneFraction = 1.0)
+    }
+  }
 }
