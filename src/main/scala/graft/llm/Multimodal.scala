@@ -147,9 +147,12 @@ object Multimodal {
         octet_length(col(binCol)).cast("long").as("size_bytes"),
         md5(col(binCol)).as("sha")).as("meta"))
 
-  private case class ImageMetaRow(id: Long, image_format: Option[String],
-                                  image_width: Option[Int],
-                                  image_height: Option[Int])
+  // NOT private: Spark's generated encoder code (Janino) must call the
+  // accessors; a private nested case class forces a per-query codegen
+  // compile failure + interpreted-serializer fallback.
+  case class ImageMetaRow(id: Long, image_format: Option[String],
+                          image_width: Option[Int],
+                          image_height: Option[Int])
 
   /** Image metadata columns decoded from the payload header:
     * (id, image_format, image_width, image_height), all three null
