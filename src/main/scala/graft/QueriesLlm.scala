@@ -716,6 +716,47 @@ object QueriesLlm {
         round(col("sim"), 6).as("sim"), col("rk"))
       .orderBy("vec_id")
 
+  /** q81 — PII redaction: the corpus carries no real PII, so the
+    * query first plants a deterministic email + IPv4 + SSN per doc
+    * (pure arithmetic on doc_id, replayed verbatim by the oracle),
+    * then counts and redacts all three classes in one zero-shuffle
+    * codegen'd projection.
+    */
+  def q81RedactPii(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val planted = t(spark, dir, "documents").select(d,
+      concat(col("text"),
+        lit(" contact u"), d.cast("string"),
+        lit("@ex"), (d % 7).cast("string"), lit(".com or "),
+        (d % 256).cast("string"), lit(".0.0."),
+        (d % 200).cast("string"), lit(" ssn "),
+        lpad((lit(100) + d % 900).cast("string"), 3, "0"), lit("-"),
+        lpad((d % 100).cast("string"), 2, "0"), lit("-"),
+        lpad((d % 10000).cast("string"), 4, "0")).as("text"))
+    TextAnalysis.redactPii(planted, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** q82 — overlapping document chunking (25-token chunks, 5-token
+    * overlap): context-window / retrieval prep, replayed in SQL as a
+    * generate_series explode + list slice.
+    */
+  def q82ChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(t(spark, dir, "documents"),
+        "doc_id", "text", chunkTokens = 25, overlapTokens = 5)
+      .orderBy("doc_id", "chunk_id")
+
+  /** q83 — per-cluster embedding outliers: rows whose rounded
+    * cosine-to-centroid z-score is below −1.5 within their k-means
+    * cluster. Oracle = the q79 CTE chain + per-cluster avg/stddev.
+    */
+  def q83ClusterOutliers(spark: SparkSession, dir: String): DataFrame =
+    Similarity.clusterOutliers(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2, zThreshold = 1.5)
+      .select(col("id").as("vec_id"), col("cluster"),
+        col("sim"), col("z"))
+      .orderBy("vec_id")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -759,7 +800,10 @@ object QueriesLlm {
     "q76_source_affinity" -> (q76SourceAffinity _),
     "q77_semantic_dedup" -> (q77SemanticDedup _),
     "q79_kmeans"         -> (q79Kmeans _),
-    "q80_prototype_prune" -> (q80PrototypePrune _))
+    "q80_prototype_prune" -> (q80PrototypePrune _),
+    "q81_redact_pii"     -> (q81RedactPii _),
+    "q82_chunk_docs"     -> (q82ChunkDocs _),
+    "q83_cluster_outliers" -> (q83ClusterOutliers _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -1669,5 +1713,95 @@ object QueriesLlm {
          SELECT id AS vec_id, CAST(cell AS BIGINT) AS cluster,
                 round(sim, 6) AS sim, CAST(rk AS BIGINT) AS rk
          FROM r WHERE rk > CAST(floor(n * 0.25) AS BIGINT)
+         ORDER BY vec_id""",
+    "q81_redact_pii" ->
+      """WITH d AS (SELECT doc_id,
+                text || ' contact u' || doc_id || '@ex' || (doc_id%7)
+                     || '.com or ' || (doc_id%256) || '.0.0.'
+                     || (doc_id%200) || ' ssn '
+                     || lpad(CAST(100+doc_id%900 AS VARCHAR),3,'0')
+                     || '-' || lpad(CAST(doc_id%100 AS VARCHAR),2,'0')
+                     || '-' || lpad(CAST(doc_id%10000 AS VARCHAR),4,'0')
+                  AS text
+              FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn
+         FROM d ORDER BY doc_id""",
+    "q82_chunk_docs" ->
+      """WITH d AS (SELECT doc_id,
+                string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n,
+                      unnest(generate_series(0, len(toks)-1, 20))
+                        AS start
+               FROM d WHERE len(toks) > 0)
+         SELECT doc_id, CAST(start//20 AS BIGINT) AS chunk_id,
+                CAST(least(start+25, n) - start AS BIGINT)
+                  AS n_chunk_tokens,
+                array_to_string(toks[start+1 : least(start+25, n)], ' ')
+                  AS chunk_text
+         FROM s ORDER BY doc_id, chunk_id""",
+    "q83_cluster_outliers" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
+                       v AS cen
+                FROM (SELECT id, v FROM e ORDER BY id LIMIT 8)),
+         a1 AS (SELECT id, v, cell FROM (
+                  SELECT e.id, e.v, c0.cell,
+                         row_number() OVER (PARTITION BY e.id
+                           ORDER BY list_cosine_similarity(e.v, c0.cen)
+                             DESC, c0.cell ASC) AS rn
+                  FROM e CROSS JOIN c0) WHERE rn = 1),
+         x1 AS (SELECT cell, i AS dim, v[i] AS val
+                FROM (SELECT cell, v,
+                        unnest(generate_series(1, len(v))) AS i
+                      FROM a1)),
+         m1 AS (SELECT cell, list(m ORDER BY dim) AS cen
+                FROM (SELECT cell, dim, round(avg(val), 6) AS m
+                      FROM x1 GROUP BY cell, dim) GROUP BY cell),
+         c1 AS (SELECT c0.cell, COALESCE(m1.cen, c0.cen) AS cen
+                FROM c0 LEFT JOIN m1 USING (cell)),
+         a2 AS (SELECT id, v, cell FROM (
+                  SELECT e.id, e.v, c1.cell,
+                         row_number() OVER (PARTITION BY e.id
+                           ORDER BY list_cosine_similarity(e.v, c1.cen)
+                             DESC, c1.cell ASC) AS rn
+                  FROM e CROSS JOIN c1) WHERE rn = 1),
+         x2 AS (SELECT cell, i AS dim, v[i] AS val
+                FROM (SELECT cell, v,
+                        unnest(generate_series(1, len(v))) AS i
+                      FROM a2)),
+         m2 AS (SELECT cell, list(m ORDER BY dim) AS cen
+                FROM (SELECT cell, dim, round(avg(val), 6) AS m
+                      FROM x2 GROUP BY cell, dim) GROUP BY cell),
+         c2 AS (SELECT c1.cell, COALESCE(m2.cen, c1.cen) AS cen
+                FROM c1 LEFT JOIN m2 USING (cell)),
+         af AS (SELECT id, cell, sim FROM (
+                  SELECT e.id, c2.cell,
+                         list_cosine_similarity(e.v, c2.cen) AS sim,
+                         row_number() OVER (PARTITION BY e.id
+                           ORDER BY list_cosine_similarity(e.v, c2.cen)
+                             DESC, c2.cell ASC) AS rn
+                  FROM e CROSS JOIN c2) WHERE rn = 1),
+         r AS (SELECT id, cell, round(sim, 6) AS sim FROM af),
+         st AS (SELECT cell, avg(sim) AS mu, stddev_samp(sim) AS sd
+                FROM r GROUP BY cell)
+         SELECT id AS vec_id, CAST(cell AS BIGINT) AS cluster, sim,
+                round((sim - mu) / sd, 6) AS z
+         FROM r JOIN st USING (cell)
+         WHERE round((sim - mu) / sd, 6) < -1.5
          ORDER BY vec_id""")
 }

@@ -267,6 +267,41 @@ object Similarity {
       .select(col("id"), col("cluster"), col("sim"), col("rk"))
   }
 
+  /** Per-cluster embedding outlier detection: k-means the corpus
+    * ([[kmeansAssign]]), then flag rows whose cosine-to-centroid sits
+    * more than `zThreshold` sample standard deviations BELOW their
+    * cluster's mean — the statistically-far tail that density-based
+    * curation reviews or drops (the inverse of [[prototypePrune]],
+    * which drops the near-centroid core).
+    *
+    * sim is rounded to `roundTo` decimals BEFORE the stats so the
+    * cluster mean/stddev aggregate the same values in any engine; the
+    * z-score is rounded the same way before thresholding to keep the
+    * survivor SET engine-independent. Singleton clusters have null
+    * sample stddev → null z → excluded (a lone vector is its own
+    * centroid, not an outlier). Scale shape: one map-only assignment
+    * pass, a k-row partial-aggregated stats shuffle, and a broadcast
+    * join back — vector data never reshuffles.
+    *
+    * @return (id, cluster, sim, z) for flagged outliers only
+    */
+  def clusterOutliers(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int, zThreshold: Double,
+                      roundTo: Int = 6): DataFrame = {
+    if (zThreshold <= 0.0)
+      throw InvalidArgumentValue(
+        s"zThreshold must be positive: $zThreshold")
+    val assigned = kmeansAssign(df, idCol, vecCol, k, iters, roundTo)
+      .withColumn("sim", round(col("sim"), roundTo))
+    val stats = assigned.groupBy("cluster").agg(
+      avg("sim").as("__mu"), stddev_samp("sim").as("__sd"))
+    val z = round((col("sim") - col("__mu")) / col("__sd"), roundTo)
+    assigned.join(broadcast(stats), Seq("cluster"))
+      .withColumn("z", z)
+      .filter(col("z") < -zThreshold)
+      .select(col("id"), col("cluster"), col("sim"), col("z"))
+  }
+
   /** (qid, qv, cell) probe list: each query's nprobe nearest cells. */
   private def probeCells(q: DataFrame, cents: Array[Array[Double]],
                          nprobe: Int): DataFrame = {

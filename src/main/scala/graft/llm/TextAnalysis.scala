@@ -552,4 +552,95 @@ object TextAnalysis {
         sum("cnt").as("n_total"),
         count(lit(1)).as("n_fingerprints"),
         sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
+
+  /** One PII class: `name` labels the count column (`n_<name>`),
+    * `pattern` is a Java-regex that must also be valid RE2 (no
+    * backreferences / lookaround) so the DuckDB oracle can replay it
+    * verbatim, `replacement` is the literal redaction token.
+    */
+  case class PiiRule(name: String, pattern: String, replacement: String)
+
+  /** The BigCode/StarCoder-style default classes. Patterns are
+    * deliberately conservative (shared Java-regex/RE2 subset; ASCII
+    * `\b` boundaries) — precision-first redaction, the curation norm.
+    */
+  val DefaultPiiRules: Seq[PiiRule] = Seq(
+    PiiRule("email",
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    PiiRule("ip",
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    PiiRule("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"))
+
+  /** PII redaction for training corpora: per-class match counts plus
+    * the redacted text, as ONE codegen'd zero-shuffle projection —
+    * `regexp_count` per rule and a fold of `regexp_replace`s, no UDFs.
+    *
+    * Semantics (pinned by the q81 oracle): counts are measured on the
+    * ORIGINAL text per rule independently; replacements then apply
+    * sequentially in rule order, so an earlier rule's replacement
+    * token is never double-counted by a later rule (order rules
+    * specific → general — e.g. email before a bare-domain rule).
+    *
+    * Scale shape: row-parallel map over the scan, like
+    * [[qualityFilter]] — nothing shuffles, nothing leaves codegen.
+    *
+    * @return (id, redacted, n_<rule> ...) one count column per rule
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String,
+                rules: Seq[PiiRule] = DefaultPiiRules): DataFrame = {
+    if (rules.isEmpty)
+      throw InvalidArgumentValue("redactPii needs at least one rule")
+    val dupNames = rules.groupBy(_.name).collect {
+      case (n, rs) if rs.size > 1 => n
+    }
+    if (dupNames.nonEmpty)
+      throw InvalidArgumentValue(
+        s"duplicate PII rule names: ${dupNames.mkString(", ")}")
+    val t = col(textCol)
+    val counts = rules.map(r =>
+      regexp_count(t, lit(r.pattern)).cast("long").as(s"n_${r.name}"))
+    val redacted = rules.foldLeft(t) { (acc, r) =>
+      regexp_replace(acc, r.pattern, r.replacement)
+    }
+    df.select(col(idCol) +: redacted.as("redacted") +: counts: _*)
+  }
+
+  /** Overlapping fixed-size document chunking (context-window /
+    * retrieval prep): whitespace tokens of the lowercased text are
+    * windowed into chunks of `chunkTokens` tokens starting every
+    * `chunkTokens - overlapTokens` positions, last chunk truncated at
+    * the document end. A tail chunk fully contained in its
+    * predecessor is KEPT (starts are the fixed arithmetic series —
+    * the rule every engine can replay; filter `n_chunk_tokens >
+    * overlapTokens` downstream to drop redundant tails).
+    *
+    * Zero-shuffle row-parallel explode: each doc emits
+    * ceil(n/step) rows independently; nothing aggregates.
+    *
+    * @return (id, chunk_id, n_chunk_tokens, chunk_text) — chunk_id is
+    *         the 0-based chunk ordinal within its document
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    if (chunkTokens <= 0)
+      throw InvalidArgumentValue(
+        s"chunkTokens must be positive: $chunkTokens")
+    if (overlapTokens < 0 || overlapTokens >= chunkTokens)
+      throw InvalidArgumentValue(
+        s"need 0 <= overlapTokens < chunkTokens: $overlapTokens")
+    val step = chunkTokens - overlapTokens
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    df.select(col(idCol), toks.as("__toks"), size(toks).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), col("__n") - 1, lit(step)))
+          .as("__start"))
+      .select(col(idCol),
+        (col("__start") / step).cast("long").as("chunk_id"),
+        (least(col("__start") + chunkTokens, col("__n")) -
+          col("__start")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
 }

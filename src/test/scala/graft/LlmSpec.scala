@@ -1260,4 +1260,88 @@ class LlmSpec extends SparkSpec {
         k = 4, iters = 1, pruneFraction = 1.0)
     }
   }
+
+  test("redactPii: counts on original text, replacements in rule order") {
+    val df = Seq(
+      (1L, "mail a@b.com and c@d.org ip 10.0.0.1 ssn 123-45-6789"),
+      (2L, "clean text, no pii at all"),
+      (3L, "ip-like 999.1.2.3 inside 1.2.3.4.5 runs")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got(0) == ((1L,
+      "mail <EMAIL> and <EMAIL> ip <IP> ssn <SSN>", 2L, 1L, 1L)))
+    assert(got(1) == ((2L, "clean text, no pii at all", 0L, 0L, 0L)))
+    // \b is a word boundary, not an anchor: 999.1.2.3 matches, and
+    // the 5-octet run matches its first 4 octets (documented
+    // precision-first tradeoff of the conservative default pattern)
+    assert(got(2)._4 == 2L)
+    // custom rules: count measured on ORIGINAL text even when an
+    // earlier rule's replacement destroys the later rule's match
+    val over = TextAnalysis.redactPii(
+      Seq((1L, "x@y.com")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq(TextAnalysis.PiiRule("em", "x@y\\.com", "<GONE>"),
+          TextAnalysis.PiiRule("dom", "y\\.com", "<DOM>")))
+      .as[(Long, String, Long, Long)].head()
+    assert(over == ((1L, "<GONE>", 1L, 1L)))
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      TextAnalysis.redactPii(df, "doc_id", "text", Seq.empty)
+    }
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      TextAnalysis.redactPii(df, "doc_id", "text",
+        Seq(TextAnalysis.PiiRule("a", "x", "y"),
+            TextAnalysis.PiiRule("a", "z", "w")))
+    }
+  }
+
+  test("chunkDocuments: hand-traced windows, overlap, truncated tail") {
+    val df = Seq(
+      (1L, "a b c d e f g"), // 7 tokens
+      (2L, "x"),             // single token
+      (3L, "")               // phantom "" token -> one empty chunk
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+        chunkTokens = 3, overlapTokens = 1)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // step = 2: starts 0,2,4,6
+    assert(got.filter(_._1 == 1L) == Seq(
+      (1L, 0L, 3L, "a b c"), (1L, 1L, 3L, "c d e"),
+      (1L, 2L, 3L, "e f g"), (1L, 3L, 1L, "g")))
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0L, 1L, "x")))
+    // split("") yields [""] — the module's documented phantom token
+    assert(got.filter(_._1 == 3L) == Seq((3L, 0L, 1L, "")))
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      TextAnalysis.chunkDocuments(df, "doc_id", "text", 0, 0)
+    }
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      TextAnalysis.chunkDocuments(df, "doc_id", "text", 3, 3)
+    }
+  }
+
+  test("clusterOutliers flags the planted far vector, skips singletons") {
+    val rnd = new scala.util.Random(5L)
+    // tight cluster around (1, 0, ...) + one far vector + a singleton
+    val tight = (0L until 20L).map { i =>
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat * 0.01f)
+      v(0) += 1.0f
+      (i, v.toSeq)
+    }
+    val far = Seq((99L, (Array(0.5f, 0.86f) ++
+      Array.fill(6)(0.0f)).toSeq))
+    val lone = Seq((200L, (Array.fill(7)(0.0f) :+ 1.0f).toSeq))
+    val df = (tight ++ far ++ lone).toDF("vec_id", "embedding")
+    val out = Similarity.clusterOutliers(df, "vec_id", "embedding",
+        k = 2, iters = 2, zThreshold = 1.5)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // the far vector is the only z < -1.5 row; the singleton cluster
+    // has null sample stddev and never surfaces
+    assert(out.map(_._1) == Seq(99L))
+    assert(out.head._4 < -1.5)
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Similarity.clusterOutliers(df, "vec_id", "embedding",
+        k = 2, iters = 1, zThreshold = 0.0)
+    }
+  }
 }

@@ -124,6 +124,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("[codegen id :"), s"not codegen'd:\n$p")
   }
 
+  test("q81 PII redaction is a shuffle-free codegen projection") {
+    val p = formattedPlanOf(graft.llm.TextAnalysis.redactPii(
+      Tables.read(spark, sf, "documents"), "doc_id", "text"))
+    assert(!p.contains("Exchange"), s"redaction shuffles:\n$p")
+    assert(p.contains("[codegen id :"), s"not codegen'd:\n$p")
+  }
+
   test("q65 span removal joins are equi-joins, never a pair explosion") {
     val p = formattedPlanOf(QueriesLlm.q65RemoveSpans(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
