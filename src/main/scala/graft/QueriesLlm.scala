@@ -757,6 +757,21 @@ object QueriesLlm {
         col("sim"), col("z"))
       .orderBy("vec_id")
 
+  /** q84 — canonical text normalization: the ASCII corpus is planted
+    * with decomposed Unicode (e+◌́, o+◌̈), a BEL control char, and a
+    * double space, then NFC-composed and cleaned. Spark plants via
+    * Scala literals, the oracle via chr() — both are the same
+    * codepoints, and NFC must compose them identically.
+    */
+  def q84NormalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val planted = t(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" cafe\u0301  no\u0308el"), lit("\u0007"), lit(" end"))
+        .as("text"))
+    TextAnalysis.normalizeText(planted, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -803,7 +818,8 @@ object QueriesLlm {
     "q80_prototype_prune" -> (q80PrototypePrune _),
     "q81_redact_pii"     -> (q81RedactPii _),
     "q82_chunk_docs"     -> (q82ChunkDocs _),
-    "q83_cluster_outliers" -> (q83ClusterOutliers _))
+    "q83_cluster_outliers" -> (q83ClusterOutliers _),
+    "q84_normalize_text" -> (q84NormalizeText _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -1803,5 +1819,16 @@ object QueriesLlm {
                 round((sim - mu) / sd, 6) AS z
          FROM r JOIN st USING (cell)
          WHERE round((sim - mu) / sd, 6) < -1.5
-         ORDER BY vec_id""")
+         ORDER BY vec_id""",
+    "q84_normalize_text" ->
+      """WITH d AS (SELECT doc_id,
+                text || ' cafe' || chr(769) || '  no' || chr(776)
+                     || 'el' || chr(7) || ' end' AS text
+              FROM documents)
+         SELECT doc_id,
+                trim(regexp_replace(regexp_replace(
+                  nfc_normalize(text),
+                  '[\x00-\x08\x0E-\x1F\x7F-\x9F]', '', 'g'),
+                  '\s+', ' ', 'g')) AS text_norm
+         FROM d ORDER BY doc_id""")
 }

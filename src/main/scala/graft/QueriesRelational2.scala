@@ -298,6 +298,29 @@ object QueriesRelational2 {
       .orderBy("user_id", "session_id")
   }
 
+  /** q85 — pivot (long→wide conditional aggregation): daily sum of
+    * `value` per event_type as columns. The pivot values are pinned
+    * explicitly, which skips the driver-side distinct-scan job Spark
+    * otherwise runs before planning — the scale-correct form.
+    */
+  def q85PivotEvents(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum("value"), 6))
+      .orderBy("day")
+
+  /** q86 — hourly resample with gap fill: every (user, hour) bucket
+    * between each user's first and last event, zeros where no events
+    * landed. chunk=1000 exercises the bounded-memory chunked grid.
+    */
+  def q86GapFill(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.resampleGapFill(
+        t(spark, dir, "events"), "user_id", "ts", "value",
+        bucketSeconds = 3600, chunk = 1000)
+      .orderBy("user_id", "bucket")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_window_rank"    -> (q08WindowRank _),
     "q09_window_running" -> (q09WindowRunning _),
@@ -317,7 +340,9 @@ object QueriesRelational2 {
     "q45_regexp"         -> (q45Regexp _),
     "q50_asof_join"      -> (q50AsofJoin _),
     "q51_range_join"     -> (q51RangeJoin _),
-    "q78_sessionize"     -> (q78Sessionize _))
+    "q78_sessionize"     -> (q78Sessionize _),
+    "q85_pivot_events"   -> (q85PivotEvents _),
+    "q86_gap_fill"       -> (q86GapFill _))
 
   val oracles: Map[String, String] = Map(
     "q08_window_rank" ->
@@ -485,5 +510,34 @@ object QueriesRelational2 {
                 max(sec) - min(sec) AS dur_sec,
                 round(sum(value), 2) AS sum_value
          FROM s GROUP BY user_id, session_id
-         ORDER BY user_id, session_id""")
+         ORDER BY user_id, session_id""",
+    "q85_pivot_events" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                round(sum(CASE WHEN event_type = 'click'
+                          THEN value END), 6) AS click,
+                round(sum(CASE WHEN event_type = 'error'
+                          THEN value END), 6) AS error,
+                round(sum(CASE WHEN event_type = 'purchase'
+                          THEN value END), 6) AS purchase,
+                round(sum(CASE WHEN event_type = 'signup'
+                          THEN value END), 6) AS signup,
+                round(sum(CASE WHEN event_type = 'view'
+                          THEN value END), 6) AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q86_gap_fill" ->
+      """WITH e AS (SELECT user_id,
+                CAST(floor(epoch(ts)/3600) AS BIGINT) AS b, value
+              FROM events),
+         agg AS (SELECT user_id, b, count(*) AS n,
+                        round(sum(value), 6) AS sv
+                 FROM e GROUP BY 1, 2),
+         span AS (SELECT user_id, min(b) AS b0, max(b) AS b1
+                  FROM e GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS b
+                  FROM span)
+         SELECT g.user_id, g.b AS bucket,
+                COALESCE(a.n, 0) AS n_events,
+                COALESCE(a.sv, 0.0) AS sum_value
+         FROM grid g LEFT JOIN agg a USING (user_id, b)
+         ORDER BY user_id, bucket""")
 }

@@ -110,36 +110,57 @@ object GraftFunctions {
   // on the name (silently dispatching to one would compute wrong
   // results with no error)
   private val registered = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
 
-  def register(spark: SparkSession): Unit = {
+  private def markRegistered(spark: SparkSession, name: String): Unit =
+    registered.computeIfAbsent(spark,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+      .add(name)
+
+  private def isRegistered(spark: SparkSession, name: String): Boolean =
+    Option(registered.get(spark)).exists(_.contains(name))
+
+  private case class Spec(name: String, className: String,
+                          usage: String, arity: Int,
+                          build: Seq[Expression] => Expression)
+
+  private val specs = Seq(
+    Spec("cosine_sim", classOf[CosineSimilarity].getName,
+      "cosine_sim(a, b) - cosine similarity of two array<double> " +
+        "vectors", 2,
+      { case Seq(a, b) => CosineSimilarity(a, b) }),
+    Spec("nfc_normalize", classOf[NfcNormalize].getName,
+      "nfc_normalize(s) - Unicode NFC canonical composition", 1,
+      { case Seq(s) => NfcNormalize(s) }))
+
+  def register(spark: SparkSession): Unit = specs.foreach { spec =>
     val registry = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier("cosine_sim")
+    val ident = FunctionIdentifier(spec.name)
     if (registry.functionExists(ident)) {
       // the identity map misses CLONED sessions (Structured Streaming
       // clones the session per micro-batch, copying the registry), so
       // also accept an existing registration whose ExpressionInfo
       // points at our own class
-      val ours = registered.containsKey(spark) ||
+      val ours = isRegistered(spark, spec.name) ||
         registry.lookupFunction(ident)
-          .exists(_.getClassName == classOf[CosineSimilarity].getName)
+          .exists(_.getClassName == spec.className)
       if (!ours)
         throw graft.exceptions.InvalidArgumentCombination(
-          "a different function named cosine_sim is already registered " +
-            "in this session; graft's native expression would be shadowed")
-      registered.put(spark, java.lang.Boolean.TRUE)
+          s"a different function named ${spec.name} is already " +
+            "registered in this session; graft's native expression " +
+            "would be shadowed")
+      markRegistered(spark, spec.name)
     } else {
-      registered.put(spark, java.lang.Boolean.TRUE)
+      markRegistered(spark, spec.name)
       registry.registerFunction(
         ident,
-        new ExpressionInfo(classOf[CosineSimilarity].getName,
-          null, "cosine_sim", "cosine_sim(a, b) - cosine similarity " +
-            "of two array<double> vectors", ""),
-        (children: Seq[Expression]) => children match {
-          case Seq(a, b) => CosineSimilarity(a, b)
-          case other => throw graft.exceptions.InvalidArgumentValue(
-            s"cosine_sim expects 2 arguments, got ${other.size}")
-        })
+        new ExpressionInfo(spec.className, null, spec.name,
+          spec.usage, ""),
+        (children: Seq[Expression]) =>
+          if (children.size == spec.arity) spec.build(children)
+          else throw graft.exceptions.InvalidArgumentValue(
+            s"${spec.name} expects ${spec.arity} arguments, " +
+              s"got ${children.size}"))
     }
   }
 }

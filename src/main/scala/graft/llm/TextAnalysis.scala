@@ -643,4 +643,25 @@ object TextAnalysis {
           slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
           .as("chunk_text"))
   }
+
+  /** Canonical text normalization ahead of dedup/tokenization: Unicode
+    * NFC composition (é typed as e+◌́ must hash identically to é) via
+    * the native codegen'd [[graft.functions.NfcNormalize]] expression,
+    * then strip non-whitespace control characters (C0 except
+    * TAB..CR, DEL, C1), then collapse whitespace runs to single
+    * spaces and trim. Zero-shuffle codegen'd projection; the q84
+    * oracle replays it with DuckDB's `nfc_normalize` + the same RE2
+    * classes.
+    *
+    * @return (id, text_norm)
+    */
+  def normalizeText(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val nfc = call_function("nfc_normalize", col(textCol))
+    df.select(col(idCol),
+      trim(regexp_replace(regexp_replace(nfc,
+        "[\\x00-\\x08\\x0E-\\x1F\\x7F-\\x9F]", ""),
+        "\\s+", " ")).as("text_norm"))
+  }
 }

@@ -370,4 +370,51 @@ object Relational {
       sum(boundary).over(w.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
   }
+
+  /** Time-series resampling with gap fill (densify): bucket each
+    * key's events into `bucketSeconds` windows, then emit EVERY bucket
+    * between the key's first and last event — missing buckets as
+    * (0, 0.0) rows — so downstream window math (moving averages,
+    * anomaly baselines) sees a regular grid.
+    *
+    * The grid is generated with a chunked double explode: first
+    * `chunk`-sized ranges, then positions within a range. A single
+    * `sequence(b0, b1)` would materialize one array spanning the whole
+    * key history — a years-long key at small buckets is a multi-GB
+    * row; chunking bounds per-row memory at `chunk` elements no
+    * matter the span. Shuffle shape: two partial-aggregated passes
+    * over the events (bucket agg + span agg) and one equi-join of the
+    * grid against the bucket aggregates.
+    *
+    * @return (key, bucket, n_events, sum_value); bucket is
+    *         floor(epochSeconds / bucketSeconds)
+    */
+  def resampleGapFill(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, bucketSeconds: Long,
+                      chunk: Int = 4096): DataFrame = {
+    if (bucketSeconds <= 0)
+      throw InvalidArgumentValue(
+        s"bucketSeconds must be positive: $bucketSeconds")
+    if (chunk <= 0)
+      throw InvalidArgumentValue(s"chunk must be positive: $chunk")
+    val b = floor(unix_timestamp(col(tsCol)) / bucketSeconds)
+      .cast("long")
+    val base = df.select(col(keyCol), b.as("__b"), col(valueCol))
+    val perBucket = base.groupBy(keyCol, "__b").agg(
+      count(lit(1)).as("__n"), round(sum(valueCol), 6).as("__sv"))
+    val span = base.groupBy(keyCol).agg(
+      min("__b").as("__b0"), max("__b").as("__b1"))
+    val grid = span
+      .select(col(keyCol), col("__b1"),
+        explode(sequence(col("__b0"), col("__b1"), lit(chunk.toLong)))
+          .as("__c"))
+      .select(col(keyCol),
+        explode(sequence(col("__c"),
+          least(col("__c") + (chunk - 1).toLong, col("__b1"))))
+          .as("__b"))
+    grid.join(perBucket, Seq(keyCol, "__b"), "left")
+      .select(col(keyCol), col("__b").as("bucket"),
+        coalesce(col("__n"), lit(0L)).as("n_events"),
+        coalesce(col("__sv"), lit(0.0)).as("sum_value"))
+  }
 }

@@ -85,4 +85,38 @@ class FunctionsSpec extends SparkSpec {
       bad.select(call_function("cosine_sim", $"a", $"b")).collect()
     }
   }
+
+  test("nfc_normalize composes decomposed text; codegen == interpreted") {
+    val df = Seq(
+      (1L, Some("café and nöel")), // e+◌́, o+◌̈
+      (2L, Some("plain ascii")),
+      (3L, None)
+    ).toDF("id", "s")
+    val expr = call_function("nfc_normalize", $"s")
+    val got = df.select($"id", expr.as("n")).orderBy("id")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(got(0)._2.contains("caf\u00e9 and n\u00f6el"))
+    assert(got(1)._2.contains("plain ascii")) // NFC no-op on ASCII
+    assert(got(2)._2.isEmpty)                 // null propagates
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select($"id", expr.as("n")).orderBy("id")
+        .as[(Long, Option[String])].collect().toSeq
+      assert(interp == got)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    // SQL callable + arity and type errors surface at analysis
+    assert(spark.sql("SELECT nfc_normalize('é') AS n")
+      .head().getString(0) == "é")
+    intercept[Exception] {
+      spark.sql("SELECT nfc_normalize('a', 'b')").collect()
+    }
+    intercept[Exception] {
+      Seq(1).toDF("x")
+        .select(call_function("nfc_normalize", $"x")).collect()
+    }
+  }
 }

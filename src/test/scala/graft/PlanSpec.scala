@@ -131,6 +131,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("[codegen id :"), s"not codegen'd:\n$p")
   }
 
+  test("q84 text normalization is a shuffle-free codegen projection") {
+    // the native nfc_normalize expression must not break the
+    // whole-stage codegen span around it
+    val p = formattedPlanOf(graft.llm.TextAnalysis.normalizeText(
+      Tables.read(spark, sf, "documents"), "doc_id", "text"))
+    assert(!p.contains("Exchange"), s"normalization shuffles:\n$p")
+    assert(p.contains("[codegen id :"), s"not codegen'd:\n$p")
+  }
+
   test("q65 span removal joins are equi-joins, never a pair explosion") {
     val p = formattedPlanOf(QueriesLlm.q65RemoveSpans(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") &&

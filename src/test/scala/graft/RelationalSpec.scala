@@ -251,4 +251,35 @@ class RelationalSpec extends SparkSpec {
       Relational.sessionize(events, "user_id", "ts", gapSeconds = 0)
     }
   }
+
+  test("resampleGapFill densifies per key; chunked grid == plain sequence") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: events in hours 0 and 3 → grid must cover 0,1,2,3
+      (1L, ts("2024-01-01 00:10:00"), 2.0),
+      (1L, ts("2024-01-01 00:50:00"), 3.0),
+      (1L, ts("2024-01-01 03:05:00"), 5.0),
+      // user 2: single event → single-bucket grid
+      (2L, ts("2024-01-02 07:30:00"), 1.5))
+      .toDF("user_id", "ts", "value").repartition(3)
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      .getTime / 1000 / 3600
+    def run(chunk: Int) = Relational.resampleGapFill(events,
+        "user_id", "ts", "value", bucketSeconds = 3600, chunk = chunk)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // chunk=2 forces the double explode to split the 4-bucket span
+    val got = run(2)
+    assert(got == Set(
+      (1L, h0, 2L, 5.0), (1L, h0 + 1, 0L, 0.0), (1L, h0 + 2, 0L, 0.0),
+      (1L, h0 + 3, 1L, 5.0), (2L, h0 + 31, 1L, 1.5)))
+    // chunk larger than any span degenerates to one sequence — same grid
+    assert(run(1000000) == got)
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Relational.resampleGapFill(events, "user_id", "ts", "value", 0)
+    }
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Relational.resampleGapFill(events, "user_id", "ts", "value",
+        3600, chunk = 0)
+    }
+  }
 }
