@@ -772,6 +772,24 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** q87 — chunk-level exact dedup (the chunked twin of document
+    * dedup: identical 25-token chunks across the corpus collapse to
+    * their lexicographically-first (doc_id, chunk_id) owner). One
+    * groupBy on chunk_text with `min(struct(...))` — partial-aggregated
+    * map-side, so duplicate mass never reaches a single window task.
+    */
+  def q87ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = TextAnalysis.chunkDocuments(t(spark, dir, "documents"),
+      "doc_id", "text", chunkTokens = 25, overlapTokens = 5)
+    chunks.groupBy("chunk_text")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__k"),
+           count(lit(1)).as("n_copies"))
+      .select(col("__k.doc_id").as("doc_id"),
+        col("__k.chunk_id").as("chunk_id"),
+        col("n_copies"), col("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -819,7 +837,8 @@ object QueriesLlm {
     "q81_redact_pii"     -> (q81RedactPii _),
     "q82_chunk_docs"     -> (q82ChunkDocs _),
     "q83_cluster_outliers" -> (q83ClusterOutliers _),
-    "q84_normalize_text" -> (q84NormalizeText _))
+    "q84_normalize_text" -> (q84NormalizeText _),
+    "q87_chunk_dedup"    -> (q87ChunkDedup _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -1830,5 +1849,25 @@ object QueriesLlm {
                   nfc_normalize(text),
                   '[\x00-\x08\x0E-\x1F\x7F-\x9F]', '', 'g'),
                   '\s+', ' ', 'g')) AS text_norm
-         FROM d ORDER BY doc_id""")
+         FROM d ORDER BY doc_id""",
+    "q87_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id,
+                string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n,
+                      unnest(generate_series(0, len(toks)-1, 20))
+                        AS start
+               FROM d WHERE len(toks) > 0),
+         c AS (SELECT doc_id, CAST(start//20 AS BIGINT) AS chunk_id,
+                array_to_string(toks[start+1 : least(start+25, n)], ' ')
+                  AS chunk_text
+               FROM s),
+         r AS (SELECT doc_id, chunk_id, chunk_text,
+                row_number() OVER (PARTITION BY chunk_text
+                  ORDER BY doc_id, chunk_id) AS rn,
+                count(*) OVER (PARTITION BY chunk_text) AS nc
+               FROM c)
+         SELECT doc_id, chunk_id, CAST(nc AS BIGINT) AS n_copies,
+                chunk_text
+         FROM r WHERE rn = 1 ORDER BY doc_id, chunk_id""")
 }

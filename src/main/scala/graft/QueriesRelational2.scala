@@ -321,6 +321,20 @@ object QueriesRelational2 {
         bucketSeconds = 3600, chunk = 1000)
       .orderBy("user_id", "bucket")
 
+  /** q88 — numeric profiling (the pandas `describe()` surface): all
+    * four lineitem measures summarized in ONE aggregation pass.
+    */
+  def q88Profile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.profileNumeric(t(spark, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("column")
+
+  /** q89 — pairwise Pearson correlation, all 6 pairs in one pass. */
+  def q89Correlation(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.correlationMatrix(t(spark, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_a", "col_b")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_window_rank"    -> (q08WindowRank _),
     "q09_window_running" -> (q09WindowRunning _),
@@ -342,7 +356,9 @@ object QueriesRelational2 {
     "q51_range_join"     -> (q51RangeJoin _),
     "q78_sessionize"     -> (q78Sessionize _),
     "q85_pivot_events"   -> (q85PivotEvents _),
-    "q86_gap_fill"       -> (q86GapFill _))
+    "q86_gap_fill"       -> (q86GapFill _),
+    "q88_profile"        -> (q88Profile _),
+    "q89_correlation"    -> (q89Correlation _))
 
   val oracles: Map[String, String] = Map(
     "q08_window_rank" ->
@@ -539,5 +555,61 @@ object QueriesRelational2 {
                 COALESCE(a.n, 0) AS n_events,
                 COALESCE(a.sv, 0.0) AS sum_value
          FROM grid g LEFT JOIN agg a USING (user_id, b)
-         ORDER BY user_id, bucket""")
+         ORDER BY user_id, bucket""",
+    "q88_profile" ->
+      """SELECT * FROM (
+         SELECT 'l_quantity' AS "column", count(l_quantity) AS n_nonnull,
+                count(*) - count(l_quantity) AS n_null,
+                round(avg(l_quantity), 6) AS mean,
+                round(stddev_samp(l_quantity), 6) AS sd,
+                round(CAST(min(l_quantity) AS DOUBLE), 6) AS min,
+                round(CAST(max(l_quantity) AS DOUBLE), 6) AS max,
+                round(quantile_cont(l_quantity, 0.5), 6) AS median
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice' AS "column", count(l_extendedprice) AS n_nonnull,
+                count(*) - count(l_extendedprice) AS n_null,
+                round(avg(l_extendedprice), 6) AS mean,
+                round(stddev_samp(l_extendedprice), 6) AS sd,
+                round(CAST(min(l_extendedprice) AS DOUBLE), 6) AS min,
+                round(CAST(max(l_extendedprice) AS DOUBLE), 6) AS max,
+                round(quantile_cont(l_extendedprice, 0.5), 6) AS median
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_discount' AS "column", count(l_discount) AS n_nonnull,
+                count(*) - count(l_discount) AS n_null,
+                round(avg(l_discount), 6) AS mean,
+                round(stddev_samp(l_discount), 6) AS sd,
+                round(CAST(min(l_discount) AS DOUBLE), 6) AS min,
+                round(CAST(max(l_discount) AS DOUBLE), 6) AS max,
+                round(quantile_cont(l_discount, 0.5), 6) AS median
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_tax' AS "column", count(l_tax) AS n_nonnull,
+                count(*) - count(l_tax) AS n_null,
+                round(avg(l_tax), 6) AS mean,
+                round(stddev_samp(l_tax), 6) AS sd,
+                round(CAST(min(l_tax) AS DOUBLE), 6) AS min,
+                round(CAST(max(l_tax) AS DOUBLE), 6) AS max,
+                round(quantile_cont(l_tax, 0.5), 6) AS median
+         FROM lineitem) ORDER BY "column"""",
+    "q89_correlation" ->
+      """SELECT * FROM (
+         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+                round(corr(l_quantity, l_discount), 6) AS corr FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b,
+                round(corr(l_quantity, l_tax), 6) AS corr FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b,
+                round(corr(l_extendedprice, l_discount), 6) AS corr FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b,
+                round(corr(l_extendedprice, l_tax), 6) AS corr FROM lineitem
+         UNION ALL
+         SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
+                round(corr(l_discount, l_tax), 6) AS corr FROM lineitem) ORDER BY col_a, col_b""")
 }

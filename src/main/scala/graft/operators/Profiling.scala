@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+import graft.exceptions._
+
+/** Dataset profiling (the `df.describe()` surface a pandas-on-AWS
+  * user reaches for first): per-column numeric summaries and pairwise
+  * Pearson correlation. Both are SINGLE-scan wide aggregations — all
+  * columns' statistics (or all pairs' moments) partial-aggregate
+  * map-side in one pass, then a driver-sized melt to long form. At
+  * 100 TB the cost is exactly one scan regardless of how many columns
+  * are profiled; nothing but the k-row (or k²-row) result ever
+  * shuffles.
+  */
+object Profiling {
+
+  private def requireNumeric(df: DataFrame, cols: Seq[String]): Unit = {
+    if (cols.isEmpty)
+      throw InvalidArgumentValue("cols must be non-empty")
+    val dup = cols.diff(cols.distinct)
+    if (dup.nonEmpty)
+      throw InvalidArgumentValue(s"duplicate cols: ${dup.mkString(",")}")
+    cols.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw InvalidArgumentValue(s"no such column: $c"))
+      if (!f.dataType.isInstanceOf[NumericType])
+        throw InvalidArgumentValue(
+          s"column $c is ${f.dataType.simpleString}, not numeric")
+    }
+  }
+
+  /** Per-column summary statistics, one row per column:
+    * (column, n_nonnull, n_null, mean, sd, min, max, median) — sd is
+    * the sample stddev, median the interpolated exact percentile, all
+    * rounded to 6 decimals so any engine re-derives the same values.
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    requireNumeric(df, cols)
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        round(avg(col(c)), 6).as(s"__mean_$c"),
+        round(stddev_samp(col(c)), 6).as(s"__sd_$c"),
+        round(min(col(c)).cast("double"), 6).as(s"__min_$c"),
+        round(max(col(c)).cast("double"), 6).as(s"__max_$c"),
+        round(expr(s"percentile($c, 0.5)"), 6).as(s"__med_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"__n_$c").as("n_nonnull"),
+        (col("__total") - col(s"__n_$c")).as("n_null"),
+        col(s"__mean_$c").as("mean"),
+        col(s"__sd_$c").as("sd"),
+        col(s"__min_$c").as("min"),
+        col(s"__max_$c").as("max"),
+        col(s"__med_$c").as("median"))
+    }
+    wide.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
+  /** Pairwise Pearson correlation over the given columns, one row per
+    * unordered pair (col_a < col_b lexicographically by input order):
+    * (col_a, col_b, corr) rounded to 6 decimals. All n(n−1)/2
+    * coefficients come out of ONE aggregation pass.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    requireNumeric(df, cols)
+    if (cols.size < 2)
+      throw InvalidArgumentValue("need at least two cols for corr")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"__corr_${a}__$b")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__corr_${a}__$b").as("corr"))
+    }
+    wide.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+}

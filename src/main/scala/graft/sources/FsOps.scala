@@ -249,6 +249,71 @@ object FsOps {
     copyObjects(spark, objects.map(_.path), src, dst, distributed)
   }
 
+  case class CompactStats(filesBefore: Int, filesAfter: Int,
+                          bytes: Long, rows: Long)
+
+  /** Small-files compaction: rewrite a parquet dataset into
+    * ~`targetFileMb` files — the standing maintenance job of any
+    * long-lived ingest (streaming sinks and partitioned appends
+    * accrete kilobyte files; at 100 TB the scan's task-setup cost is
+    * dominated by file COUNT, not bytes).
+    *
+    * Sizing comes from data already in hand: bytes from the listing,
+    * rows from a count (parquet footer metadata), so
+    * `maxRecordsPerFile ≈ targetFileMb / avgRowBytes` and the input is
+    * coalesced to ceil(bytes/target) write tasks. Partitioned
+    * datasets pass `partitionCols`: layout is preserved and
+    * compaction happens within each partition directory
+    * (one file per partition plus maxRecordsPerFile splits).
+    *
+    * Not atomic (neither are the reference's S3 ops): the sequence is
+    * write to `<path>__compact_tmp` → rename original to
+    * `<path>__compact_bak` → rename tmp into place → delete bak, so
+    * every failure point leaves a complete copy of the data under one
+    * of the three names.
+    */
+  def compactDataset(spark: SparkSession, path: String,
+                     targetFileMb: Int = 128,
+                     partitionCols: Seq[String] = Seq.empty)
+      : CompactStats = {
+    if (targetFileMb <= 0)
+      throw InvalidArgumentValue(
+        s"targetFileMb must be positive: $targetFileMb")
+    val dst = qualified(spark, path)
+    val dataFiles = listObjects(spark, dst)
+      .filter(_.path.endsWith(".parquet"))
+    if (dataFiles.isEmpty) return CompactStats(0, 0, 0L, 0L)
+    val bytes = dataFiles.map(_.size).sum
+    val df = spark.read.parquet(dst)
+    val rows = df.count()
+    if (rows == 0L) return CompactStats(dataFiles.size, 0, bytes, 0L)
+    val targetBytes = targetFileMb.toLong * 1024 * 1024
+    val maxRecords = math.max(1L, targetBytes / math.max(1L, bytes / rows))
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = dst + "__compact_tmp"
+    val bak = dst + "__compact_bak"
+    val writer = (if (partitionCols.isEmpty) df.repartition(nOut)
+                  else df.repartition(partitionCols.map(
+                    org.apache.spark.sql.functions.col): _*))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecords)
+    (if (partitionCols.isEmpty) writer
+     else writer.partitionBy(partitionCols: _*)).parquet(tmp)
+    val (fileSystem, p) = fs(spark, dst)
+    val (_, tmpP) = fs(spark, tmp)
+    val (_, bakP) = fs(spark, bak)
+    if (!fileSystem.rename(p, bakP))
+      throw InvalidArgumentValue(s"could not stage original to $bak")
+    if (!fileSystem.rename(tmpP, p)) {
+      fileSystem.rename(bakP, p) // roll back
+      throw InvalidArgumentValue(s"could not move compacted data to $dst")
+    }
+    fileSystem.delete(bakP, true)
+    val after = listObjects(spark, dst)
+      .count(_.path.endsWith(".parquet"))
+    CompactStats(dataFiles.size, after, bytes, rows)
+  }
+
   /** boto3 s3.get_bucket_location surface — the one §2.6 call with no
     * Hadoop counterpart (bucket location is an S3 control-plane
     * attribute, not a filesystem one), so it takes an injected client

@@ -505,4 +505,60 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"simhash pairs differ; corpus=$docsList")
     }
   }
+
+  test("chunkDocuments covers every token exactly; overlap is exact") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "x", "yy")
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      words <- Gen.listOfN(n, word)
+      chunk <- Gen.choose(1, 12)
+      overlap <- Gen.choose(0, chunk - 1)
+    } yield (words, chunk, overlap)
+    forAllSeeded(gen, cases = 30) { case (words, chunk, overlap) =>
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.llm.TextAnalysis.chunkDocuments(
+          df, "doc_id", "text", chunk, overlap)
+        .orderBy("chunk_id")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      val step = chunk - overlap
+      val n = words.size
+      // chunk_ids are 0..ceil(n/step)-1 with the documented start rule
+      val starts = 0 until n by step
+      assert(got.map(_._2) == starts.indices.map(_.toLong),
+        s"ids off for n=$n chunk=$chunk overlap=$overlap")
+      got.zip(starts).foreach { case ((_, _, len, text), start) =>
+        val expect = words.slice(start, math.min(start + chunk, n))
+        assert(text == expect.mkString(" ") && len == expect.size,
+          s"chunk at $start differs for chunk=$chunk overlap=$overlap")
+      }
+      // every token position is covered by at least one chunk
+      val covered = starts.flatMap(s =>
+        s until math.min(s + chunk, n)).toSet
+      assert(covered == (0 until n).toSet)
+    }
+  }
+
+  test("redactPii with default rules is idempotent on arbitrary text") {
+    val piiGen = Gen.oneOf("a@b.com", "10.0.0.1", "123-45-6789",
+      "u.x+1@d-e.org", "255.255.255.255")
+    val fillerGen = Gen.oneOf("hello", "42", "a.b", "x@", "@y", "7.8.9",
+      "12-34", " ")
+    val gen = Gen.listOfN(12,
+      Gen.frequency(3 -> fillerGen, 1 -> piiGen))
+    forAllSeeded(gen, cases = 30) { toks =>
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val once = graft.llm.TextAnalysis
+        .redactPii(df, "doc_id", "text")
+        .select(col("doc_id"), col("redacted").as("text"))
+      val twice = graft.llm.TextAnalysis
+        .redactPii(once, "doc_id", "text")
+      val (a, b) = (once.as[(Long, String)].head()._2,
+        twice.select("doc_id", "redacted").as[(Long, String)].head()._2)
+      assert(a == b, s"not idempotent on: ${toks.mkString(" ")}")
+      // and the second pass counts zero remaining PII
+      val counts = twice.select("n_email", "n_ip", "n_ssn")
+        .as[(Long, Long, Long)].head()
+      assert(counts == ((0L, 0L, 0L)))
+    }
+  }
 }

@@ -282,4 +282,36 @@ class RelationalSpec extends SparkSpec {
         3600, chunk = 0)
     }
   }
+
+  test("profileNumeric and correlationMatrix: hand-checked, null-aware") {
+    val df = Seq(
+      (Some(1.0), Some(2.0)), (Some(2.0), Some(4.0)),
+      (Some(3.0), Some(6.0)), (None, Some(8.0)))
+      .toDF("x", "y").repartition(3)
+    val prof = graft.operators.Profiling
+      .profileNumeric(df, Seq("x", "y")).orderBy("column")
+      .as[(String, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(prof(0) == (("x", 3L, 1L, 2.0, 1.0, 1.0, 3.0, 2.0)))
+    assert(prof(1) == (("y", 4L, 0L, 5.0,
+      2.581989, 2.0, 8.0, 5.0))) // stddev_samp([2,4,6,8]) rounded
+    // y = 2x exactly where both present → corr 1.0 (null row ignored)
+    val c = graft.operators.Profiling
+      .correlationMatrix(df, Seq("x", "y"))
+      .as[(String, String, Double)].head()
+    assert(c == (("x", "y", 1.0)))
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      graft.operators.Profiling.profileNumeric(df, Seq.empty)
+    }
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      graft.operators.Profiling.profileNumeric(df, Seq("missing"))
+    }
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      graft.operators.Profiling.correlationMatrix(df, Seq("x"))
+    }
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      graft.operators.Profiling.profileNumeric(
+        df.withColumn("s", lit("a")), Seq("s"))
+    }
+  }
 }

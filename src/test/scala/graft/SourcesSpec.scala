@@ -248,4 +248,52 @@ class SourcesSpec extends SparkSpec {
     val chunks = Reader.toLocalChunks(orders.limit(25), 10).toSeq
     assert(chunks.map(_.size) == Seq(10, 10, 5))
   }
+
+  test("compactDataset collapses small files, preserving content") {
+    import spark.implicits._
+    val root = tmpDir("src-compact")
+    val df = (1L to 500L).map(i => (i, s"row-$i")).toDF("id", "s")
+    df.repartition(16).write.parquet(s"$root/flat")
+    val before = FsOps.listObjects(spark, s"$root/flat")
+      .count(_.path.endsWith(".parquet"))
+    assert(before == 16)
+    val stats = FsOps.compactDataset(spark, s"$root/flat",
+      targetFileMb = 64)
+    assert(stats.filesBefore == 16 && stats.rows == 500L)
+    val after = FsOps.listObjects(spark, s"$root/flat")
+      .count(_.path.endsWith(".parquet"))
+    assert(after == stats.filesAfter && after < before)
+    val back = spark.read.parquet(s"$root/flat")
+      .as[(Long, String)].collect().toSet
+    assert(back == (1L to 500L).map(i => (i, s"row-$i")).toSet)
+    // staging names are gone
+    assert(!FsOps.doesObjectExist(spark, s"$root/flat__compact_tmp"))
+    assert(!FsOps.doesObjectExist(spark, s"$root/flat__compact_bak"))
+  }
+
+  test("compactDataset preserves hive partition layout") {
+    import spark.implicits._
+    val root = tmpDir("src-compact-part")
+    val df = (1L to 300L).map(i => (i, (i % 3).toString, s"v$i"))
+      .toDF("id", "p", "s")
+    df.repartition(10).write.partitionBy("p")
+      .parquet(s"$root/ds")
+    val stats = FsOps.compactDataset(spark, s"$root/ds",
+      targetFileMb = 64, partitionCols = Seq("p"))
+    assert(stats.rows == 300L && stats.filesAfter < stats.filesBefore)
+    // one file per partition at this size, directories intact
+    val dirs = FsOps.listDirectories(spark, s"$root/ds").sorted
+    assert(dirs.map(_.split('/').last).toSet ==
+      Set("p=0", "p=1", "p=2"))
+    val back = spark.read.parquet(s"$root/ds")
+      .select("id", "p", "s").as[(Long, String, String)]
+      .collect().toSet
+    assert(back == (1L to 300L)
+      .map(i => (i, (i % 3).toString, s"v$i")).toSet)
+    assert(FsOps.listObjects(spark, s"$root/ds")
+      .count(_.path.endsWith(".parquet")) == 3)
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      FsOps.compactDataset(spark, s"$root/ds", targetFileMb = 0)
+    }
+  }
 }
