@@ -790,6 +790,29 @@ object QueriesLlm {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** q90 — vocabulary coverage / OOV rate against the corpus's own
+    * top-500 tokens: the tokenizer-vocab sizing check and per-source
+    * drift signal. One tokenization feeds both the vocab top-K and
+    * the per-document rescan; vocab broadcast.
+    */
+  def q90VocabOov(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(t(spark, dir, "documents"),
+        "doc_id", "text", vocabSize = 500)
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        col("n_oov"), col("oov_rate"))
+      .orderBy("doc_id")
+
+  /** q93 — bigram cross-entropy per document (q68's unigram scorer
+    * one n-gram order up): codegen'd array-slice bigrams, two
+    * frequency models, one tokenization.
+    */
+  def q93BigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(t(spark, dir, "documents"),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"),
+        round(col("bits_per_bigram"), 6).as("bits_per_bigram"))
+      .orderBy("doc_id")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -838,7 +861,9 @@ object QueriesLlm {
     "q82_chunk_docs"     -> (q82ChunkDocs _),
     "q83_cluster_outliers" -> (q83ClusterOutliers _),
     "q84_normalize_text" -> (q84NormalizeText _),
-    "q87_chunk_dedup"    -> (q87ChunkDedup _))
+    "q87_chunk_dedup"    -> (q87ChunkDedup _),
+    "q90_vocab_oov"      -> (q90VocabOov _),
+    "q93_bigram_logprob" -> (q93BigramLogprob _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -1869,5 +1894,50 @@ object QueriesLlm {
                FROM c)
          SELECT doc_id, chunk_id, CAST(nc AS BIGINT) AS n_copies,
                 chunk_text
-         FROM r WHERE rn = 1 ORDER BY doc_id, chunk_id""")
+         FROM r WHERE rn = 1 ORDER BY doc_id, chunk_id""",
+    // q90: the vocabulary is the top-500 tokens by (count desc, token
+    // asc) — a total order, so both engines derive the same set
+    "q90_vocab_oov" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(lower(text)), '\s+'))
+                  AS tok
+              FROM documents),
+         toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+         vocab AS (SELECT tok FROM toks2 GROUP BY tok
+                   ORDER BY count(*) DESC, tok ASC LIMIT 500),
+         sc AS (SELECT t.doc_id, count(*) AS n_tokens,
+                  count(*) FILTER (WHERE v.tok IS NULL) AS n_oov
+                FROM toks2 t LEFT JOIN vocab v USING (tok)
+                GROUP BY 1)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(n_oov AS BIGINT) AS n_oov,
+                round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
+         FROM sc ORDER BY doc_id""",
+    // q93: bigrams via lateral unnest(range) over the token array —
+    // the same adjacency the Spark side takes from array slicing; the
+    // smoothed conditional MLE is replayed exactly, V = distinct
+    // tokens corpus-wide
+    "q93_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id,
+                string_split_regex(trim(lower(text)), '\s+') AS a
+              FROM documents),
+         bi AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+                FROM d, unnest(range(1, len(a))) AS t(i)
+                WHERE len(a) >= 2),
+         uni AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         bif AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vn
+               FROM (SELECT unnest(a) AS tok FROM d)
+               WHERE tok <> ''),
+         sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+                  avg(-log2((f.c2 + 0.5) / (u.c1 + v.vn * 0.5)))
+                    AS bits
+                FROM bi b
+                JOIN bif f USING (w1, w2)
+                JOIN uni u USING (w1)
+                CROSS JOIN v
+                GROUP BY 1)
+         SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                round(bits, 6) AS bits_per_bigram
+         FROM sc ORDER BY doc_id""")
 }

@@ -335,6 +335,32 @@ object QueriesRelational2 {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy("col_a", "col_b")
 
+  /** q91 — edit-distance fuzzy join (entity matching) on a corpus
+    * with PLANTED typos: the first 300 part names plus copies with
+    * their 6th character deleted (re-keyed +100000). The q-gram
+    * count-filtered join must recover every planted pair and any
+    * true near-matches among the originals — the oracle replays
+    * all-pairs `levenshtein` on the same constructed corpus.
+    */
+  def q91FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "part").filter(col("p_partkey") <= 300)
+      .select(col("p_partkey").as("id"), col("p_name").as("s"))
+    val typos = base.select((col("id") + 100000).as("id"),
+      expr("concat(substring(s, 1, 5), substring(s, 7))").as("s"))
+    graft.operators.Relational
+      .editDistanceJoin(base.unionByName(typos), "id", "s", maxDist = 1)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q92 — fixed-width histogram of l_extendedprice in 20 buckets
+    * between the global min and max: one bounds scan, one
+    * partial-aggregated counting scan, a dense driver-sized spine.
+    */
+  def q92Histogram(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.histogram(
+        t(spark, dir, "lineitem"), "l_extendedprice", 20)
+      .orderBy("bucket")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_window_rank"    -> (q08WindowRank _),
     "q09_window_running" -> (q09WindowRunning _),
@@ -358,7 +384,9 @@ object QueriesRelational2 {
     "q85_pivot_events"   -> (q85PivotEvents _),
     "q86_gap_fill"       -> (q86GapFill _),
     "q88_profile"        -> (q88Profile _),
-    "q89_correlation"    -> (q89Correlation _))
+    "q89_correlation"    -> (q89Correlation _),
+    "q91_fuzzy_join"     -> (q91FuzzyJoin _),
+    "q92_histogram"      -> (q92Histogram _))
 
   val oracles: Map[String, String] = Map(
     "q08_window_rank" ->
@@ -611,5 +639,37 @@ object QueriesRelational2 {
                 round(corr(l_extendedprice, l_tax), 6) AS corr FROM lineitem
          UNION ALL
          SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
-                round(corr(l_discount, l_tax), 6) AS corr FROM lineitem) ORDER BY col_a, col_b""")
+                round(corr(l_discount, l_tax), 6) AS corr FROM lineitem) ORDER BY col_a, col_b""",
+    // q91: the oracle is the ALL-PAIRS answer on the same constructed
+    // corpus — the q-gram count filter must lose nothing
+    "q91_fuzzy_join" ->
+      """WITH base AS (SELECT p_partkey AS id, p_name AS s
+              FROM part WHERE p_partkey <= 300),
+         typos AS (SELECT id + 100000 AS id,
+                     substr(s, 1, 5) || substr(s, 7) AS s FROM base),
+         c AS (SELECT * FROM base UNION ALL SELECT * FROM typos)
+         SELECT a.id AS id_a, b.id AS id_b, a.s AS str_a, b.s AS str_b,
+                CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         FROM c a JOIN c b ON a.id < b.id
+         WHERE levenshtein(a.s, b.s) <= 1
+         ORDER BY id_a, id_b""",
+    // q92: the same floor((x-lo)/w) formula over the same doubles —
+    // bucket assignment is bit-reproducible across engines
+    "q92_histogram" ->
+      """WITH b AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS blo,
+                      CAST(max(l_extendedprice) AS DOUBLE) AS bhi
+                    FROM lineitem),
+         x AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         cnt AS (SELECT CASE WHEN bhi = blo THEN 0
+                   ELSE CAST(least(floor((x - blo) / ((bhi - blo) / 20)),
+                        19) AS BIGINT) END AS bucket,
+                   count(*) AS n
+                 FROM x, b GROUP BY 1),
+         spine AS (SELECT unnest(generate_series(0, 19)) AS bucket)
+         SELECT s.bucket, round(blo + s.bucket * (bhi - blo) / 20, 6) AS lo,
+                round(blo + (s.bucket + 1) * (bhi - blo) / 20, 6) AS hi,
+                COALESCE(c.n, 0) AS n
+         FROM spine s CROSS JOIN b LEFT JOIN cnt c USING (bucket)
+         ORDER BY bucket""")
 }

@@ -664,4 +664,108 @@ object TextAnalysis {
         "[\\x00-\\x08\\x0E-\\x1F\\x7F-\\x9F]", ""),
         "\\s+", " ")).as("text_norm"))
   }
+
+  /** Vocabulary coverage / OOV rate against the corpus's own top-K
+    * vocabulary — the "does a fixed tokenizer vocab cover this data"
+    * check run before committing to a tokenizer, and the per-source
+    * drift signal after (a source whose OOV rate climbs is drifting
+    * away from the training distribution). The vocabulary is the
+    * `vocabSize` most frequent whitespace tokens of the trimmed
+    * lowercase text, ties broken by token ascending so every engine
+    * derives the same set.
+    *
+    * Scale shape: one explode → hashed-free token frequency groupBy
+    * (partial-aggregated), a top-K via `orderBy.limit` (Spark plans
+    * TakeOrderedAndProject — K·partitions driver cost, K is
+    * driver-sized by contract), then the token frame joins the
+    * broadcast vocabulary and re-aggregates per document. The token
+    * frame is persisted across the two uses (one corpus tokenization,
+    * not two scans) and released before returning.
+    *
+    * @return (id, n_tokens, n_oov, oov_rate) — one row per document
+    *         with at least one token
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    if (vocabSize <= 0)
+      throw InvalidArgumentValue(s"vocabSize must be positive: $vocabSize")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in_vocab"))
+    val out = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in_vocab").isNull, 1)).as("n_oov"))
+      .select(col("id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    toks.unpersist(blocking = false)
+    out
+  }
+
+  /** Corpus-trained bigram cross-entropy per document — q68's unigram
+    * scorer upgraded one n-gram order (the CCNet/RefinedWeb perplexity
+    * pass with a transparent, SQL-replayable model instead of an
+    * opaque KenLM binary): score = −avg log₂ p(w₂|w₁) over the
+    * document's bigrams, with add-k smoothed conditional MLE
+    * p(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁) + k·V), V the corpus unigram
+    * vocabulary size. Bigrams are adjacent whitespace tokens of the
+    * trimmed lowercase text; documents with fewer than two tokens
+    * emit no row (they have no bigrams to score).
+    *
+    * Scale shape: ONE tokenization builds the bigram frame via
+    * codegen'd array slicing (`arrays_zip(slice,slice)` — no
+    * positional self-join, no window over token rows); the frame is
+    * persisted and feeds the bigram-frequency groupBy, the
+    * first-token-frequency groupBy, and the scoring joins, then is
+    * released. Both model frames are |vocab|-ish rows and
+    * AQE-broadcast when they fit; the per-document aggregation is the
+    * only other shuffle. No windows, no driver state.
+    *
+    * @return (id, n_bigrams, bits_per_bigram)
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    smoothK: Double = 0.5): DataFrame = {
+    require(smoothK > 0, s"smoothK must be positive: $smoothK")
+    val toksArr = split(trim(lower(col(textCol))), "\\s+")
+    val bi = df.select(col(idCol).cast("long").as("id"),
+        toksArr.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("id"), explode(arrays_zip(
+        slice(col("__t"), lit(1), size(col("__t")) - 1).as("w1"),
+        slice(col("__t"), lit(2), size(col("__t")) - 1).as("w2"))).as("__b"))
+      .select(col("id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // V counts every token position's type, including each document's
+    // final token (not just bigram-first positions): count w1 types
+    // and the distinct final tokens never seen as w1 — cheaper than
+    // re-exploding the corpus, identical to distinct-over-all-tokens
+    // because every non-final token IS some bigram's w1.
+    val uniFreq = bi.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    val lastToks = df.select(element_at(toksArr, -1).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val vocabN = uniFreq.select(col("w1").as("tok")).distinct()
+      .unionByName(lastToks).distinct()
+      .agg(count(lit(1)).cast("double").as("__v"))
+    val biFreq = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    val out = bi.join(biFreq, Seq("w1", "w2"))
+      .join(uniFreq, Seq("w1"))
+      .crossJoin(broadcast(vocabN))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log2((col("__c2") + smoothK) /
+          (col("__c1") + col("__v") * smoothK)))
+          .as("bits_per_bigram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    bi.unpersist(blocking = false)
+    out
+  }
 }

@@ -85,4 +85,48 @@ object Profiling {
     }
     wide.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** Fixed-width histogram of a numeric column: `nBuckets` equal
+    * buckets spanning [min, max], bucket i covering
+    * [min + i·w, min + (i+1)·w) with the last bucket closed at max
+    * (`least(floor((x−min)/w), nBuckets−1)` — the exact formula any
+    * engine replays). Empty buckets are emitted with n = 0 so the
+    * result always has `nBuckets` rows; a degenerate column
+    * (min == max) lands everything in bucket 0. Nulls are ignored.
+    *
+    * Scale shape: one scan for the (min, max) bounds — a 2-value
+    * broadcast — and one scan that partial-aggregates bucket counts
+    * map-side; at most `nBuckets` rows ever shuffle. The dense
+    * bucket spine is a driver-sized `spark.range`.
+    *
+    * @return (bucket, lo, hi, n) rounded to 6 decimals on the bounds
+    */
+  def histogram(df: DataFrame, c: String, nBuckets: Int): DataFrame = {
+    requireNumeric(df, Seq(c))
+    if (nBuckets <= 0)
+      throw InvalidArgumentValue(s"nBuckets must be positive: $nBuckets")
+    val spark = df.sparkSession
+    val bounds = df.agg(min(col(c)).cast("double").as("__lo"),
+      max(col(c)).cast("double").as("__hi"))
+    val counts = df.select(col(c).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(when(col("__hi") === col("__lo"), lit(0L))
+        .otherwise(least(
+          floor((col("__x") - col("__lo")) /
+            ((col("__hi") - col("__lo")) / nBuckets)),
+          lit(nBuckets - 1L))).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    spark.range(nBuckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .crossJoin(broadcast(bounds))
+      .select(col("bucket"),
+        round(col("__lo") +
+          col("bucket") * (col("__hi") - col("__lo")) / nBuckets, 6)
+          .as("lo"),
+        round(col("__lo") +
+          (col("bucket") + 1) * (col("__hi") - col("__lo")) / nBuckets, 6)
+          .as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

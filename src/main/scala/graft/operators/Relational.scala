@@ -417,4 +417,129 @@ object Relational {
         coalesce(col("__n"), lit(0L)).as("n_events"),
         coalesce(col("__sv"), lit(0.0)).as("sum_value"))
   }
+
+  /** Edit-distance similarity join (fuzzy entity matching): all pairs
+    * (a, b) with a.id < b.id and levenshtein(a.str, b.str) ≤ maxDist.
+    * Recall-GUARANTEED candidate generation via q-gram count
+    * filtering (Gravano et al., VLDB 2001): an edit destroys at most
+    * q of a string's positional q-grams, so ed(s,t) ≤ d ⇒ the strings
+    * share ≥ max(|s|,|t|) − q + 1 − q·d q-gram occurrences. Candidates
+    * come from a gram equi-join counted against that bound (multiset
+    * semantics — grams carry their duplicate ordinal so "aaaa"-style
+    * repeats count correctly), plus the length filter ||s|−|t|| ≤ d;
+    * strings too short to be covered by the bound
+    * (len < q·(d+1) + q − 1) pair within driver-sized length bands
+    * instead. Exact `levenshtein` verifies every candidate — the
+    * result is exactly the all-pairs answer, never all-pairs cost.
+    *
+    * Scale shape: explode → gram equi-join → pair count ≥ threshold
+    * (partial-aggregated) → verify. The gram join is the one shuffle
+    * that grows with data. `maxGramFreq` (0 = off, the default —
+    * `minhashNearDups`' `maxBandBucket` convention) drops grams seen
+    * in more strings than that from candidate generation; both strings'
+    * thresholds are lowered by their own dropped-occurrence counts,
+    * so the only pairs the guard can lose are those whose EVERY
+    * shared gram is flooded — a property spec pins `== all-pairs`
+    * with the guard off, and callers flooding on boilerplate corpora
+    * opt in to that trade.
+    *
+    * Short strings (len < q·(d+1) + q − 1) have too few grams for the
+    * bound and pair within length bands instead — quadratic WITHIN a
+    * band by nature (two 5-char strings within distance 2 can share
+    * zero 3-grams), so exact-dedup sub-`q·(d+1)`-char strings first
+    * if the corpus is short-string-heavy.
+    *
+    * @param df  (idCol, strCol) — ids must be unique
+    * @return (id_a, id_b, str_a, str_b, dist), id_a < id_b
+    */
+  def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
+                       maxDist: Int, q: Int = 3,
+                       maxGramFreq: Long = 0L): DataFrame = {
+    if (maxDist <= 0)
+      throw InvalidArgumentValue(s"maxDist must be positive: $maxDist")
+    if (q < 2)
+      throw InvalidArgumentValue(s"q must be >= 2: $q")
+    val gramFreqCap = if (maxGramFreq <= 0) Long.MaxValue else maxGramFreq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val strs = df.select(col(idCol).cast("long").as("id"),
+      col(strCol).as("s"), length(col(strCol)).as("len"))
+    val minCovered = q * (maxDist + 1) + q - 1
+    val long = strs.filter(col("len") >= minCovered)
+    // positional q-grams with duplicate ordinals: the k-th occurrence
+    // of gram g only matches the other string's k-th occurrence, so
+    // the join counts multiset intersection, which the Gravano bound
+    // is stated over
+    val grams = long
+      .select(col("id"), col("len"),
+        posexplode(expr(
+          s"transform(sequence(1, len - ${q - 1}), i -> substring(s, i, $q))"))
+          .as(Seq("__p", "g")))
+      .withColumn("__k", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id", "g").orderBy("__p")))
+      .select(col("id"), col("len"), col("g"), col("__k"))
+    val flood = grams.groupBy("g", "__k")
+      .agg(countDistinct("id").as("__nids"))
+      .filter(col("__nids") > gramFreqCap)
+      .select(col("g"), col("__k"), lit(1).as("__flooded"))
+    val kept = grams.join(broadcast(flood), Seq("g", "__k"), "left")
+    // per-string count of dropped gram occurrences: lowers that
+    // string's threshold so the bound stays exact without the flood
+    // gram ever entering the join
+    val dropped = kept.groupBy("id")
+      .agg(count(when(col("__flooded").isNotNull, 1)).as("__dropped"))
+    val candidates = kept.filter(col("__flooded").isNull)
+      .select(col("id"), col("len"), col("g"), col("__k"))
+      .as("l")
+      .join(kept.filter(col("__flooded").isNull)
+        .select(col("id"), col("len"), col("g"), col("__k")).as("r"),
+        $"l.g" === $"r.g" && $"l.__k" === $"r.__k" &&
+          $"l.id" < $"r.id" &&
+          abs($"l.len" - $"r.len") <= maxDist)
+      .groupBy($"l.id".as("id_a"), $"r.id".as("id_b"),
+        $"l.len".as("len_a"), $"r.len".as("len_b"))
+      .agg(count(lit(1)).as("__shared"))
+      .join(dropped.select(col("id").as("id_a"),
+        col("__dropped").as("__da")), Seq("id_a"))
+      .join(dropped.select(col("id").as("id_b"),
+        col("__dropped").as("__db")), Seq("id_b"))
+      .filter(col("__shared") >=
+        greatest(col("len_a"), col("len_b")) - (q - 1) - q * maxDist -
+          col("__da") - col("__db"))
+      .select(col("id_a"), col("id_b"))
+    // short strings: too few grams for the bound — pair within length
+    // bands via an EQUI-join on the band key (left side replicated to
+    // each length within maxDist, right side at its own length), so
+    // Spark shuffles on the key instead of planning a nested loop.
+    // Each unordered pair is emitted exactly once (by the l.id < r.id
+    // side whose band hits the other's length).
+    val short = strs.filter(col("len") < minCovered)
+    val banded = short
+      .select(col("id"), col("len"),
+        explode(sequence(col("len") - maxDist, col("len") + maxDist))
+          .as("__band"))
+    val shortPairs = banded.as("l")
+      .join(short.as("r"),
+        $"l.__band" === $"r.len" && $"l.id" < $"r.id")
+      .select($"l.id".as("id_a"), $"r.id".as("id_b"))
+    // a short and a long string can also pair when lengths differ by
+    // <= maxDist across the minCovered boundary — the long side of
+    // the band join is only lengths < minCovered + maxDist
+    val bridge = banded.as("l")
+      .join(long.filter(col("len") < minCovered + maxDist).as("r"),
+        $"l.__band" === $"r.len")
+      .select(least($"l.id", $"r.id").as("id_a"),
+        greatest($"l.id", $"r.id").as("id_b"))
+    val all = candidates.unionByName(shortPairs).unionByName(bridge)
+      .distinct()
+    all
+      .join(strs.select(col("id").as("id_a"), col("s").as("str_a")),
+        Seq("id_a"))
+      .join(strs.select(col("id").as("id_b"), col("s").as("str_b")),
+        Seq("id_b"))
+      .filter(levenshtein(col("str_a"), col("str_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"),
+        levenshtein(col("str_a"), col("str_b")).cast("long").as("dist"))
+  }
 }

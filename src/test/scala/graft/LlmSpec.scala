@@ -1344,4 +1344,50 @@ class LlmSpec extends SparkSpec {
         k = 2, iters = 1, zThreshold = 0.0)
     }
   }
+
+  test("vocabCoverage: hand-checked OOV against the top-K vocab") {
+    // token counts: a×4, b×3, c×1, d×1 — top-2 vocab = {a, b}
+    // (c and d tie at 1 but lose to counts 4 and 3)
+    val df = Seq((1L, "a b a"), (2L, "b a c"), (3L, "a b d"),
+      (4L, ""), (5L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(df, "doc_id", "text", 2)
+    val rows = got.orderBy("id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    got.unpersist()
+    assert(rows == Seq((1L, 3L, 0L, 0.0), (2L, 3L, 1L, 0.333333),
+      (3L, 3L, 1L, 0.333333)))
+    // tie at the boundary breaks by token asc: vocab of size 3 is
+    // {a, b, c} (c < d), so only doc 3 has OOV
+    val g3 = TextAnalysis.vocabCoverage(df, "doc_id", "text", 3)
+    val oov3 = g3.filter($"n_oov" > 0).select("id").as[Long]
+      .collect().toSeq
+    g3.unpersist()
+    assert(oov3 == Seq(3L))
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      TextAnalysis.vocabCoverage(df, "doc_id", "text", 0)
+    }
+  }
+
+  test("bigramLogProb: hand-checked smoothed conditional MLE") {
+    // corpus: "a b" ×2, "a c", "z" — bigrams: (a,b)×2, (a,c)×1.
+    // c(a)=3 as w1; V = |{a,b,c,z}| = 4 (z counted via its final
+    // token even though it forms no bigram); k=0.5:
+    //   p(b|a) = (2+0.5)/(3+0.5*4) = 0.5, p(c|a) = 1.5/5 = 0.3
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+    val rows = got.orderBy("id")
+      .select($"id", $"n_bigrams",
+        round($"bits_per_bigram", 6).as("b"))
+      .as[(Long, Long, Double)].collect().toSeq
+    got.unpersist()
+    val bitsB = -math.log(0.5) / math.log(2.0)   // 1.0
+    val bitsC = -math.log(0.3) / math.log(2.0)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(rows == Seq((1L, 1L, r6(bitsB)), (2L, 1L, r6(bitsB)),
+      (3L, 1L, r6(bitsC))))
+    // doc 4 has no bigrams -> no row (and docs with <2 tokens never
+    // corrupt V: z IS in the vocabulary)
+    assert(!rows.exists(_._1 == 4L))
+  }
 }

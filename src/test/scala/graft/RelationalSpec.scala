@@ -314,4 +314,64 @@ class RelationalSpec extends SparkSpec {
         df.withColumn("s", lit("a")), Seq("s"))
     }
   }
+
+  test("histogram: hand-checked buckets, dense spine, degenerate column") {
+    val df = Seq(0.0, 0.5, 1.0, 2.5, 10.0).toDF("v").repartition(3)
+    // lo=0, hi=10, w=2.5: buckets 0:[0,2.5) -> {0,0.5,1.0}, 1 -> {2.5},
+    // 2 -> {}, 3 (last, closed) -> {10}
+    val h = graft.operators.Profiling.histogram(df, "v", 4)
+      .orderBy("bucket")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(h == Seq((0L, 0.0, 2.5, 3L), (1L, 2.5, 5.0, 1L),
+      (2L, 5.0, 7.5, 0L), (3L, 7.5, 10.0, 1L)))
+    // min == max: everything in bucket 0, spine still dense
+    val d = graft.operators.Profiling
+      .histogram(Seq(7.0, 7.0).toDF("v"), "v", 3)
+      .orderBy("bucket").as[(Long, Double, Double, Long)]
+      .collect().toSeq
+    assert(d.map(r => (r._1, r._4)) == Seq((0L, 2L), (1L, 0L), (2L, 0L)))
+    // nulls ignored, not a bucket
+    val n = graft.operators.Profiling
+      .histogram(Seq(Some(1.0), None, Some(3.0)).toDF("v"), "v", 2)
+      .agg(sum("n")).as[Long].head()
+    assert(n == 2L)
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      graft.operators.Profiling.histogram(df, "v", 0)
+    }
+  }
+
+  test("editDistanceJoin equals all-pairs levenshtein, long and short strings") {
+    // mix: long strings (>= minCovered for q=3,d=2 -> 11 chars) with
+    // planted 1- and 2-edit variants, short strings down to 2 chars
+    // (the band path), and a cross-boundary near-pair
+    val strs = Seq(
+      1L -> "distributed analytics", 2L -> "distribXted analytics",
+      3L -> "distribXtedZanalytics", 4L -> "wholly different text!",
+      5L -> "ab", 6L -> "ac", 7L -> "abcd", 8L -> "xy",
+      9L -> "crossboundary", 10L -> "crossboundar",
+      11L -> "short str", 12L -> "short strs").toDF("id", "s")
+      .repartition(5)
+    for (d <- Seq(1, 2)) {
+      val got = Relational.editDistanceJoin(strs, "id", "s", maxDist = d)
+        .select("id_a", "id_b", "dist").orderBy("id_a", "id_b")
+        .as[(Long, Long, Long)].collect().toSeq
+      val naive = strs.as("l").join(strs.as("r"), $"l.id" < $"r.id")
+        .select($"l.id", $"r.id",
+          levenshtein($"l.s", $"r.s").cast("long").as("dist"))
+        .filter($"dist" <= d).orderBy("l.id", "r.id")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == naive, s"maxDist=$d")
+      assert(got.nonEmpty)
+    }
+    // flood guard high enough to drop nothing -> identical result
+    val capped = Relational
+      .editDistanceJoin(strs, "id", "s", maxDist = 2, maxGramFreq = 100)
+      .count()
+    val uncapped = Relational
+      .editDistanceJoin(strs, "id", "s", maxDist = 2).count()
+    assert(capped == uncapped)
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Relational.editDistanceJoin(strs, "id", "s", maxDist = 0)
+    }
+  }
 }
