@@ -76,12 +76,18 @@ object Tables {
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.LongType
-    if (name == "events" &&
-        df.schema.find(_.name == "ts").exists(_.dataType == LongType))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val tsType = df.schema.find(_.name == "ts").map(_.dataType)
+    if (name == "events" && tsType.contains(LongType))
       // integer division: ns epoch values (~1.7e18) exceed double's 2^53
       // mantissa, so `/ 1000` + floor can be off by 1µs vs DuckDB's CAST
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else if (name == "events" && tsType.contains(TimestampNTZType))
+      // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+      // TIMESTAMP_NTZ, which event-time watermarks reject; the session
+      // runs UTC, so the NTZ→LTZ cast preserves every wall-clock value
+      // (and DuckDB's naive CAST(ts AS TIMESTAMP) parity with it)
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 
