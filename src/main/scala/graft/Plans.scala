@@ -87,7 +87,51 @@ object Plans {
       "q76_source_affinity" ->
         ("source centroids: posexplode → partial-aggregated " +
           "(group, dim) means — one linear shuffle; the pair stage " +
-          "runs on the groups×dims centroid table only"))
+          "runs on the groups×dims centroid table only"),
+      "q71_ivf_index_probe" ->
+        ("persisted IVF probe: PartitionFilters prune the scan to " +
+          "the probed cells — the plan must show cell=… filters, " +
+          "never a full-index scan"),
+      "q73_ivfpq_index_probe" ->
+        ("persisted IVF-PQ probe: cell-pruned codes-only scan + " +
+          "broadcast ADC tables, exact re-rank joins only the " +
+          "shortlist back to full vectors"),
+      "q77_semantic_dedup" ->
+        ("embedding near-dup clusters: hyperplane-LSH banded pairs " +
+          "feed pointer-jump clustering — the pair stage is an " +
+          "equi-join on band signatures, never vector all-pairs"),
+      "q78_sessionize" ->
+        ("gap-based sessionization: one keyed window over " +
+          "(user, ts) — partitioned by user, no global sort, no " +
+          "self-join on time"),
+      "q85_pivot_events" ->
+        ("pivot: per-(user, type) partial aggregation THEN the " +
+          "column spread — the shuffle carries one row per group, " +
+          "not one per event"),
+      "q86_gap_fill" ->
+        ("time-series gap fill: dense per-user hour spine from a " +
+          "range join on driver-sized bounds, left join back — no " +
+          "per-row driver loops"),
+      "q87_chunk_dedup" ->
+        ("cross-doc chunk dedup: chunk-hash groupBy keeps first " +
+          "occurrence (min doc, chunk) — one linear shuffle on the " +
+          "hash, no pairwise compare"),
+      "q90_vocab_oov" ->
+        ("vocab coverage: token frame persisted across top-K " +
+          "(TakeOrderedAndProject) and the per-doc rescan; vocab " +
+          "joins broadcast"),
+      "q91_fuzzy_join" ->
+        ("edit-distance join: positional q-gram equi-join + " +
+          "Gravano count bound + levenshtein verify — candidate " +
+          "generation is never a nested loop over string pairs"),
+      "q92_histogram" ->
+        ("fixed-width histogram: 2-value bounds broadcast + one " +
+          "partial-aggregated counting scan — at most nBuckets rows " +
+          "shuffle"),
+      "q93_bigram_logprob" ->
+        ("bigram cross-entropy: bigrams via codegen array slicing " +
+          "(no positional self-join), model frames broadcast when " +
+          "they fit, one per-doc aggregation shuffle"))
 
     val sb = new StringBuilder
     sb ++= s"# PLANS — formatted physical plans at $sfDir\n\n"

@@ -813,6 +813,29 @@ object QueriesLlm {
         round(col("bits_per_bigram"), 6).as("bits_per_bigram"))
       .orderBy("doc_id")
 
+  /** q97 — deterministic sign random projection 64 → 8 dims (long
+    * form, one row per output coordinate): the md5-derived Achlioptas
+    * matrix makes the projection replayable on any engine with md5.
+    * Row-parallel kernel, zero shuffle.
+    */
+  def q97RandomProjection(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", outDim = 8)
+      .select(col("id").as("vec_id"), col("j"), col("proj"))
+      .orderBy("vec_id", "j")
+
+  /** q99 — per-source lexical health: tokens, types, type-token
+    * ratio, top-token mass share. One (source, token) partial
+    * aggregation, then a |sources|-sized rollup.
+    */
+  def q99LexicalStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexicalStats(t(spark, dir, "documents"),
+        "source", "text")
+      .select(col("grp").as("source"), col("n_tokens"), col("n_types"),
+        col("type_token_ratio"), col("top_token"),
+        col("top_token_share"))
+      .orderBy("source")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -863,7 +886,9 @@ object QueriesLlm {
     "q84_normalize_text" -> (q84NormalizeText _),
     "q87_chunk_dedup"    -> (q87ChunkDedup _),
     "q90_vocab_oov"      -> (q90VocabOov _),
-    "q93_bigram_logprob" -> (q93BigramLogprob _))
+    "q93_bigram_logprob" -> (q93BigramLogprob _),
+    "q97_random_projection" -> (q97RandomProjection _),
+    "q99_lexical_stats"  -> (q99LexicalStats _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -1939,5 +1964,42 @@ object QueriesLlm {
                 GROUP BY 1)
          SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
                 round(bits, 6) AS bits_per_bigram
-         FROM sc ORDER BY doc_id""")
+         FROM sc ORDER BY doc_id""",
+    // q97: the sign matrix is re-derived from md5 in SQL — first hex
+    // digit of md5('rp_<j>_<i>') in 0–7 ⇒ +1 — so the oracle replays
+    // the exact projection, not an approximation of it
+    "q97_random_projection" ->
+      """SELECT vec_id, j,
+                round(sum(CAST(embedding[i + 1] AS DOUBLE) *
+                  CASE WHEN substring(md5('rp_' || j || '_' || i), 1, 1)
+                         BETWEEN '0' AND '7'
+                       THEN 1.0 ELSE -1.0 END) / sqrt(8.0), 6) AS proj
+         FROM embeddings,
+              unnest(range(0, 8)) AS tj(j),
+              unnest(range(0, len(embedding))) AS ti(i)
+         GROUP BY vec_id, j ORDER BY vec_id, j""",
+    // q99: the deterministic top token is max over (count, token)
+    // pairs — count desc, token desc on ties — replayed as a
+    // row_number with the same order
+    "q99_lexical_stats" ->
+      """WITH tc AS (SELECT source, tok, count(*) AS c
+              FROM (SELECT source,
+                      unnest(string_split_regex(trim(lower(text)),
+                        '\s+')) AS tok
+                    FROM documents)
+              WHERE tok <> '' GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_types
+                 FROM tc GROUP BY 1),
+         top AS (SELECT source, tok, c,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY c DESC, tok DESC) AS rn
+                 FROM tc)
+         SELECT t.source, t.n_tokens, t.n_types,
+                round(t.n_types * 1.0 / t.n_tokens, 6)
+                  AS type_token_ratio,
+                p.tok AS top_token,
+                round(p.c * 1.0 / t.n_tokens, 6) AS top_token_share
+         FROM tot t JOIN top p ON t.source = p.source AND p.rn = 1
+         ORDER BY t.source""")
 }

@@ -361,6 +361,50 @@ object QueriesRelational2 {
         t(spark, dir, "lineitem"), "l_extendedprice", 20)
       .orderBy("bucket")
 
+  /** q94 — trailing 1-hour event-time window per user: count and
+    * value sum at each event's decision time. ONE keyed RANGE window
+    * over epoch micros — never a time-range self-join.
+    */
+  def q94RollingWindow(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Behavioral.rollingWindow(
+        t(spark, dir, "events"), "user_id", "ts", "value", 3600L)
+      .select(col("event_id"), col("user_id"), col("n_window"),
+        round(col("sum_window"), 2).as("sum_window"))
+      .orderBy("event_id")
+
+  /** q95 — weekly cohort retention matrix: users by first-event week,
+    * distinct-active counts k weeks on. Two linear aggregations + one
+    * key join; |cohorts|·maxWeeks result rows.
+    */
+  def q95CohortRetention(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Behavioral.cohortRetention(
+        t(spark, dir, "events"), "user_id", "ts", maxWeeks = 8)
+      .orderBy("cohort_week", "k_weeks")
+
+  /** q96 — ordered funnel view → click → purchase with earliest-
+    * completion semantics: one conditional-min pass per stage, one
+    * 1-row final count, fully lazy.
+    */
+  def q96Funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Behavioral.funnel(
+        t(spark, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("stage_idx")
+
+  /** q98 — per-returnflag winsorization of l_quantity at [p05, p95]:
+    * exact interpolated group bounds joined back to the scan; the
+    * outlier clip run before any mean-based metric.
+    */
+  def q98Winsorize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.winsorize(
+        t(spark, dir, "lineitem"), "l_returnflag", "l_quantity",
+        0.05, 0.95)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"), col("l_returnflag"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("lo_bound"), col("hi_bound"), col("clipped"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_window_rank"    -> (q08WindowRank _),
     "q09_window_running" -> (q09WindowRunning _),
@@ -386,7 +430,11 @@ object QueriesRelational2 {
     "q88_profile"        -> (q88Profile _),
     "q89_correlation"    -> (q89Correlation _),
     "q91_fuzzy_join"     -> (q91FuzzyJoin _),
-    "q92_histogram"      -> (q92Histogram _))
+    "q92_histogram"      -> (q92Histogram _),
+    "q94_rolling_window" -> (q94RollingWindow _),
+    "q95_cohort_retention" -> (q95CohortRetention _),
+    "q96_funnel"         -> (q96Funnel _),
+    "q98_winsorize"      -> (q98Winsorize _))
 
   val oracles: Map[String, String] = Map(
     "q08_window_rank" ->
@@ -671,5 +719,67 @@ object QueriesRelational2 {
                 round(blo + (s.bucket + 1) * (bhi - blo) / 20, 6) AS hi,
                 COALESCE(c.n, 0) AS n
          FROM spine s CROSS JOIN b LEFT JOIN cnt c USING (bucket)
-         ORDER BY bucket""")
+         ORDER BY bucket""",
+    // q94: RANGE frame over epoch micros — integer-offset replay of
+    // INTERVAL 1 HOUR PRECEDING, inclusive both ends on both engines
+    "q94_rolling_window" ->
+      """SELECT event_id, user_id,
+                count(*) OVER w AS n_window,
+                round(sum(value) OVER w, 2) AS sum_window
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    // q95: Monday-started weeks on both engines (date_trunc 'week');
+    // week deltas are exact multiples of 7 days, so the division is
+    // integral by construction
+    "q95_cohort_retention" ->
+      """WITH fw AS (SELECT user_id,
+                CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+              FROM events GROUP BY 1),
+         aw AS (SELECT DISTINCT user_id,
+                CAST(date_trunc('week', ts) AS DATE) AS aweek
+              FROM events)
+         SELECT cohort_week,
+                CAST(datediff('day', cohort_week, aweek) / 7 AS BIGINT)
+                  AS k_weeks,
+                count(DISTINCT a.user_id) AS n_active
+         FROM aw a JOIN fw f USING (user_id)
+         WHERE datediff('day', cohort_week, aweek) / 7 BETWEEN 0 AND 8
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q96: earliest-completion funnel — stage i+1's time is the min
+    // event of its type strictly after stage i's time
+    "q96_funnel" ->
+      """WITH t0 AS (SELECT user_id, min(ts) AS t FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         t1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN t0 ON e.user_id = t0.user_id AND e.ts > t0.t
+                WHERE e.event_type = 'click' GROUP BY 1),
+         t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+                WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), 'view',
+            (SELECT count(*) FROM t0)),
+           (CAST(1 AS BIGINT), 'click',
+            (SELECT count(*) FROM t1)),
+           (CAST(2 AS BIGINT), 'purchase',
+            (SELECT count(*) FROM t2)))
+           AS v(stage_idx, stage, n_entities)
+         ORDER BY stage_idx""",
+    // q98: quantile_cont == Spark percentile (continuous
+    // interpolation), clip replayed with the same least/greatest
+    "q98_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.05), 6) AS lo_bound,
+                round(quantile_cont(l_quantity, 0.95), 6) AS hi_bound
+              FROM lineitem GROUP BY 1)
+         SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT)
+                  AS l_linenumber, l.l_returnflag,
+                CAST(l.l_quantity AS DOUBLE) AS l_quantity,
+                b.lo_bound, b.hi_bound,
+                round(least(greatest(CAST(l.l_quantity AS DOUBLE),
+                  b.lo_bound), b.hi_bound), 6) AS clipped
+         FROM lineitem l JOIN b USING (l_returnflag)
+         ORDER BY l.l_orderkey, l.l_linenumber""")
 }

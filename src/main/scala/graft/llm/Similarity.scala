@@ -761,8 +761,12 @@ object Similarity {
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize, then release the normalized-corpus cache (the
     // looping-caller contract shared by ivfTopK/probeMinhashIndex)
+    // and the ADC broadcast — repeated calls in a long-lived session
+    // must not accumulate executor broadcast memory. unpersist, not
+    // destroy: a retried stage can still re-fetch from the driver.
     result.count()
     c.unpersist(blocking = false)
+    tablesB.unpersist(blocking = false)
     result
   }
 
@@ -1099,5 +1103,60 @@ object Similarity {
       planesPerBand, seed)
     try Dedup.dedupNearDups(df, idCol, pairs)
     finally pairs.unpersist(blocking = false)
+  }
+
+  /** Deterministic sign random projection (Achlioptas 2003: ±1
+    * entries preserve inner products in expectation; JL gives the
+    * distance-distortion bound) from the input dimensionality to
+    * `outDim`: out(j) = Σᵢ v(i)·s(j,i) / √outDim with
+    * s(j,i) = +1 iff the first hex digit of md5("<seed>_<j>_<i>") is
+    * 0–7. The hash-derived matrix makes the projection REPLAYABLE on
+    * any engine with md5 — no RNG state, no stored matrix artifact —
+    * which is what lets an oracle replay it exactly and two pipeline
+    * runs agree byte-for-byte.
+    *
+    * The dimensionality-reduction pass run before ANN indexing or
+    * clustering when the raw embedding is wider than the geometry
+    * needs. Returns LONG form (id, j, proj) — one row per output
+    * coordinate, rounded to 6 decimals.
+    *
+    * Scale shape: the sign matrix is outDim×dim, driver-built (µs of
+    * md5) and closure-shipped; the projection is a row-parallel
+    * allocation-free mapPartitions kernel over the scan (the module's
+    * PQ-kernel pattern — per-row dot products over nested float
+    * arrays have no efficient Catalyst expression form). Zero
+    * shuffle.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       outDim: Int, seed: String = "rp"): DataFrame = {
+    if (outDim <= 0)
+      throw InvalidArgumentValue(s"outDim must be positive: $outDim")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = asDoubleVec(df, idCol, vecCol, "id", "v")
+    val dim = v.head(1).headOption
+      .map(_.getSeq[Double](1).length)
+      .getOrElse(throw InvalidArgumentValue("empty input"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs = Array.tabulate(outDim, dim) { (j, i) =>
+      // first hex digit 0–7 ⇔ top nibble's high bit clear
+      val b = md.digest(s"${seed}_${j}_${i}".getBytes("UTF-8"))(0)
+      if ((b & 0x80) == 0) 1.0 else -1.0
+    }
+    val norm = math.sqrt(outDim.toDouble)
+    v.as[(Long, Seq[Double])].mapPartitions { rows =>
+      rows.flatMap { case (id, vec) =>
+        val a = vec.toArray
+        (0 until signs.length).iterator.map { j =>
+          val s = signs(j)
+          var acc = 0.0
+          var i = 0
+          while (i < a.length) { acc += a(i) * s(i); i += 1 }
+          (id, j.toLong,
+            BigDecimal(acc / norm)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+    }.toDF("id", "j", "proj")
   }
 }

@@ -768,4 +768,41 @@ object TextAnalysis {
     bi.unpersist(blocking = false)
     out
   }
+
+  /** Per-group lexical health stats: tokens, distinct types,
+    * type-token ratio, and the mass share of the single most frequent
+    * token — the corpus-drift dashboard row (a source whose TTR
+    * collapses or whose top-token share spikes is degenerating into
+    * boilerplate). Tokens are whitespace runs of the trimmed
+    * lowercase text.
+    *
+    * Scale shape: one explode → (group, token) partial-aggregated
+    * count — the only shuffle that grows with data — then a
+    * |groups|-sized aggregate + two-phase max for the top token. No
+    * windows over token rows, no driver loops.
+    *
+    * @return (group, n_tokens, n_types, type_token_ratio, top_token,
+    *         top_token_share), one row per group
+    */
+  def lexicalStats(df: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = {
+    val tokCounts = df
+      .select(col(groupCol).as("grp"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("grp", "tok").agg(count(lit(1)).as("__c"))
+    tokCounts
+      .groupBy("grp")
+      .agg(sum("__c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        // deterministic top token: max over (count, token) structs
+        // breaks count ties by token descending on BOTH engines
+        max(struct(col("__c"), col("tok"))).as("__top"))
+      .select(col("grp"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"),
+        col("__top.tok").as("top_token"),
+        round(col("__top.__c").cast("double") / col("n_tokens"), 6)
+          .as("top_token_share"))
+  }
 }

@@ -101,6 +101,38 @@ object Profiling {
     *
     * @return (bucket, lo, hi, n) rounded to 6 decimals on the bounds
     */
+  /** Per-group winsorization: clip a numeric column to its group's
+    * [pLo, pHi] interpolated percentiles — the standard outlier
+    * treatment before aggregates/metrics that a single corrupt value
+    * would drag (doc lengths, event values, latency columns). Returns
+    * the input rows plus (lo_bound, hi_bound, clipped).
+    *
+    * Scale shape: one per-group percentile aggregation (|groups| rows,
+    * broadcast when it fits) joined back to the scan — two linear
+    * passes, no windows, no sort of the full data. Exact interpolated
+    * percentiles (`percentile`, DuckDB `quantile_cont` parity) keep
+    * the result engine-replayable; swap in `percentile_approx` when
+    * per-group exactness stops mattering at the very largest scales.
+    */
+  def winsorize(df: DataFrame, groupCol: String, c: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    requireNumeric(df, Seq(c))
+    if (!(pLo >= 0 && pLo < pHi && pHi <= 1))
+      throw InvalidArgumentValue(
+        s"need 0 <= pLo < pHi <= 1: ($pLo, $pHi)")
+    if (!df.columns.contains(groupCol))
+      throw InvalidArgumentValue(s"no such column: $groupCol")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($c, $pLo)"), 6).as("lo_bound"),
+        round(expr(s"percentile($c, $pHi)"), 6).as("hi_bound"))
+    // no broadcast hint: |groups| is data-dependent, AQE broadcasts
+    // the bounds side whenever it actually fits
+    df.join(bounds, groupCol)
+      .withColumn("clipped",
+        round(least(greatest(col(c).cast("double"), col("lo_bound")),
+          col("hi_bound")), 6))
+  }
+
   def histogram(df: DataFrame, c: String, nBuckets: Int): DataFrame = {
     requireNumeric(df, Seq(c))
     if (nBuckets <= 0)

@@ -1,0 +1,153 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.exceptions._
+import graft.operators.{Behavioral, Profiling}
+
+/** Behavioral analytics (rolling event-time windows, cohort
+  * retention, ordered funnels) + winsorization: each operator must
+  * match a naive/hand-computed replay exactly — the distributed plan
+  * is an optimization, never a semantics change.
+  */
+class BehavioralSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val events = Tables.read(spark, sf, "events")
+
+  test("rollingWindow matches a naive time-range self-join") {
+    // round(2) both sides: the window's ordered sum and the join's
+    // partial-aggregated sum accumulate doubles in different orders
+    val got = Behavioral.rollingWindow(events, "user_id", "ts",
+        "value", 3600L)
+      .select($"event_id", $"n_window",
+        round($"sum_window", 2).as("sum_window"))
+    // naive quadratic replay: for every event, scan the user's events
+    // in (ts - 1h, ts]
+    val e = events.select($"user_id", $"ts", $"value", $"event_id")
+    val naive = e.as("a").join(e.as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          $"b.ts" >= ($"a.ts" - expr("INTERVAL 1 HOUR")) &&
+          $"b.ts" <= $"a.ts")
+      .groupBy($"a.event_id".as("event_id"))
+      .agg(count(lit(1)).as("n_window"),
+        round(sum($"b.value"), 2).as("sum_window"))
+    assert(got.join(naive, Seq("event_id", "n_window", "sum_window"))
+      .count() == events.count())
+  }
+
+  test("rollingWindow frame is inclusive at exactly lookback distance") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 2.0), // exactly 1h later: included
+      // 1h+1µs after the 11:00 event: that event falls OUTSIDE this
+      // frame, so only the row itself is counted
+      (1L, ts("2024-01-01 12:00:00.000001"), 4.0)
+    ).toDF("k", "ts", "v")
+    val out = Behavioral.rollingWindow(df, "k", "ts", "v", 3600L)
+      .orderBy("ts").select("n_window", "sum_window")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1.0), (2L, 3.0), (1L, 4.0)))
+  }
+
+  test("cohortRetention matches a hand-computed matrix") {
+    val df = Seq(
+      // user 1: first event Mon Jan 1 week, active weeks 0 and 2
+      (1L, ts("2024-01-03 10:00:00")),
+      (1L, ts("2024-01-16 10:00:00")),
+      // user 2: same cohort week, active week 0 only (two events,
+      // one distinct week)
+      (2L, ts("2024-01-05 09:00:00")),
+      (2L, ts("2024-01-07 23:00:00")),
+      // user 3: cohort week of Jan 8, active weeks 0 and 1
+      (3L, ts("2024-01-08 00:00:00")),
+      (3L, ts("2024-01-14 12:00:00")),
+      (3L, ts("2024-01-15 12:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Behavioral.cohortRetention(df, "user_id", "ts", 8)
+      .select(col("cohort_week").cast("string"), col("k_weeks"),
+        col("n_active"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
+  }
+
+  test("funnel requires strict temporal order through the stages") {
+    val df = Seq(
+      // u1 completes a → b → c in order
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 11:00:00"), "b"),
+      (1L, ts("2024-01-01 12:00:00"), "c"),
+      // u2 has all three types but c precedes b: stops after b
+      (2L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, ts("2024-01-01 09:00:00"), "c"),
+      (2L, ts("2024-01-01 11:00:00"), "b"),
+      // u3 never does a: counts nowhere
+      (3L, ts("2024-01-01 10:00:00"), "b"),
+      (3L, ts("2024-01-01 11:00:00"), "c"),
+      // u4 does a then c but no b: stops after a
+      (4L, ts("2024-01-01 10:00:00"), "a"),
+      (4L, ts("2024-01-01 11:00:00"), "c")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Behavioral.funnel(df, "user_id", "ts", "event_type",
+        Seq("a", "b", "c"))
+      .orderBy("stage_idx")
+      .select("stage", "n_entities").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("funnel equal timestamps do not advance a stage (strictly after)") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 10:00:00"), "b")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Behavioral.funnel(df, "user_id", "ts", "event_type",
+        Seq("a", "b")).orderBy("stage_idx")
+      .select("n_entities").as[Long].collect().toSeq
+    assert(got == Seq(1L, 0L))
+  }
+
+  test("behavioral argument validation") {
+    intercept[InvalidArgumentValue] {
+      Behavioral.rollingWindow(events, "user_id", "ts", "value", 0L)
+    }
+    intercept[InvalidArgumentValue] {
+      Behavioral.rollingWindow(events, "nope", "ts", "value", 10L)
+    }
+    intercept[InvalidArgumentValue] {
+      Behavioral.funnel(events, "user_id", "ts", "event_type", Nil)
+    }
+    intercept[InvalidArgumentValue] {
+      Behavioral.funnel(events, "user_id", "ts", "event_type",
+        Seq("a", "a"))
+    }
+    intercept[InvalidArgumentValue] {
+      Behavioral.cohortRetention(events, "user_id", "ts", -1)
+    }
+  }
+
+  test("winsorize clips exactly to the group percentile bounds") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "x")
+    val out = Profiling.winsorize(df, "grp", "x", 0.10, 0.90)
+    // interpolated p10 of 1..100 = 10.9, p90 = 90.1
+    val bounds = out.select("lo_bound", "hi_bound").distinct()
+      .as[(Double, Double)].collect().toSeq
+    assert(bounds == Seq((10.9, 90.1)))
+    val clipped = out.select("clipped").as[Double].collect()
+    assert(clipped.min == 10.9 && clipped.max == 90.1)
+    // interior values pass through unclipped
+    assert(out.filter($"x" === 50.0).select("clipped")
+      .as[Double].head() == 50.0)
+    intercept[InvalidArgumentValue] {
+      Profiling.winsorize(df, "grp", "x", 0.9, 0.1)
+    }
+    intercept[InvalidArgumentValue] {
+      Profiling.winsorize(df, "nope", "x", 0.1, 0.9)
+    }
+  }
+}

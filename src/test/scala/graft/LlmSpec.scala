@@ -1390,4 +1390,55 @@ class LlmSpec extends SparkSpec {
     // corrupt V: z IS in the vocabulary)
     assert(!rows.exists(_._1 == 4L))
   }
+
+  test("randomProjection is deterministic and distance-preserving") {
+    val emb = Tables.read(spark, sf, "embeddings")
+    val p1 = Similarity.randomProjection(emb, "vec_id", "embedding", 16)
+    val p2 = Similarity.randomProjection(emb, "vec_id", "embedding", 16)
+    // byte-identical across calls: the matrix is hash-derived state,
+    // not RNG state
+    assert(p1.exceptAll(p2).count() == 0 && p1.count() == emb.count() * 16)
+    // JL/Achlioptas: projected squared distances concentrate around
+    // the originals — check the mean ratio over a sample of pairs
+    // lands near 1 (loose 3-sigma-ish band; 16 dims is coarse)
+    val a = emb.limit(20).select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val proj = p1.groupBy("id").agg(
+        sort_array(collect_list(struct($"j", $"proj"))).as("s"))
+      .select($"id", transform($"s", e => e("proj")).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def d2(x: Seq[Double], y: Seq[Double]): Double =
+      x.zip(y).map { case (u, w) => (u - w) * (u - w) }.sum
+    val ratios = for {
+      i <- a.indices; k <- (i + 1) until a.length
+      orig = d2(a(i)._2, a(k)._2) if orig > 0
+    } yield d2(proj(a(i)._1), proj(a(k)._1)) / orig
+    // the 1/√outDim in the projection makes E[ratio] = 1 exactly
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3,
+      s"mean distance ratio $mean out of band")
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Similarity.randomProjection(emb, "vec_id", "embedding", 0)
+    }
+  }
+
+  test("lexicalStats: hand-checked TTR and deterministic top token") {
+    // src1: tokens a a b c -> 4 tokens, 3 types, top = a (2, share .5)
+    // src2: b and c tie at 2 -> top breaks to the LARGER token string
+    //       (max over (count, token) structs): c
+    val df = Seq(
+      (1L, "a a", "src1"), (2L, "b c", "src1"),
+      (3L, "b c", "src2"), (4L, "c b", "src2"),
+      (5L, "", "src3"), (6L, "  ", "src3")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.lexicalStats(df, "source", "text")
+      .orderBy("grp")
+      .as[(String, Long, Long, Double, String, Double)]
+      .collect().toSeq
+    // src3 has zero tokens -> no row at all (nothing to divide by)
+    assert(got == Seq(
+      ("src1", 4L, 3L, 0.75, "a", 0.5),
+      ("src2", 4L, 2L, 0.5, "c", 0.5)))
+  }
 }
