@@ -405,6 +405,36 @@ object QueriesRelational2 {
         col("lo_bound"), col("hi_bound"), col("clipped"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** q100 — keyed snapshot diff between two deterministic "versions"
+    * of orders (old = keys ∤ 7; new = keys ∤ 5 with prices DOUBLED on
+    * keys ÷ 3 — ×2 is exact in binary, so neither engine rounds):
+    * one full outer join, null-safe compare, unchanged keys dropped.
+    */
+  def q100SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("o_orderstatus"))
+    val oldSnap = orders.filter(col("o_orderkey") % 7 =!= 0)
+    val newSnap = orders.filter(col("o_orderkey") % 5 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    graft.operators.Relational.snapshotDiff(oldSnap, newSnap,
+        Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q101 — first-order event-type transition matrix: one keyed
+    * window for adjacency (ts, event_id total order), |types|²
+    * result with conditional probabilities.
+    */
+  def q101Transitions(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Behavioral.transitionMatrix(
+        t(spark, dir, "events"), "user_id", "ts", "event_type",
+        "event_id")
+      .orderBy("from_type", "to_type")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_window_rank"    -> (q08WindowRank _),
     "q09_window_running" -> (q09WindowRunning _),
@@ -434,7 +464,9 @@ object QueriesRelational2 {
     "q94_rolling_window" -> (q94RollingWindow _),
     "q95_cohort_retention" -> (q95CohortRetention _),
     "q96_funnel"         -> (q96Funnel _),
-    "q98_winsorize"      -> (q98Winsorize _))
+    "q98_winsorize"      -> (q98Winsorize _),
+    "q100_snapshot_diff" -> (q100SnapshotDiff _),
+    "q101_transitions"   -> (q101Transitions _))
 
   val oracles: Map[String, String] = Map(
     "q08_window_rank" ->
@@ -781,5 +813,46 @@ object QueriesRelational2 {
                 round(least(greatest(CAST(l.l_quantity AS DOUBLE),
                   b.lo_bound), b.hi_bound), 6) AS clipped
          FROM lineitem l JOIN b USING (l_returnflag)
-         ORDER BY l.l_orderkey, l.l_linenumber""")
+         ORDER BY l.l_orderkey, l.l_linenumber""",
+    // q100: the same two snapshot constructions, then a full outer
+    // join with IS DISTINCT FROM (the null-safe compare) — unchanged
+    // keys classify to NULL and drop
+    "q100_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey,
+                CAST(o_totalprice AS DOUBLE) AS p, o_orderstatus
+              FROM orders WHERE o_orderkey % 7 <> 0),
+         n AS (SELECT o_orderkey,
+                CASE WHEN o_orderkey % 3 = 0
+                     THEN CAST(o_totalprice AS DOUBLE) * 2
+                     ELSE CAST(o_totalprice AS DOUBLE) END AS p,
+                o_orderstatus
+              FROM orders WHERE o_orderkey % 5 <> 0),
+         d AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey)
+                  AS o_orderkey,
+                CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                     WHEN n.o_orderkey IS NULL THEN 'removed'
+                     WHEN o.p IS DISTINCT FROM n.p
+                       OR o.o_orderstatus IS DISTINCT FROM
+                          n.o_orderstatus THEN 'changed'
+                END AS change_type,
+                o.p AS o_totalprice_old, n.p AS o_totalprice_new,
+                o.o_orderstatus AS o_orderstatus_old,
+                n.o_orderstatus AS o_orderstatus_new
+              FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+         SELECT * FROM d WHERE change_type IS NOT NULL
+         ORDER BY o_orderkey""",
+    // q101: lead over the same (ts, event_id) total order, then the
+    // conditional-probability join
+    "q101_transitions" ->
+      """WITH s AS (SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS to_type
+              FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n
+               FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, c.n,
+                round(c.n * 1.0 / t.tot, 6) AS p
+         FROM c JOIN t USING (from_type)
+         ORDER BY c.from_type, c.to_type""")
 }

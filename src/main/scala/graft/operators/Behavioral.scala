@@ -146,4 +146,39 @@ object Behavioral {
       .select(col("__e.stage_idx"), col("__e.stage"),
         col("__e.n_entities"))
   }
+
+  /** Event-type transition matrix (first-order Markov chain over each
+    * entity's time-ordered event sequence): for every consecutive
+    * pair, count (from_type → to_type) and the conditional probability
+    * p(to|from) = n / Σ n over the from row. The "what do users do
+    * next" table, and the sequence-model sanity check before training
+    * anything on event streams.
+    *
+    * Adjacency is per entity, ordered by (ts, tiebreakCol) — the
+    * tiebreaker makes the sequence (and therefore the matrix) total,
+    * so any engine replays it exactly.
+    *
+    * Scale shape: one keyed window (partitioned by entity — the only
+    * shuffle that grows with data) for the lead, then a
+    * |types|²-bounded count and a |types|-row broadcast-sized
+    * denominator join. No self-joins on time.
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, tiebreakCol: String): DataFrame = {
+    requireCols(events, keyCol, tsCol, typeCol, tiebreakCol)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val pairs = events
+      .select(col(keyCol), col(tsCol), col(tiebreakCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type")
+      .agg(sum("n").as("__tot"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__tot"), 6).as("p"))
+  }
 }

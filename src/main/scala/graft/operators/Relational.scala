@@ -542,4 +542,57 @@ object Relational {
       .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"),
         levenshtein(col("str_a"), col("str_b")).cast("long").as("dist"))
   }
+
+  /** Keyed snapshot diff — the dataset-versioning primitive behind
+    * "what changed between yesterday's export and today's": classify
+    * every key as `added` (new only), `removed` (old only), or
+    * `changed` (both sides, any compare column differs; null-safe).
+    * Unchanged keys are dropped — at 100 TB the diff is the small
+    * output, the snapshots are the big inputs.
+    *
+    * Keys must be unique per snapshot (enforce upstream with exact
+    * dedup); with duplicate keys the join multiplies rows and the
+    * classification is per-pair, not per-key.
+    *
+    * Scale shape: ONE full outer equi-join on the key columns — the
+    * single data-sized shuffle — with the null-safe compare evaluated
+    * as a codegen'd projection on the joined row. Column pruning
+    * reaches both scans (only key + compare columns are read).
+    *
+    * @return key columns + (change_type) — `changed` rows carry each
+    *         compare column twice as `<c>_old` / `<c>_new`
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    if (keyCols.isEmpty)
+      throw InvalidArgumentValue("keyCols must be non-empty")
+    if (compareCols.isEmpty)
+      throw InvalidArgumentValue("compareCols must be non-empty")
+    (keyCols ++ compareCols).foreach { c =>
+      Seq(oldDf, newDf).foreach { df =>
+        if (!df.columns.contains(c))
+          throw InvalidArgumentValue(s"no such column: $c")
+      }
+    }
+    val o = oldDf.select(
+      (keyCols.map(col) :+ lit(1).as("__in_old")) ++
+        compareCols.map(c => col(c).as(s"${c}_old")): _*)
+    val n = newDf.select(
+      (keyCols.map(col) :+ lit(1).as("__in_new")) ++
+        compareCols.map(c => col(c).as(s"${c}_new")): _*)
+    val joined = o.join(n, keyCols, "full_outer")
+    val anyDiff = compareCols
+      .map(c => !(col(s"${c}_old") <=> col(s"${c}_new")))
+      .reduce(_ || _)
+    joined
+      .withColumn("change_type",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(anyDiff, lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select((keyCols.map(col) :+ col("change_type")) ++
+        compareCols.flatMap(c =>
+          Seq(col(s"${c}_old"), col(s"${c}_new"))): _*)
+  }
 }

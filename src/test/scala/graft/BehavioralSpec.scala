@@ -131,6 +131,60 @@ class BehavioralSpec extends SparkSpec {
     }
   }
 
+  test("transitionMatrix counts adjacency under the total order") {
+    val df = Seq(
+      // user 1 sequence by (ts, id): a(1) b(2) b(3) c(4) — ties at
+      // 11:00 broken by the id tiebreaker
+      (1L, ts("2024-01-01 10:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 11:00:00"), "b", 2L),
+      (1L, ts("2024-01-01 11:00:00"), "b", 3L),
+      (1L, ts("2024-01-01 12:00:00"), "c", 4L),
+      // user 2: a c — one transition
+      (2L, ts("2024-01-01 10:00:00"), "a", 5L),
+      (2L, ts("2024-01-01 11:00:00"), "c", 6L),
+      // user 3: single event, no transitions
+      (3L, ts("2024-01-01 10:00:00"), "a", 7L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = graft.operators.Behavioral.transitionMatrix(
+        df, "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // from a: b×1, c×1 (p=.5 each); from b: b×1, c×1 (p=.5 each)
+    assert(got == Seq(
+      ("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5),
+      ("b", "b", 1L, 0.5), ("b", "c", 1L, 0.5)))
+  }
+
+  test("snapshotDiff classifies added/removed/changed null-safely") {
+    import graft.operators.Relational
+    val oldDf = Seq(
+      (1L, Some(10.0), "x"), // unchanged -> dropped
+      (2L, Some(20.0), "x"), // value change
+      (3L, None: Option[Double], "x"), // null -> value: changed
+      (4L, Some(40.0), "x"), // removed
+      (5L, None: Option[Double], "x") // null == null: unchanged
+    ).toDF("k", "v", "s")
+    val newDf = Seq(
+      (1L, Some(10.0), "x"),
+      (2L, Some(21.0), "x"),
+      (3L, Some(30.0), "x"),
+      (5L, None: Option[Double], "x"),
+      (6L, Some(60.0), "x") // added
+    ).toDF("k", "v", "s")
+    val got = Relational.snapshotDiff(oldDf, newDf, Seq("k"),
+        Seq("v", "s"))
+      .select("k", "change_type")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "changed", 3L -> "changed",
+      4L -> "removed", 6L -> "added"))
+    intercept[InvalidArgumentValue] {
+      Relational.snapshotDiff(oldDf, newDf, Nil, Seq("v"))
+    }
+    intercept[InvalidArgumentValue] {
+      Relational.snapshotDiff(oldDf, newDf, Seq("k"), Seq("nope"))
+    }
+  }
+
   test("winsorize clips exactly to the group percentile bounds") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "x")
     val out = Profiling.winsorize(df, "grp", "x", 0.10, 0.90)
