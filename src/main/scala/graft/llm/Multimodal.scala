@@ -134,6 +134,128 @@ object Multimodal {
         catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Parsed audio header: container, channel layout, rate, depth,
+    * and playback duration where the header carries enough to derive
+    * it.
+    */
+  case class AudioInfo(format: String, channels: Int, sampleRate: Int,
+                       bitsPerSample: Int, durationMs: Option[Long])
+
+  /** Header-only audio metadata extraction — WAV (RIFF fmt/data
+    * chunks) and FLAC (STREAMINFO block), both public format specs.
+    * Same fail-soft contract as `ImageHeaders`: any malformed,
+    * truncated, or unknown payload is None, never a task failure.
+    */
+  object AudioHeaders {
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def le16(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+        (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+    private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+      b.length >= i + 4 && b(i) == s(0) && b(i + 1) == s(1) &&
+        b(i + 2) == s(2) && b(i + 3) == s(3)
+
+    /** WAV: "RIFF"…"WAVE", then [id][size le32][payload] chunks; the
+      * "fmt " chunk carries channels/rate/depth, the "data" chunk's
+      * size over the byte rate gives the duration.
+      */
+    private def wav(b: Array[Byte]): Option[AudioInfo] = {
+      if (!(tag(b, 0, "RIFF") && tag(b, 8, "WAVE"))) return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Long)] = None // ch, rate, bits, byteRate
+      var dataSize: Option[Long] = None
+      while (i + 8 <= b.length && (fmt.isEmpty || dataSize.isEmpty)) {
+        val size = le32(b, i + 4)
+        if (tag(b, i, "fmt ") && i + 24 <= b.length) {
+          val ch = le16(b, i + 10)
+          val rate = le32(b, i + 12).toInt
+          val byteRate = le32(b, i + 16)
+          val bits = le16(b, i + 22)
+          if (ch > 0 && rate > 0 && bits > 0)
+            fmt = Some((ch, rate, bits, byteRate))
+          else return None
+        } else if (tag(b, i, "data")) dataSize = Some(size)
+        // chunks are word-aligned: odd sizes carry a pad byte; a size
+        // that runs past the buffer (truncated payload or corrupt
+        // field) just ends the walk — whatever was parsed so far
+        // stands
+        val step = size + (size % 2)
+        if (step > b.length.toLong) i = b.length
+        else i += 8 + step.toInt
+      }
+      fmt.map { case (ch, rate, bits, byteRate) =>
+        AudioInfo("wav", ch, rate, bits,
+          dataSize.filter(_ => byteRate > 0)
+            .map(d => d * 1000L / byteRate))
+      }
+    }
+
+    /** FLAC: "fLaC" then metadata blocks; STREAMINFO (type 0, 34
+      * bytes) packs rate (20 bits), channels−1 (3), depth−1 (5), and
+      * total samples (36) starting at its byte 10.
+      */
+    private def flac(b: Array[Byte]): Option[AudioInfo] = {
+      if (!tag(b, 0, "fLaC")) return None
+      // first block header at 4: [lastFlag|type][len be24]
+      if (b.length < 8 || (u8(b, 4) & 0x7f) != 0) return None
+      val len = (u8(b, 5) << 16) | (u8(b, 6) << 8) | u8(b, 7)
+      if (len < 34 || b.length < 8 + 34) return None
+      val o = 8
+      val rate = (u8(b, o + 10) << 12) | (u8(b, o + 11) << 4) |
+        (u8(b, o + 12) >> 4)
+      val channels = ((u8(b, o + 12) >> 1) & 0x7) + 1
+      val bits = (((u8(b, o + 12) & 1) << 4) | (u8(b, o + 13) >> 4)) + 1
+      val totalSamples = ((u8(b, o + 13) & 0x0f).toLong << 32) |
+        ((u8(b, o + 14).toLong << 24) | (u8(b, o + 15) << 16) |
+          (u8(b, o + 16) << 8) | u8(b, o + 17))
+      if (rate <= 0) return None
+      Some(AudioInfo("flac", channels, rate, bits,
+        if (totalSamples > 0) Some(totalSamples * 1000L / rate)
+        else None))
+    }
+
+    /** Parse any supported container; None for everything else. Never
+      * throws.
+      */
+    def parse(bytes: Array[Byte]): Option[AudioInfo] =
+      if (bytes == null) None
+      else
+        try wav(bytes).orElse(flac(bytes))
+        catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  // NOT private — same Janino-encoder constraint as ImageMetaRow.
+  case class AudioMetaRow(id: Long, audio_format: Option[String],
+                          audio_channels: Option[Int],
+                          sample_rate: Option[Int],
+                          bits_per_sample: Option[Int],
+                          duration_ms: Option[Long])
+
+  /** Audio metadata columns decoded from the payload header — the
+    * audio twin of `withImageMeta`, same fail-soft null row and
+    * mapPartitions batching seam.
+    */
+  def withAudioMeta(df: DataFrame, idCol: String,
+                    binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          AudioHeaders.parse(bytes) match {
+            case Some(a) => AudioMetaRow(id, Some(a.format),
+              Some(a.channels), Some(a.sampleRate),
+              Some(a.bitsPerSample), a.durationMs)
+            case None => AudioMetaRow(id, None, None, None, None, None)
+          }
+        }
+      }.toDF()
+  }
+
   /** Attach a metadata struct computed from the binary payload —
     * pure column expressions, no decode needed.
     */

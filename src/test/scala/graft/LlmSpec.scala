@@ -934,6 +934,65 @@ class LlmSpec extends SparkSpec {
     assert(got(5).getInt(2) == 8 && got(5).getInt(3) == 8)
   }
 
+  /** Real WAV fixture via the JDK's own encoder (javax.sound). */
+  private def encodeWav(rate: Float, channels: Int,
+                        frames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * fmt.getFrameSize)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Minimal valid FLAC: "fLaC" + last-block STREAMINFO (type 0,
+    * 34 bytes) encoding 44100 Hz, 2ch, 16-bit, 88200 samples.
+    */
+  private def encodeFlacHeader(): Array[Byte] = {
+    val out = new Array[Byte](4 + 4 + 34)
+    "fLaC".getBytes("US-ASCII").copyToArray(out, 0)
+    out(4) = 0x80.toByte // last-block flag, type 0
+    out(7) = 34          // block length (be24)
+    val o = 8
+    // bytes 10-12: rate 44100 (20 bits) | channels-1=1 (3) | bps-1 hi
+    out(o + 10) = ((44100 >> 12) & 0xff).toByte
+    out(o + 11) = ((44100 >> 4) & 0xff).toByte
+    out(o + 12) = (((44100 & 0xf) << 4) | (1 << 1) | 0).toByte
+    // byte 13: bps-1 low nibble (15) | total-samples bits 35-32 (0)
+    out(o + 13) = 0xf0.toByte
+    // bytes 14-17: total samples 88200 (be32)
+    out(o + 14) = ((88200 >> 24) & 0xff).toByte
+    out(o + 15) = ((88200 >> 16) & 0xff).toByte
+    out(o + 16) = ((88200 >> 8) & 0xff).toByte
+    out(o + 17) = (88200 & 0xff).toByte
+    out
+  }
+
+  test("withAudioMeta decodes WAV and FLAC headers; fails soft otherwise") {
+    val wav = encodeWav(8000f, 2, 4000) // 0.5 s stereo
+    val rows = Seq(
+      (1L, wav),
+      (2L, encodeFlacHeader()),
+      (3L, wav.take(11)),                      // truncated RIFF
+      (4L, "not audio at all".getBytes("UTF-8")),
+      (5L, null.asInstanceOf[Array[Byte]]))
+    val got = Multimodal.withAudioMeta(rows.toDF("id", "content"),
+      "id", "content").orderBy("id").collect()
+    val w = got(0)
+    assert(w.getString(1) == "wav" && w.getInt(2) == 2 &&
+      w.getInt(3) == 8000 && w.getInt(4) == 16 && w.getLong(5) == 500L)
+    val f = got(1)
+    assert(f.getString(1) == "flac" && f.getInt(2) == 2 &&
+      f.getInt(3) == 44100 && f.getInt(4) == 16 &&
+      f.getLong(5) == 2000L)
+    got.drop(2).foreach { r =>
+      (1 to 5).foreach(i => assert(r.isNullAt(i),
+        s"row ${r.getLong(0)} col $i should be null"))
+    }
+  }
+
   test("pq with one codeword per vector and no rerank is exact cosine") {
     // m=1, ncodes = |corpus|, distinct vectors: k-means init gives each
     // vector its own codeword and the means fix-point there, so the ADC
