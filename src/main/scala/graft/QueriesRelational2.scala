@@ -435,6 +435,18 @@ object QueriesRelational2 {
         "event_id")
       .orderBy("from_type", "to_type")
 
+  /** q102 — HLL cardinality profile (NO ORACLE by design, the q63
+    * convention: sketches legitimately differ across engines; the
+    * 10%-band-vs-exact contract is pinned by BehavioralSpec). The
+    * shuffle carries constant-size registers per (group, column) —
+    * the only cardinality profile that survives 100 TB.
+    */
+  def q102ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.approxDistinctProfile(
+        t(spark, dir, "lineitem"), "l_returnflag",
+        Seq("l_orderkey", "l_partkey", "l_shipdate"))
+      .orderBy("grp", "column")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_window_rank"    -> (q08WindowRank _),
     "q09_window_running" -> (q09WindowRunning _),
@@ -466,7 +478,8 @@ object QueriesRelational2 {
     "q96_funnel"         -> (q96Funnel _),
     "q98_winsorize"      -> (q98Winsorize _),
     "q100_snapshot_diff" -> (q100SnapshotDiff _),
-    "q101_transitions"   -> (q101Transitions _))
+    "q101_transitions"   -> (q101Transitions _),
+    "q102_approx_distinct_noracle" -> (q102ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q08_window_rank" ->

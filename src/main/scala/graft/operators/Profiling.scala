@@ -101,6 +101,44 @@ object Profiling {
     *
     * @return (bucket, lo, hi, n) rounded to 6 decimals on the bounds
     */
+  /** Sketch-based cardinality profile: per group, the APPROXIMATE
+    * distinct count of each requested column (HyperLogLog++, default
+    * 2% relative SD) next to the exact row count. At 100 TB this is
+    * THE way to profile cardinality: exact `countDistinct` shuffles
+    * every distinct value; the sketch partial-aggregates a
+    * constant-size register set per (group, column) — the shuffle
+    * carries kilobytes per group regardless of data size.
+    *
+    * Approximate by contract, so no DuckDB-hash oracle (different
+    * engines' sketches disagree legitimately); the spec pins the
+    * relative error against exact counts instead.
+    *
+    * @return one row per (group, column): (group, column,
+    *         n_rows, approx_distinct)
+    */
+  def approxDistinctProfile(df: DataFrame, groupCol: String,
+                            cols: Seq[String],
+                            relativeSD: Double = 0.02): DataFrame = {
+    if (cols.isEmpty)
+      throw InvalidArgumentValue("cols must be non-empty")
+    if (!df.columns.contains(groupCol))
+      throw InvalidArgumentValue(s"no such column: $groupCol")
+    cols.foreach { c =>
+      if (!df.columns.contains(c))
+        throw InvalidArgumentValue(s"no such column: $c")
+    }
+    val aggs = count(lit(1)).as("__n") +: cols.map(c =>
+      approx_count_distinct(col(c), relativeSD).as(s"__ad_$c"))
+    val wide = df.groupBy(col(groupCol).as("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map(c => struct(lit(c).as("column"),
+      col(s"__ad_$c").as("approx_distinct")))
+    wide.select(col("grp"), col("__n").as("n_rows"),
+        explode(array(entries: _*)).as("__e"))
+      .select(col("grp"), col("__e.column"), col("n_rows"),
+        col("__e.approx_distinct"))
+  }
+
   /** Per-group winsorization: clip a numeric column to its group's
     * [pLo, pHi] interpolated percentiles — the standard outlier
     * treatment before aggregates/metrics that a single corrupt value

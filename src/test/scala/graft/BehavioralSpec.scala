@@ -185,6 +185,29 @@ class BehavioralSpec extends SparkSpec {
     }
   }
 
+  test("approxDistinctProfile stays within the sketch error bound") {
+    val li = Tables.read(spark, sf, "lineitem")
+    val got = Profiling.approxDistinctProfile(li, "l_returnflag",
+        Seq("l_orderkey", "l_shipdate"))
+      .as[(String, String, Long, Long)].collect()
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("ok"),
+        countDistinct("l_shipdate").as("sd"))
+      .as[(String, Long, Long)].collect()
+      .flatMap { case (g, ok, sd) =>
+        Seq((g, "l_orderkey") -> ok, (g, "l_shipdate") -> sd)
+      }.toMap
+    assert(got.nonEmpty)
+    got.foreach { case (g, c, _, approx) =>
+      val ex = exact((g, c)).toDouble
+      assert(math.abs(approx - ex) / ex < 0.10,
+        s"($g, $c): approx $approx vs exact $ex")
+    }
+    intercept[InvalidArgumentValue] {
+      Profiling.approxDistinctProfile(li, "l_returnflag", Nil)
+    }
+  }
+
   test("winsorize clips exactly to the group percentile bounds") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "x")
     val out = Profiling.winsorize(df, "grp", "x", 0.10, 0.90)
