@@ -836,6 +836,24 @@ object QueriesLlm {
         col("top_token_share"))
       .orderBy("source")
 
+  /** q103 — C4-style boilerplate line filtering on a deterministic
+    * lined corpus (" table " → ".\n" plants line structure AND
+    * terminal punctuation): ≥3 words, ends in [.!?] (+ optional
+    * quote), no "window" marker. Zero joins before the per-document
+    * regroup.
+    */
+  def q103LineFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), " table ", ".\n").as("text"))
+    TextAnalysis.filterBoilerplateLines(docs, "doc_id", "text",
+        TextAnalysis.LineRules(minWords = 3,
+          requireTerminalPunct = true, blacklist = Seq("window")))
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+        col("text_clean"))
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -888,7 +906,8 @@ object QueriesLlm {
     "q90_vocab_oov"      -> (q90VocabOov _),
     "q93_bigram_logprob" -> (q93BigramLogprob _),
     "q97_random_projection" -> (q97RandomProjection _),
-    "q99_lexical_stats"  -> (q99LexicalStats _))
+    "q99_lexical_stats"  -> (q99LexicalStats _),
+    "q103_line_filter"   -> (q103LineFilter _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -2001,5 +2020,29 @@ object QueriesLlm {
                 p.tok AS top_token,
                 round(p.c * 1.0 / t.n_tokens, 6) AS top_token_share
          FROM tot t JOIN top p ON t.source = p.source AND p.rn = 1
-         ORDER BY t.source""")
+         ORDER BY t.source""",
+    // q103: same planted line construction, the three C4 rules
+    // replayed verbatim (word count, terminal punct + optional
+    // closing quote, case-insensitive blacklist), ordered reassembly
+    "q103_line_filter" ->
+      """WITH corpus AS (SELECT doc_id,
+                replace(text, ' table ', '.' || chr(10)) AS text
+              FROM documents),
+         la AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM corpus),
+         ln AS (SELECT doc_id, i AS p, ls[i] AS line
+                FROM (SELECT doc_id, ls,
+                        unnest(generate_series(1, len(ls))) AS i
+                      FROM la)),
+         kept AS (SELECT doc_id, p, line FROM ln
+                  WHERE len(regexp_extract_all(trim(line), '\S+')) >= 3
+                    AND regexp_matches(trim(line), '[.!?]["'']?$')
+                    AND NOT contains(lower(line), 'window')),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY p) AS text_clean
+                 FROM kept GROUP BY 1)
+         SELECT la.doc_id, CAST(len(la.ls) AS BIGINT) AS n_lines,
+                CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+                coalesce(agg.text_clean, '') AS text_clean
+         FROM la LEFT JOIN agg USING (doc_id) ORDER BY la.doc_id""")
 }

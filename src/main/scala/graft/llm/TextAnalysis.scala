@@ -769,6 +769,76 @@ object TextAnalysis {
     out
   }
 
+  /** C4-style line rules (Raffel et al. 2020 §2.2: keep lines that
+    * end in terminal punctuation, have enough words, and carry no
+    * boilerplate marker phrase).
+    */
+  case class LineRules(
+      minWords: Int = 3,
+      requireTerminalPunct: Boolean = true,
+      blacklist: Seq[String] = Seq("javascript", "cookie policy",
+        "lorem ipsum"))
+
+  /** Boilerplate LINE filtering — the C4 cleanup pass (Raffel et al.
+    * 2020, "Exploring the Limits of Transfer Learning", §2.2): drop
+    * lines that don't end in terminal punctuation ([.!?] with an
+    * optional closing quote), have fewer than `minWords` words, or
+    * contain a blacklist phrase (case-insensitive); reassemble the
+    * survivors in order. The within-document complement of
+    * `Dedup.removeDuplicatedLines` — rule-based, not frequency-based,
+    * so it needs no cross-document aggregation at all.
+    *
+    * Scale shape: posexplode → codegen'd per-line predicates (regexp
+    * + contains — zero joins, zero cross-doc state) → the module's
+    * per-document bounded reassembly (collect_list over ONE
+    * document's lines, never a corpus-wide window). The only shuffle
+    * is the per-document regroup.
+    *
+    * @return (id, n_lines, n_kept, text_clean) — text_clean is ""
+    *         when no line survives
+    */
+  def filterBoilerplateLines(df: DataFrame, idCol: String,
+                             textCol: String,
+                             rules: LineRules = LineRules(),
+                             sep: String = "\n"): DataFrame = {
+    if (sep.isEmpty)
+      throw InvalidArgumentValue("sep must be non-empty")
+    if (rules.minWords < 0)
+      throw InvalidArgumentValue(
+        s"minWords must be >= 0: ${rules.minWords}")
+    if (rules.blacklist.exists(_.isEmpty))
+      throw InvalidArgumentValue("blacklist phrases must be non-empty")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      split(col(textCol), java.util.regex.Pattern.quote(sep), -1)
+        .as("ls"))
+    val lines = base.select(col("id"),
+      posexplode(col("ls")).as(Seq("pos", "line")))
+    val t = trim(col("line"))
+    val okWords =
+      regexp_count(t, lit("\\S+")) >= rules.minWords
+    val okPunct =
+      if (rules.requireTerminalPunct)
+        t.rlike("[.!?][\"']?$")
+      else lit(true)
+    val okBlacklist = rules.blacklist
+      .map(p => !contains(lower(col("line")), lit(p.toLowerCase)))
+      .foldLeft(lit(true))(_ && _)
+    val kept = lines.filter(okWords && okPunct && okBlacklist)
+    val rejoined = kept.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos").as("p"),
+              col("line").as("l")))),
+            x => x.getField("l")),
+          sep).as("__text"))
+    base.select(col("id"), size(col("ls")).cast("long").as("n_lines"))
+      .join(rejoined, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("__text"), lit("")).as("text_clean"))
+  }
+
   /** Per-group lexical health stats: tokens, distinct types,
     * type-token ratio, and the mass share of the single most frequent
     * token — the corpus-drift dashboard row (a source whose TTR

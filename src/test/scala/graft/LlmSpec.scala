@@ -1450,6 +1450,31 @@ class LlmSpec extends SparkSpec {
     assert(!rows.exists(_._1 == 4L))
   }
 
+  test("filterBoilerplateLines applies the three C4 rules per line") {
+    val text = Seq(
+      "A good long sentence.",      // kept
+      "short.",                     // < 3 words
+      "no terminal punctuation",    // no [.!?]$
+      "Accept Cookie Policy now.",  // blacklist (case-insensitive)
+      "He said \"stop!\"",          // punct inside closing quote: kept
+      "Fine line with question?"    // kept
+    ).mkString("\n")
+    val df = Seq((1L, text), (2L, "none of this survives"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.filterBoilerplateLines(df, "doc_id", "text",
+        TextAnalysis.LineRules(minWords = 3))
+      .orderBy("id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 6L, 3L, Seq("A good long sentence.", "He said \"stop!\"",
+        "Fine line with question?").mkString("\n")),
+      (2L, 1L, 0L, "")))
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      TextAnalysis.filterBoilerplateLines(df, "doc_id", "text",
+        TextAnalysis.LineRules(blacklist = Seq("")))
+    }
+  }
+
   test("randomProjection is deterministic and distance-preserving") {
     val emb = Tables.read(spark, sf, "embeddings")
     val p1 = Similarity.randomProjection(emb, "vec_id", "embedding", 16)
