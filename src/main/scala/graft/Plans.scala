@@ -131,7 +131,26 @@ object Plans {
       "q93_bigram_logprob" ->
         ("bigram cross-entropy: bigrams via codegen array slicing " +
           "(no positional self-join), model frames broadcast when " +
-          "they fit, one per-doc aggregation shuffle"))
+          "they fit, one per-doc aggregation shuffle"),
+      "q94_rolling_window" ->
+        ("trailing event-time window: ONE keyed RANGE frame over " +
+          "epoch micros — no time-range self-join, no pair explosion"),
+      "q100_snapshot_diff" ->
+        ("snapshot diff: one full outer equi-join on the key + " +
+          "null-safe codegen compare — the diff-sized output is all " +
+          "that flows on"),
+      "q101_transitions" ->
+        ("transition matrix: keyed lead window for adjacency, then " +
+          "|types|²-bounded counts — the entity shuffle is the only " +
+          "data-sized exchange"),
+      "q102_approx_distinct_noracle" ->
+        ("sketch profile: HLL registers partial-aggregate map-side — " +
+          "the shuffle carries constant-size sketches per group, " +
+          "never distinct values"),
+      "q103_line_filter" ->
+        ("C4 line filter: codegen per-line predicates over the " +
+          "exploded scan, zero joins before the per-document " +
+          "regroup"))
 
     val sb = new StringBuilder
     sb ++= s"# PLANS — formatted physical plans at $sfDir\n\n"
