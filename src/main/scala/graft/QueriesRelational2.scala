@@ -447,6 +447,23 @@ object QueriesRelational2 {
         Seq("l_orderkey", "l_partkey", "l_shipdate"))
       .orderBy("grp", "column")
 
+  /** q104 — key-skew report over lineitem's supplier key: the
+    * pre-salting diagnostic. One (key → count) pass, percentile
+    * summary + top-10 heavy keys.
+    */
+  def q104SkewReport(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.skewReport(
+        t(spark, dir, "lineitem"), Seq("l_suppkey"), topK = 10)
+      .orderBy(col("kind"), col("n_rows").desc, col("key"))
+
+  /** q105 — per-user inter-arrival cadence: one keyed lag window +
+    * per-entity percentile aggregate.
+    */
+  def q105InterArrival(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Behavioral.interArrivalStats(
+        t(spark, dir, "events"), "user_id", "ts", "event_id")
+      .orderBy("user_id")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_window_rank"    -> (q08WindowRank _),
     "q09_window_running" -> (q09WindowRunning _),
@@ -479,7 +496,9 @@ object QueriesRelational2 {
     "q98_winsorize"      -> (q98Winsorize _),
     "q100_snapshot_diff" -> (q100SnapshotDiff _),
     "q101_transitions"   -> (q101Transitions _),
-    "q102_approx_distinct_noracle" -> (q102ApproxDistinct _))
+    "q102_approx_distinct_noracle" -> (q102ApproxDistinct _),
+    "q104_skew_report"   -> (q104SkewReport _),
+    "q105_inter_arrival" -> (q105InterArrival _))
 
   val oracles: Map[String, String] = Map(
     "q08_window_rank" ->
@@ -867,5 +886,48 @@ object QueriesRelational2 {
          SELECT c.from_type, c.to_type, c.n,
                 round(c.n * 1.0 / t.tot, 6) AS p
          FROM c JOIN t USING (from_type)
-         ORDER BY c.from_type, c.to_type""")
+         ORDER BY c.from_type, c.to_type""",
+    // q104: the same (key → count) pass, quantile_cont summary, and
+    // deterministic (n desc, key asc) top-10
+    "q104_skew_report" ->
+      """WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS key,
+                count(*) AS n
+              FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+                 max(n) AS mx, avg(n) AS mean,
+                 quantile_cont(n, 0.5) AS p50,
+                 quantile_cont(n, 0.9) AS p90,
+                 quantile_cont(n, 0.99) AS p99
+               FROM c),
+         s AS (SELECT 'summary' AS kind, '*' AS key,
+                 total_rows AS n_rows, 1.0 AS share,
+                 round(p50, 6) AS metric_p50,
+                 round(p90, 6) AS metric_p90,
+                 round(p99, 6) AS metric_p99,
+                 round(mx / mean, 6) AS skew
+               FROM t),
+         h AS (SELECT 'heavy_key' AS kind, key, n AS n_rows,
+                 round(n * 1.0 / t.total_rows, 6) AS share,
+                 CAST(NULL AS DOUBLE) AS metric_p50,
+                 CAST(NULL AS DOUBLE) AS metric_p90,
+                 CAST(NULL AS DOUBLE) AS metric_p99,
+                 CAST(NULL AS DOUBLE) AS skew
+               FROM c, t ORDER BY n DESC, key ASC LIMIT 10)
+         SELECT * FROM (SELECT * FROM s UNION ALL SELECT * FROM h)
+         ORDER BY kind, n_rows DESC, key""",
+    // q105: lag over the same (epoch micros, event_id) order,
+    // quantile_cont == Spark percentile
+    "q105_inter_arrival" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS e, event_id
+              FROM events),
+         g AS (SELECT user_id,
+                 (e - lag(e) OVER (PARTITION BY user_id
+                    ORDER BY e, event_id)) / 1e6 AS gap
+               FROM s)
+         SELECT user_id, count(*) AS n_events,
+                count(gap) AS n_gaps,
+                round(quantile_cont(gap, 0.5), 6) AS p50_gap_s,
+                round(quantile_cont(gap, 0.9), 6) AS p90_gap_s,
+                round(max(gap), 6) AS max_gap_s
+         FROM g GROUP BY 1 ORDER BY user_id""")
 }

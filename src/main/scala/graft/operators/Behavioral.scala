@@ -181,4 +181,33 @@ object Behavioral {
       .select(col("from_type"), col("to_type"), col("n"),
         round(col("n").cast("double") / col("__tot"), 6).as("p"))
   }
+
+  /** Per-entity inter-arrival statistics: gaps (seconds, µs
+    * precision) between consecutive events under the (ts, tiebreak)
+    * total order, summarized as count + interpolated p50/p90 + max.
+    * The activity-cadence profile behind session-gap tuning (what
+    * threshold does `sessionize` deserve?) and bot/burst detection
+    * (p50 near zero at high counts = machine traffic).
+    *
+    * Scale shape: one keyed window for the lag — the only data-sized
+    * shuffle — then a per-entity aggregate; the result is one row per
+    * entity. Single-event entities emit n_gaps = 0 with null stats.
+    */
+  def interArrivalStats(events: DataFrame, keyCol: String,
+                        tsCol: String, tiebreakCol: String): DataFrame = {
+    requireCols(events, keyCol, tsCol, tiebreakCol)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__e"), col(tiebreakCol))
+    events
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__e"),
+        col(tiebreakCol))
+      .withColumn("__gap",
+        (col("__e") - lag(col("__e"), 1).over(w)) / 1e6)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("__gap")).as("n_gaps"),
+        round(expr("percentile(__gap, 0.5)"), 6).as("p50_gap_s"),
+        round(expr("percentile(__gap, 0.9)"), 6).as("p90_gap_s"),
+        round(max(col("__gap")), 6).as("max_gap_s"))
+  }
 }

@@ -101,6 +101,62 @@ object Profiling {
     *
     * @return (bucket, lo, hi, n) rounded to 6 decimals on the bounds
     */
+  /** Key-skew report — the diagnostic run BEFORE deciding whether a
+    * join/aggregation needs `Relational.saltedJoin`/`saltedAggregate`:
+    * per-key row counts summarized as (total keys, total rows, max,
+    * p50/p90/p99 interpolated percentiles, skew = max/mean) plus the
+    * `topK` heaviest keys with their share of all rows. A key whose
+    * share approaches one partition's fraction of the data is the
+    * shuffle straggler; salt it.
+    *
+    * Scale shape: one partial-aggregated (key → count) pass — the
+    * only data-sized shuffle — then a |keys|-row percentile aggregate
+    * and a TakeOrderedAndProject top-K (driver cost K, never a sort
+    * of all keys). Long form: kind ∈ {summary, heavy_key}.
+    *
+    * @return (kind, key, n_rows, share, metric_p50, metric_p90,
+    *         metric_p99, skew) — summary row has key = "*"
+    */
+  def skewReport(df: DataFrame, keyCols: Seq[String],
+                 topK: Int = 10): DataFrame = {
+    if (keyCols.isEmpty)
+      throw InvalidArgumentValue("keyCols must be non-empty")
+    if (topK <= 0)
+      throw InvalidArgumentValue(s"topK must be positive: $topK")
+    keyCols.foreach { c =>
+      if (!df.columns.contains(c))
+        throw InvalidArgumentValue(s"no such column: $c")
+    }
+    val keyExpr = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    val counts = df.groupBy(keyExpr.as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(
+      sum("n").as("__rows"), count(lit(1)).as("__keys"),
+      max("n").as("__max"), avg("n").as("__mean"),
+      expr("percentile(n, 0.5)").as("__p50"),
+      expr("percentile(n, 0.9)").as("__p90"),
+      expr("percentile(n, 0.99)").as("__p99"))
+    val summary = total.select(
+      lit("summary").as("kind"), lit("*").as("key"),
+      col("__rows").as("n_rows"), lit(1.0).as("share"),
+      round(col("__p50"), 6).as("metric_p50"),
+      round(col("__p90"), 6).as("metric_p90"),
+      round(col("__p99"), 6).as("metric_p99"),
+      round(col("__max") / col("__mean"), 6).as("skew"))
+    val heavy = counts
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(topK)
+      .crossJoin(broadcast(total.select(col("__rows"))))
+      .select(lit("heavy_key").as("kind"), col("key"),
+        col("n").as("n_rows"),
+        round(col("n").cast("double") / col("__rows"), 6).as("share"),
+        lit(null).cast("double").as("metric_p50"),
+        lit(null).cast("double").as("metric_p90"),
+        lit(null).cast("double").as("metric_p99"),
+        lit(null).cast("double").as("skew"))
+    summary.unionByName(heavy)
+  }
+
   /** Sketch-based cardinality profile: per group, the APPROXIMATE
     * distinct count of each requested column (HyperLogLog++, default
     * 2% relative SD) next to the exact row count. At 100 TB this is

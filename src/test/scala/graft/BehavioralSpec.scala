@@ -185,6 +185,46 @@ class BehavioralSpec extends SparkSpec {
     }
   }
 
+  test("skewReport summarizes per-key counts and ranks heavy keys") {
+    // counts: a×4, b×2, c×1, d×1 → mean 2, max 4, skew 2;
+    // interpolated percentiles of [1,1,2,4]: p50 1.5, p90 3.4
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "x")
+    val rows = Profiling.skewReport(df, Seq("k"), topK = 2)
+      .orderBy(col("kind"), col("n_rows").desc, col("key"))
+      .collect()
+    val s = rows.last
+    assert(s.getString(0) == "summary" && s.getLong(2) == 8L &&
+      s.getDouble(4) == 1.5 && s.getDouble(5) == 3.4 &&
+      s.getDouble(7) == 2.0)
+    val heavy = rows.init.map(r =>
+      (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(heavy == Seq(("a", 4L, 0.5), ("b", 2L, 0.25)))
+    intercept[InvalidArgumentValue] {
+      Profiling.skewReport(df, Nil)
+    }
+  }
+
+  test("interArrivalStats computes tie-broken gap percentiles") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:00:10"), 2L),
+      (1L, ts("2024-01-01 10:00:30"), 3L),
+      (2L, ts("2024-01-01 10:00:00"), 4L) // single event: no gaps
+    ).toDF("user_id", "ts", "event_id")
+    val got = graft.operators.Behavioral.interArrivalStats(
+        df, "user_id", "ts", "event_id")
+      .orderBy("user_id").collect()
+    // user 1: gaps 10 s and 20 s → p50 15, p90 19, max 20
+    val u1 = got(0)
+    assert(u1.getLong(1) == 3L && u1.getLong(2) == 2L &&
+      u1.getDouble(3) == 15.0 && u1.getDouble(4) == 19.0 &&
+      u1.getDouble(5) == 20.0)
+    val u2 = got(1)
+    assert(u2.getLong(1) == 1L && u2.getLong(2) == 0L &&
+      u2.isNullAt(3) && u2.isNullAt(4) && u2.isNullAt(5))
+  }
+
   test("approxDistinctProfile stays within the sketch error bound") {
     val li = Tables.read(spark, sf, "lineitem")
     val got = Profiling.approxDistinctProfile(li, "l_returnflag",
