@@ -854,6 +854,30 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** q106 — n-gram containment join on a corpus with PLANTED
+    * fragments (first 15 words of each doc < 100, re-keyed +20000):
+    * each fragment is fully contained in its source (containment
+    * 1.0), which symmetric Jaccard would score far below threshold.
+    * The oracle replays ALL-PAIRS exact containment — the prefix
+    * filter must lose nothing.
+    */
+  def q106Containment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val fragments = docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat_ws(" ",
+          slice(split(trim(lower(col("text"))), "\\s+"), 1, 15))
+          .as("text"))
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(fragments)
+    // caller-unpersists contract on the returned frame (q55's shape)
+    Dedup.ngramContainmentJoin(corpus, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("id_a", "id_b")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -907,7 +931,8 @@ object QueriesLlm {
     "q93_bigram_logprob" -> (q93BigramLogprob _),
     "q97_random_projection" -> (q97RandomProjection _),
     "q99_lexical_stats"  -> (q99LexicalStats _),
-    "q103_line_filter"   -> (q103LineFilter _))
+    "q103_line_filter"   -> (q103LineFilter _),
+    "q106_containment"   -> (q106Containment _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -2044,5 +2069,38 @@ object QueriesLlm {
          SELECT la.doc_id, CAST(len(la.ls) AS BIGINT) AS n_lines,
                 CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
                 coalesce(agg.text_clean, '') AS text_clean
-         FROM la LEFT JOIN agg USING (doc_id) ORDER BY la.doc_id""")
+         FROM la LEFT JOIN agg USING (doc_id) ORDER BY la.doc_id""",
+    // q106: the same planted-fragment corpus, ALL-PAIRS exact
+    // containment over distinct word 3-grams — directional (a's gram
+    // set divided by a's size)
+    "q106_containment" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 20000,
+                  array_to_string(
+                    regexp_split_to_array(trim(lower(text)),
+                      '\s+')[1:15], ' ')
+           FROM documents WHERE doc_id < 100),
+         toks AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM corpus),
+         pos AS (SELECT doc_id, t,
+                unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+              FROM toks),
+         g AS (SELECT DISTINCT doc_id,
+                 array_to_string(t[i:i+2], ' ') AS gram
+               FROM pos),
+         sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS ix
+                   FROM g a JOIN g b
+                     ON a.gram = b.gram AND a.doc_id <> b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(ix * 1.0 / sa.n, 6) AS containment
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         WHERE ix * 1.0 / sa.n >= 0.8
+         ORDER BY id_a, id_b""")
 }

@@ -666,6 +666,79 @@ object Dedup {
     result
   }
 
+  /** EXACT n-gram containment join — the DIRECTIONAL complement of
+    * `ngramJaccardNearDups`: all ordered pairs (a, b) with
+    * C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)| ≥ `threshold`,
+    * i.e. documents substantially CONTAINED in another. Symmetric
+    * Jaccard misses exactly this case: a short article pasted into a
+    * long boilerplate page scores low Jaccard (the union is huge) but
+    * containment 1.0 — the common shape of web-corpus duplication.
+    *
+    * Recall-guaranteed candidate generation (Bayardo et al. WWW'07
+    * prefix filtering, containment form): if a and b share no gram
+    * among a's ⌊|a|⌋ − ⌈t·|a|⌉ + 1 RAREST grams, the intersection is
+    * < t·|a| — so candidates come from joining a's rare-first prefix
+    * against the OTHER side's full gram set (asymmetric by nature),
+    * plus the size filter |b| ≥ t·|a|. Exact set intersection
+    * verifies every candidate.
+    *
+    * Scale shape: same funnel as `ngramJaccardNearDups` — hashed gram
+    * rows, one frequency pass, per-doc rank window, gram equi-join,
+    * join-based verify — with a wider (prefix × all-grams) candidate
+    * join, the price of the asymmetric guarantee. Returned frame is
+    * materialized; `.unpersist()` when done.
+    *
+    * @return (id_a, id_b, containment) — id_a is the contained side;
+    *         both directions emitted when mutual
+    */
+  def ngramContainmentJoin(df: DataFrame, idCol: String,
+                           textCol: String, n: Int = 3,
+                           threshold: Double = 0.8): DataFrame = {
+    if (threshold <= 0.0 || threshold > 1.0)
+      throw InvalidArgumentValue(
+        s"threshold must be in (0, 1], got $threshold")
+    if (n <= 0)
+      throw InvalidArgumentValue(s"n must be positive, got $n")
+    val grams = wordGramRows(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("g").asc)
+    val prefix = grams
+      .join(freq, "g")
+      .withColumn("rn", row_number().over(rankW))
+      .join(sizes, "id")
+      .filter(col("rn") <=
+        col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)) + 1)
+      .select(col("id"), col("g"), col("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allG = grams.join(sizes, "id")
+    val candidates = prefix.as("x")
+      .join(allG.as("y"),
+        col("x.g") === col("y.g") && col("x.id") =!= col("y.id") &&
+          col("y.sz") >= col("x.sz") * lit(threshold) - lit(1e-9))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val inter = candidates
+      .join(grams.select(col("id").as("id_a"), col("g")), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("g")),
+        Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ix"))
+    val result = inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("na")),
+        "id_a")
+      .withColumn("containment",
+        col("ix").cast("double") / col("na").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    grams.unpersist(blocking = false)
+    prefix.unpersist(blocking = false)
+    result
+  }
+
   /** Connected components over a near-duplicate pair list: the step
     * that turns pairwise findings into the actual dedup deliverable
     * (one surviving document per duplicate CLUSTER — pairs alone

@@ -1450,6 +1450,38 @@ class LlmSpec extends SparkSpec {
     assert(!rows.exists(_._1 == 4L))
   }
 
+  test("ngramContainmentJoin equals all-pairs exact containment") {
+    val docs = Tables.read(spark, sf, "documents")
+      .filter($"doc_id" < 40)
+    val frags = docs.filter($"doc_id" < 10)
+      .select(($"doc_id" + 1000).as("doc_id"),
+        concat_ws(" ",
+          slice(split(trim(lower($"text")), "\\s+"), 1, 12)).as("text"))
+    val corpus = docs.select($"doc_id", $"text").unionByName(frags)
+    val got = Dedup.ngramContainmentJoin(corpus, "doc_id", "text",
+      n = 3, threshold = 0.7)
+    val gotSet = got.select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    got.unpersist()
+    // driver replica: distinct word-3-gram sets, all ordered pairs
+    val gramSets = corpus.select($"doc_id", trim(lower($"text")))
+      .as[(Long, String)].collect().toMap
+      .view.mapValues { t =>
+        val w = t.split("\\s+").toSeq
+        (if (w.length <= 3) Seq(w.mkString(" "))
+         else w.sliding(3).map(_.mkString(" ")).toSeq).toSet
+      }.toMap
+    val want = (for {
+      (a, ga) <- gramSets.toSeq; (b, gb) <- gramSets.toSeq
+      if a != b && ga.intersect(gb).size.toDouble / ga.size >= 0.7
+    } yield (a, b)).toSet
+    assert(gotSet == want)
+    // every planted fragment is contained in its source at 1.0
+    (1000L until 1010L).foreach { f =>
+      assert(gotSet.contains((f, f - 1000)), s"fragment $f missing")
+    }
+  }
+
   test("filterBoilerplateLines applies the three C4 rules per line") {
     val text = Seq(
       "A good long sentence.",      // kept
