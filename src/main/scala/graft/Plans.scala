@@ -150,7 +150,11 @@ object Plans {
       "q103_line_filter" ->
         ("C4 line filter: codegen per-line predicates over the " +
           "exploded scan, zero joins before the per-document " +
-          "regroup"))
+          "regroup"),
+      "q106_containment" ->
+        ("containment join: rare-first prefix grams equi-join the " +
+          "full gram set (asymmetric prefix filter) + exact " +
+          "intersection verify — never an all-pairs compare"))
 
     val sb = new StringBuilder
     sb ++= s"# PLANS — formatted physical plans at $sfDir\n\n"
