@@ -30,7 +30,11 @@ object ScaleMeasure {
     "q55_n5" -> ((s, dir) =>
       graft.llm.Dedup.ngramJaccardNearDups(
         graft.Tables.read(s, dir, "documents"), "doc_id", "text",
-        n = 5, threshold = 0.5)))
+        n = 5, threshold = 0.5)),
+    "q106_n5" -> ((s, dir) =>
+      graft.llm.Dedup.ngramContainmentJoin(
+        graft.Tables.read(s, dir, "documents"), "doc_id", "text",
+        n = 5, threshold = 0.8)))
 
   private class Listener extends SparkListener {
     private val stageGroup = TrieMap[Int, String]()
