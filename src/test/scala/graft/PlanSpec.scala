@@ -203,4 +203,54 @@ class PlanSpec extends SparkSpec {
     assert(joinIdx >= 0 && aggIdx > joinIdx,
       s"expected aggregate below the join in:\n$p")
   }
+
+  test("q94 rolling window is one keyed exchange, no join") {
+    val p = planOf(graft.operators.Behavioral.rollingWindow(
+      Tables.read(spark, sf, "events"), "user_id", "ts", "value",
+      3600L))
+    assert(!p.contains("Join"), s"time-range join crept in:\n$p")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"window must be keyed by user_id:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected exactly one keyed exchange, got $exchanges:\n$p")
+  }
+
+  test("q97 random projection plans with zero shuffle") {
+    val p = planOf(graft.llm.Similarity.randomProjection(
+      Tables.read(spark, sf, "embeddings"), "vec_id", "embedding", 8))
+    assert(!p.contains("Exchange"),
+      s"projection kernel must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
+  test("q100 snapshot diff is a single full-outer equi-join") {
+    val got = QueriesRelational2.q100SnapshotDiff(spark, sf)
+    val p = planOf(got)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"non-equi join in:\n$p")
+    assert(p.contains("FullOuter"), s"expected full outer join:\n$p")
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins >= 1, s"expected the key join:\n$p")
+  }
+
+  test("q102 sketch profile partial-aggregates HLL map-side") {
+    val p = planOf(QueriesRelational2.q102ApproxDistinct(spark, sf))
+    // partial_approx_count_distinct before the exchange = the
+    // constant-size registers are what shuffles, not values
+    assert(p.contains("partial_approx_count_distinct"),
+      s"expected map-side HLL partials in:\n$p")
+    assert(!p.contains("Join") || p.contains("BroadcastHashJoin"),
+      s"unexpected shuffle join:\n$p")
+  }
+
+  test("q103 line filter has no join before the per-doc regroup") {
+    val p = planOf(graft.llm.TextAnalysis.filterBoilerplateLines(
+      Tables.read(spark, sf, "documents").limit(50), "doc_id", "text"))
+    // the predicate stage is pure map over the exploded scan; the
+    // only join permitted is the final left join back to doc sizes
+    val bnlj = p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("CartesianProduct")
+    assert(!bnlj, s"pair/cross join crept into the line filter:\n$p")
+  }
 }
