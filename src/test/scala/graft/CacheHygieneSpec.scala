@@ -132,6 +132,15 @@ class CacheHygieneSpec extends SparkSpec {
       "source", "embedding")) > 0)
   }
 
+  test("containment join and the round-5 text scorers release caches") {
+    assert(assertReleasesAll(Dedup.ngramContainmentJoin(
+      docs, "doc_id", "text", n = 3, threshold = 0.7)) > 0)
+    assert(assertReleasesAll(graft.llm.TextAnalysis.vocabCoverage(
+      docs, "doc_id", "text", vocabSize = 50)) > 0)
+    assert(assertReleasesAll(graft.llm.TextAnalysis.bigramLogProb(
+      docs, "doc_id", "text")) > 0)
+  }
+
   test("trainBpeMerges leaves no caches behind") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
