@@ -48,6 +48,32 @@ object Streaming {
         col("n"), col("total"))
   }
 
+  /** Windowed APPROXIMATE distinct entities (HyperLogLog++): the
+    * "unique users per window" metric that exact countDistinct cannot
+    * provide in a stream at all (distinct state grows with
+    * cardinality and Spark rejects streaming COUNT(DISTINCT)) and
+    * cannot provide at 100 TB cheaply in batch. HLL registers are
+    * MERGEABLE, which is exactly what incremental micro-batch
+    * aggregation needs — the same call works identically on a batch
+    * frame, and the estimates are bit-equal stream-vs-batch because
+    * the sketch is deterministic.
+    */
+  def windowedApproxDistinct(events: DataFrame, tsCol: String,
+                             idCol: String, windowDuration: String,
+                             relativeSD: Double = 0.02,
+                             watermark: String = "10 minutes"): DataFrame = {
+    val wm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark)
+      else events
+    wm.groupBy(window(col(tsCol), windowDuration).as("w"))
+      .agg(approx_count_distinct(col(idCol), relativeSD)
+          .as("approx_distinct"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("approx_distinct"),
+        col("n_events"))
+  }
+
   /** Session windows per user: gap-based sessionization. */
   def sessionized(events: DataFrame, tsCol: String, gap: String,
                   watermark: String = "10 minutes"): DataFrame = {

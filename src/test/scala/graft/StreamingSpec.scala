@@ -38,6 +38,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("streamed windowed approx-distinct equals the batch sketch") {
+    val streamed = Streaming.windowedApproxDistinct(
+      Streaming.readParquetStream(spark, streamDir, events),
+      "ts", "user_id", "15 minutes")
+    val got = Streaming.runToMemory(spark, streamed, "win_distinct")
+      .orderBy("window_start")
+    val want = Streaming.windowedApproxDistinct(events, "ts",
+        "user_id", "15 minutes")
+      .orderBy("window_start")
+    // HLL registers are deterministic and mergeable, so incremental
+    // micro-batch aggregation lands on the SAME estimate as batch
+    assert(got.collect().toSeq == want.collect().toSeq)
+    assert(got.count() > 0)
+  }
+
   test("sessionization works identically on batch frames") {
     val sessions = Streaming.sessionized(events, "ts", "30 minutes")
     assert(sessions.count() > 0)
