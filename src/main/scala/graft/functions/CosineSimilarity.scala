@@ -163,4 +163,36 @@ object GraftFunctions {
               s"got ${children.size}"))
     }
   }
+
+  /** Injection hook for `SparkSessionExtensions` — the config-driven
+    * twin of `register`: with
+    * `spark.sql.extensions=graft.functions.GraftExtensions` every
+    * session (and every Structured Streaming micro-batch clone) is
+    * born with the native functions installed, no code call needed.
+    */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    specs.foreach { spec =>
+      ext.injectFunction((
+        FunctionIdentifier(spec.name),
+        new ExpressionInfo(spec.className, null, spec.name,
+          spec.usage, ""),
+        (children: Seq[Expression]) =>
+          if (children.size == spec.arity) spec.build(children)
+          else throw graft.exceptions.InvalidArgumentValue(
+            s"${spec.name} expects ${spec.arity} arguments, " +
+              s"got ${children.size}")))
+    }
+}
+
+/** `spark.sql.extensions` entry point: installs graft's native
+  * codegen expressions (`cosine_sim`, `nfc_normalize`) into every
+  * session created under the config — the deployment mode for
+  * clusters where user code can't call `GraftFunctions.register`
+  * (SQL-only gateways, Thrift/Connect servers).
+  */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.injectInto(ext)
 }

@@ -119,4 +119,33 @@ class FunctionsSpec extends SparkSpec {
         .select(call_function("nfc_normalize", $"x")).collect()
     }
   }
+
+  test("GraftExtensions installs the functions via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    // a NEW SparkSession over the existing SparkContext, created with
+    // the extensions hook applied (the `spark.sql.extensions` config
+    // string resolves to the same class, but static confs on an
+    // already-running SparkContext are not re-read, so the spec uses
+    // the programmatic injection point); clear the thread bindings so
+    // getOrCreate actually constructs instead of reusing the shared
+    // session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne spark, "expected a fresh session")
+      val r = s2.sql(
+        "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
+          "nfc_normalize('é') AS n").head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(r.getString(1) == "é")
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
