@@ -878,6 +878,19 @@ object QueriesLlm {
       .orderBy("id_a", "id_b")
   }
 
+  /** q107 — compression-ratio quality signal (NO ORACLE by design,
+    * the q63/q102 convention: deflate output is a library property,
+    * not SQL-replayable; LlmSpec pins the ordering contract —
+    * repetitive text compresses far below diverse text). Zero-shuffle
+    * row-parallel kernel.
+    */
+  def q107Compression(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.compressionRatio(t(spark, dir, "documents"),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bytes"),
+        col("n_compressed"), col("compression_ratio"))
+      .orderBy("doc_id")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -932,7 +945,8 @@ object QueriesLlm {
     "q97_random_projection" -> (q97RandomProjection _),
     "q99_lexical_stats"  -> (q99LexicalStats _),
     "q103_line_filter"   -> (q103LineFilter _),
-    "q106_containment"   -> (q106Containment _))
+    "q106_containment"   -> (q106Containment _),
+    "q107_compression_noracle" -> (q107Compression _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->

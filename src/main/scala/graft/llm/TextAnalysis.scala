@@ -839,6 +839,50 @@ object TextAnalysis {
         coalesce(col("__text"), lit("")).as("text_clean"))
   }
 
+  /** Compression-ratio quality signal (the Gopher/MassiveText filter
+    * family's "does it deflate suspiciously well" heuristic):
+    * repetitive boilerplate, templated spam, and degenerate repeats
+    * compress far below natural text, so
+    * ratio = deflate_bytes / utf8_bytes separates them with zero
+    * linguistic machinery. Deflate at a fixed level on the executor
+    * (java.util.zip, allocation-reused per partition) — a
+    * row-parallel mapPartitions kernel, zero shuffle, no oracle by
+    * design (compressed size is a library property, not SQL-
+    * replayable; the spec pins the ordering contract instead).
+    *
+    * @return (id, n_bytes, n_compressed, compression_ratio) — null
+    *         metrics for null/empty text (fail-soft, never a task
+    *         failure)
+    */
+  def compressionRatio(df: DataFrame, idCol: String,
+                       textCol: String, level: Int = 6): DataFrame = {
+    if (level < 1 || level > 9)
+      throw InvalidArgumentValue(s"level must be in 1..9: $level")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        rows.map { case (id, t) =>
+          if (t == null || t.isEmpty) (id, None, None, None)
+          else {
+            val in = t.getBytes("UTF-8")
+            deflater.reset()
+            deflater.setInput(in)
+            deflater.finish()
+            var out = 0L
+            while (!deflater.finished())
+              out += deflater.deflate(buf)
+            (id, Some(in.length.toLong), Some(out),
+              Some(math.rint(out.toDouble / in.length * 1e6) / 1e6))
+          }
+        }
+      }
+      .toDF("id", "n_bytes", "n_compressed", "compression_ratio")
+  }
+
   /** Per-group lexical health stats: tokens, distinct types,
     * type-token ratio, and the mass share of the single most frequent
     * token — the corpus-drift dashboard row (a source whose TTR

@@ -1450,6 +1450,33 @@ class LlmSpec extends SparkSpec {
     assert(!rows.exists(_._1 == 4L))
   }
 
+  test("compressionRatio separates repetitive from diverse text") {
+    val rep = "spam spam spam " * 50
+    val div = (1 to 150).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val df = Seq((1L, rep), (2L, div), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .orderBy("id").collect()
+    val repRatio = got(0).getDouble(3)
+    val divRatio = got(1).getDouble(3)
+    assert(repRatio < 0.1, s"repetitive text should crush: $repRatio")
+    assert(divRatio > 3 * repRatio,
+      s"diverse ($divRatio) vs repetitive ($repRatio) separation")
+    assert(got(0).getLong(1) == rep.getBytes("UTF-8").length)
+    // empty + null fail soft with null metrics
+    Seq(2, 3).foreach { i =>
+      (1 to 3).foreach(c => assert(got(i).isNullAt(c),
+        s"row ${got(i).getLong(0)} col $c"))
+    }
+    // deterministic across calls (fixed level, reset deflater)
+    val again = TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      TextAnalysis.compressionRatio(df, "doc_id", "text", level = 0)
+    }
+  }
+
   test("ngramContainmentJoin equals all-pairs exact containment") {
     val docs = Tables.read(spark, sf, "documents")
       .filter($"doc_id" < 40)
