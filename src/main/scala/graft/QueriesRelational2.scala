@@ -915,19 +915,24 @@ object QueriesRelational2 {
                FROM c, t ORDER BY n DESC, key ASC LIMIT 10)
          SELECT * FROM (SELECT * FROM s UNION ALL SELECT * FROM h)
          ORDER BY kind, n_rows DESC, key""",
-    // q105: lag over the same (epoch micros, event_id) order,
-    // quantile_cont == Spark percentile
+    // q105: lag over the same (epoch micros, event_id) order; the
+    // quantile runs over INTEGER microsecond gaps (int64 midpoints are
+    // exact in double), is rounded half-up to integer µs via
+    // floor(x+0.5) — IEEE-exact, engine-independent, unlike decimal
+    // round() which breaks the frequent x.5 µs ties differently per
+    // engine — and only then divided to seconds, matching the Spark
+    // side bit-for-bit
     "q105_inter_arrival" ->
       """WITH s AS (SELECT user_id, epoch_us(ts) AS e, event_id
               FROM events),
          g AS (SELECT user_id,
-                 (e - lag(e) OVER (PARTITION BY user_id
-                    ORDER BY e, event_id)) / 1e6 AS gap
+                 e - lag(e) OVER (PARTITION BY user_id
+                    ORDER BY e, event_id) AS gap_us
                FROM s)
          SELECT user_id, count(*) AS n_events,
-                count(gap) AS n_gaps,
-                round(quantile_cont(gap, 0.5), 6) AS p50_gap_s,
-                round(quantile_cont(gap, 0.9), 6) AS p90_gap_s,
-                round(max(gap), 6) AS max_gap_s
+                count(gap_us) AS n_gaps,
+                floor(quantile_cont(gap_us, 0.5) + 0.5) / 1e6 AS p50_gap_s,
+                floor(quantile_cont(gap_us, 0.9) + 0.5) / 1e6 AS p90_gap_s,
+                max(gap_us) / 1e6 AS max_gap_s
          FROM g GROUP BY 1 ORDER BY user_id""")
 }

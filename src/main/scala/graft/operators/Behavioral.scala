@@ -192,6 +192,22 @@ object Behavioral {
     * Scale shape: one keyed window for the lag — the only data-sized
     * shuffle — then a per-entity aggregate; the result is one row per
     * entity. Single-event entities emit n_gaps = 0 with null stats.
+    *
+    * Numeric contract: the percentile runs over INTEGER microsecond
+    * gaps and converts to seconds only after aggregation. Int64
+    * interpolation midpoints are exactly representable in double, so
+    * any engine's linear-interpolation quantile (Spark `percentile`,
+    * DuckDB `quantile_cont`) agrees bit-for-bit; dividing first would
+    * interpolate between inexact doubles and diverge at half-ulp
+    * round boundaries. The result is then rounded half-up to integer
+    * microseconds via `floor(x + 0.5)` — NOT a decimal `round(x, 6)`
+    * after division, because a p50 midpoint of two integers lands
+    * exactly on x.5 µs (a 6-dp decimal tie in seconds) half the time,
+    * and engines break decimal ties differently (Spark rounds the
+    * shortest decimal string HALF_UP; DuckDB rounds in binary).
+    * floor/+0.5 are IEEE-exact on the exact midpoint double, so both
+    * engines produce the same integer, and integer/1e6 is the same
+    * IEEE division — bit-identical output with ≤6 decimal digits.
     */
   def interArrivalStats(events: DataFrame, keyCol: String,
                         tsCol: String, tiebreakCol: String): DataFrame = {
@@ -201,13 +217,15 @@ object Behavioral {
     events
       .select(col(keyCol), unix_micros(col(tsCol)).as("__e"),
         col(tiebreakCol))
-      .withColumn("__gap",
-        (col("__e") - lag(col("__e"), 1).over(w)) / 1e6)
+      .withColumn("__gap_us",
+        col("__e") - lag(col("__e"), 1).over(w))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
-        count(col("__gap")).as("n_gaps"),
-        round(expr("percentile(__gap, 0.5)"), 6).as("p50_gap_s"),
-        round(expr("percentile(__gap, 0.9)"), 6).as("p90_gap_s"),
-        round(max(col("__gap")), 6).as("max_gap_s"))
+        count(col("__gap_us")).as("n_gaps"),
+        (floor(expr("percentile(__gap_us, 0.5)") + 0.5) / 1e6)
+          .as("p50_gap_s"),
+        (floor(expr("percentile(__gap_us, 0.9)") + 0.5) / 1e6)
+          .as("p90_gap_s"),
+        (max(col("__gap_us")) / 1e6).as("max_gap_s"))
   }
 }
