@@ -316,19 +316,24 @@ object QueriesLlm {
 
   /** q70 — per-source length-distribution monitoring (exact
     * interpolated percentiles): the drift dashboard a curation
-    * pipeline watches between ingests. Spark's `percentile` and
-    * DuckDB's `quantile_cont` share the continuous-interpolation
-    * definition, so the oracle is a direct replay.
+    * pipeline watches between ingests. The quantiles run through
+    * `Quantiles.exactQuantiles` (bit-equal to `percentile`, which
+    * shares DuckDB `quantile_cont`'s continuous interpolation, so the
+    * oracle is a direct replay) — O(buckets) aggregation state per
+    * group instead of percentile's per-group distinct-value map.
     */
-  def q70LengthQuantiles(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+  def q70LengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val qs = graft.operators.Quantiles
+      .exactQuantiles(docs, Seq("source"), "n_chars", Seq(0.5, 0.9, 0.99))
       .groupBy("source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
-        round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
-        round(expr("percentile(n_chars, 0.99)"), 6).as("p99"))
+      .agg(round(max(when(col("p") === 0.5, col("q"))), 6).as("p50"),
+        round(max(when(col("p") === 0.9, col("q"))), 6).as("p90"),
+        round(max(when(col("p") === 0.99, col("q"))), 6).as("p99"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(qs, "source")
       .orderBy("source")
+  }
 
   /** q52 — near-dup CLUSTERS: simhash pairs → connected components →
     * (cluster root, size, surviving docs). Pairs alone over-count on

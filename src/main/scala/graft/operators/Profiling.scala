@@ -8,12 +8,16 @@ import graft.exceptions._
 
 /** Dataset profiling (the `df.describe()` surface a pandas-on-AWS
   * user reaches for first): per-column numeric summaries and pairwise
-  * Pearson correlation. Both are SINGLE-scan wide aggregations — all
-  * columns' statistics (or all pairs' moments) partial-aggregate
-  * map-side in one pass, then a driver-sized melt to long form. At
-  * 100 TB the cost is exactly one scan regardless of how many columns
-  * are profiled; nothing but the k-row (or k²-row) result ever
-  * shuffles.
+  * Pearson correlation. The moment statistics are SINGLE-scan wide
+  * aggregations — all columns' statistics (or all pairs' moments)
+  * partial-aggregate map-side in one pass, then a driver-sized melt
+  * to long form. Medians and winsorize bounds run through
+  * [[Quantiles.exactQuantiles]] (histogram-refinement distributed
+  * selection): identical values to the `percentile` aggregate —
+  * QuantilesSpec pins bit-equality — but with O(buckets)-row
+  * aggregation state instead of percentile's value→count map of
+  * every distinct value in one task's heap, which for continuous
+  * columns is the group's row count and an OOM at 100 TB.
   */
 object Profiling {
 
@@ -36,6 +40,13 @@ object Profiling {
     * (column, n_nonnull, n_null, mean, sd, min, max, median) — sd is
     * the sample stddev, median the interpolated exact percentile, all
     * rounded to 6 decimals so any engine re-derives the same values.
+    *
+    * The moments come from one wide scan; the medians from a melted
+    * (column, value) frame through `exactQuantiles` — 2–3 more linear
+    * scans, but no task ever buffers a column's distinct values
+    * (`percentile` would, and a continuous column's distinct count ≈
+    * the row count). The quantile refinement runs Spark jobs eagerly,
+    * so this returns a small materialized frame, not a lazy plan.
     */
   def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     requireNumeric(df, cols)
@@ -45,10 +56,17 @@ object Profiling {
         round(avg(col(c)), 6).as(s"__mean_$c"),
         round(stddev_samp(col(c)), 6).as(s"__sd_$c"),
         round(min(col(c)).cast("double"), 6).as(s"__min_$c"),
-        round(max(col(c)).cast("double"), 6).as(s"__max_$c"),
-        round(expr(s"percentile($c, 0.5)"), 6).as(s"__med_$c"))
+        round(max(col(c)).cast("double"), 6).as(s"__max_$c"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
+    val melted = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("colname"),
+          col(c).cast("double").as("v"))): _*)).as("e"))
+      .select("e.colname", "e.v")
+    val medians = Quantiles
+      .exactQuantiles(melted, Seq("colname"), "v", Seq(0.5))
+      .select(col("colname").as("column"),
+        round(col("q"), 6).as("median"))
     val entries = cols.map { c =>
       struct(
         lit(c).as("column"),
@@ -57,10 +75,10 @@ object Profiling {
         col(s"__mean_$c").as("mean"),
         col(s"__sd_$c").as("sd"),
         col(s"__min_$c").as("min"),
-        col(s"__max_$c").as("max"),
-        col(s"__med_$c").as("median"))
+        col(s"__max_$c").as("max"))
     }
     wide.select(explode(array(entries: _*)).as("p")).select("p.*")
+      .join(medians, Seq("column"), "left")
   }
 
   /** Pairwise Pearson correlation over the given columns, one row per
@@ -201,12 +219,16 @@ object Profiling {
     * would drag (doc lengths, event values, latency columns). Returns
     * the input rows plus (lo_bound, hi_bound, clipped).
     *
-    * Scale shape: one per-group percentile aggregation (|groups| rows,
-    * broadcast when it fits) joined back to the scan — two linear
-    * passes, no windows, no sort of the full data. Exact interpolated
-    * percentiles (`percentile`, DuckDB `quantile_cont` parity) keep
-    * the result engine-replayable; swap in `percentile_approx` when
-    * per-group exactness stops mattering at the very largest scales.
+    * Scale shape: the per-group bounds come from
+    * [[Quantiles.exactQuantiles]] — the same interpolated values the
+    * `percentile` aggregate produces (bit-equal, QuantilesSpec) with
+    * O(buckets) aggregation state per target instead of a per-group
+    * value→count map of every distinct value; for continuous columns
+    * that map is the group's row count in one task's heap, the exact
+    * single-buffer OOM this module is designed to avoid at 100 TB.
+    * The bounds (|groups| rows) then join back to the scan; AQE
+    * broadcasts them whenever they fit. The quantile refinement runs
+    * jobs eagerly, so the bounds are materialized at call time.
     */
   def winsorize(df: DataFrame, groupCol: String, c: String,
                 pLo: Double, pHi: Double): DataFrame = {
@@ -216,9 +238,11 @@ object Profiling {
         s"need 0 <= pLo < pHi <= 1: ($pLo, $pHi)")
     if (!df.columns.contains(groupCol))
       throw InvalidArgumentValue(s"no such column: $groupCol")
-    val bounds = df.groupBy(col(groupCol))
-      .agg(round(expr(s"percentile($c, $pLo)"), 6).as("lo_bound"),
-        round(expr(s"percentile($c, $pHi)"), 6).as("hi_bound"))
+    val bounds = Quantiles
+      .exactQuantiles(df, Seq(groupCol), c, Seq(pLo, pHi))
+      .groupBy(col(groupCol))
+      .agg(round(max(when(col("p") === pLo, col("q"))), 6).as("lo_bound"),
+        round(max(when(col("p") === pHi, col("q"))), 6).as("hi_bound"))
     // no broadcast hint: |groups| is data-dependent, AQE broadcasts
     // the bounds side whenever it actually fits
     df.join(bounds, groupCol)

@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.exceptions._
+
+/** Scale-safe EXACT interpolated quantiles (the `percentile` /
+  * `quantile_cont` semantics) via distributed selection, replacing the
+  * built-in `percentile` aggregate wherever the input column is
+  * continuous and groups are data-sized.
+  *
+  * Why not `percentile`: Spark's exact `percentile` is a
+  * TypedImperativeAggregate whose buffer is an in-heap value→count
+  * map of every DISTINCT value in the group. For continuous doubles
+  * distinct ≈ rows, so a global (or large-group) percentile holds the
+  * whole column in ONE task's heap during the final merge — a
+  * guaranteed OOM at the 100 TB design point. This operator computes
+  * the same values (bit-identical: the same `p * (n-1)` position and
+  * the same `(hi-pos)*vLo + (pos-lo)*vHi` interpolation) with nothing
+  * but linear scans, O(buckets · |groups| · |ps|)-row aggregates, and
+  * one final bounded window.
+  *
+  * Algorithm — iterative histogram refinement (distributed selection,
+  * the classic "find rank k with log_B(n) counting passes"):
+  *   1. per group: n, min, max → each needed rank k = ⌊(n−1)p⌋ / ⌈(n−1)p⌉
+  *      becomes a target with state (interval [lo,hi], rowsBelow,
+  *      rowsIn). Intervals start at [min,max] with rowsBelow = 0.
+  *   2. while any target has rowsIn > threshold: one scan histograms
+  *      each active target's interval into `buckets` buckets
+  *      (monotonic float bucketing; equal values always share a
+  *      bucket), a ≤buckets-row-per-target window picks the bucket
+  *      containing the rank, and the interval shrinks to that
+  *      bucket's EXACT member min/max (no float-boundary drift: the
+  *      next membership predicate is v ∈ [bucketMin, bucketMax],
+  *      both actual data values). A bucket whose min == max is all
+  *      ties — the answer directly.
+  *   3. final pass: candidates (≤ threshold per target) get a
+  *      row_number window per (group, rank) — bounded partitions,
+  *      spill-safe — and the row at rank k−rowsBelow is the value.
+  *   4. interpolate per (group, p) exactly as Spark's Percentile:
+  *      pos = p·(n−1) in double; q = (⌈pos⌉−pos)·v⌊pos⌋ +
+  *      (pos−⌊pos⌋)·v⌈pos⌉ (QuantilesSpec pins bit-equality against
+  *      `percentile` across seeded random data).
+  *
+  * Convergence: each pass divides rowsIn by up to `buckets`; heavy
+  * ties collapse via the min==max rule, so n = 10¹² needs ~5 passes
+  * at buckets = 256. If an interval stops shrinking (all remaining
+  * values within one float ulp — width underflows), the loop exits
+  * and the final window handles the residue; its partitions are
+  * then tie-dominated and still sort-spillable, never an in-heap map.
+  *
+  * Groups that are entirely NULL yield q = NULL (matching
+  * `percentile`). NaN values are rejected up front
+  * (InvalidArgumentValue) rather than silently diverging from
+  * `percentile`'s NaN-sorts-last convention — a NaN in a quantile
+  * input is a data bug upstream.
+  *
+  * The iterative driver loop materializes per-round state with eager
+  * `localCheckpoint` and releases superseded blocks immediately (the
+  * `dupClusters` pattern — plan growth stays bounded and no blocks
+  * leak past the call).
+  */
+object Quantiles {
+
+  /** Exact interpolated quantiles per group.
+    *
+    * @param df        input frame (scanned 2–4 times; the 2-column
+    *                  projection is persisted MEMORY_AND_DISK for the
+    *                  refinement passes and released before return)
+    * @param groupCols grouping columns (empty = one global group)
+    * @param valueCol  numeric column to take quantiles of
+    * @param ps        probabilities in [0, 1]
+    * @param buckets   histogram resolution per refinement pass
+    * @param threshold max candidate rows a final window partition may
+    *                  hold; the refinement loop runs until every
+    *                  unresolved target is under it
+    * @return one row per (group × p): groupCols ++ (p DOUBLE, q DOUBLE)
+    */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String],
+                     valueCol: String, ps: Seq[Double],
+                     buckets: Int = 256, threshold: Long = 4096,
+                     maxIter: Int = 48): DataFrame = {
+    if (ps.isEmpty)
+      throw InvalidArgumentValue("ps must be non-empty")
+    ps.foreach { p =>
+      if (p.isNaN || p < 0 || p > 1)
+        throw InvalidArgumentValue(s"p must be in [0,1]: $p")
+    }
+    if (buckets < 2)
+      throw InvalidArgumentValue(s"buckets must be >= 2: $buckets")
+    if (threshold < 1)
+      throw InvalidArgumentValue(s"threshold must be >= 1: $threshold")
+    (groupCols :+ valueCol).foreach { c =>
+      if (!df.columns.contains(c))
+        throw InvalidArgumentValue(s"no such column: $c")
+      if (c.startsWith("__"))
+        throw InvalidArgumentValue(
+          s"column $c collides with internal __ prefix")
+    }
+    val spark = df.sparkSession
+    // a global quantile still needs join/group keys downstream — give
+    // it a constant synthetic group and drop it on the way out
+    val (workDf, gNames) =
+      if (groupCols.isEmpty) (df.withColumn("__grp", lit(0)), Seq("__grp"))
+      else (df, groupCols)
+    val g = gNames.map(col)
+
+    // narrow projection, persisted: every refinement pass re-scans it
+    val data = workDf
+      .select((g :+ col(valueCol).cast("double").as("__v")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nonNull = data.filter(col("__v").isNotNull)
+      if (nonNull.filter(isnan(col("__v"))).limit(1).count() > 0)
+        throw InvalidArgumentValue(
+          s"$valueCol contains NaN — exactQuantiles requires NaN-free input")
+
+      // per-group n/min/max → one target per needed RANK (0-indexed);
+      // floor and ceil ranks of every p, deduplicated
+      val stats = nonNull.groupBy(g: _*).agg(
+        count(lit(1)).as("__n"),
+        min(col("__v")).as("__gmin"), max(col("__v")).as("__gmax"))
+      val psFrame = {
+        import spark.implicits._
+        ps.toDF("__p")
+      }
+      // (group, p, n, pos): the interpolation spine, reused at step 4
+      val posMap = stats.crossJoin(broadcast(psFrame))
+        .withColumn("__pos",
+          col("__p") * (col("__n") - 1).cast("double"))
+        .withColumn("__kl", floor(col("__pos")).cast("long"))
+        .withColumn("__kh", ceil(col("__pos")).cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      posMap.count()
+
+      val groupKey = gNames // shorthand for join keys
+      // target state: (group, __k, __cb rowsBelow, __lo, __hi,
+      //                __cnt rowsIn, __ans resolved value or null)
+      val targets0 = posMap
+        .select((g :+ explode(array(col("__kl"), col("__kh"))).as("__k")
+          :+ col("__n") :+ col("__gmin") :+ col("__gmax")): _*)
+        .distinct()
+        .select((g :+ col("__k") :+ lit(0L).as("__cb")
+          :+ col("__gmin").as("__lo") :+ col("__gmax").as("__hi")
+          :+ col("__n").as("__cnt")
+          :+ when(col("__gmin") === col("__gmax"), col("__gmin"))
+            .cast("double").as("__ans")): _*)
+
+      val sc = spark.sparkContext
+      def checkpointTracked(d: DataFrame)
+          : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+        val before = sc.getPersistentRDDs.keySet
+        val out = d.localCheckpoint(true)
+        val added = sc.getPersistentRDDs
+          .collect { case (id, r) if !before.contains(id) => r }.toSeq
+        (out, added)
+      }
+
+      var (targets, targetRdds) = checkpointTracked(targets0)
+      val isActive = col("__ans").isNull && col("__cnt") > threshold
+      var remaining =
+        targets.filter(isActive).agg(max("__cnt")).head().getAs[Any](0)
+      var prevRemaining = Long.MaxValue
+      var iter = 0
+      while (remaining != null &&
+        // progress guard: when every unresolved interval is ≤ 1 ulp
+        // wide the histogram can't split it further (max __cnt stops
+        // strictly decreasing) — exit and let the final bounded
+        // window absorb the tie-dominated residue
+        remaining.asInstanceOf[Long] < prevRemaining &&
+        iter < maxIter) {
+        prevRemaining = remaining.asInstanceOf[Long]
+        val active = targets.filter(isActive)
+        val settled = targets.filter(!isActive)
+        // histogram pass: monotonic float bucketing over each active
+        // target's interval; equal values always share a bucket
+        val w = (col("__hi") - col("__lo")) / buckets
+        val hist = nonNull.join(active, groupKey)
+          .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+          .withColumn("__b",
+            least(greatest(floor((col("__v") - col("__lo")) / w), lit(0)),
+              lit(buckets - 1L)).cast("long"))
+          .groupBy((g :+ col("__k") :+ col("__cb") :+ col("__b")): _*)
+          .agg(count(lit(1)).as("__c"),
+            min(col("__v")).as("__bmin"), max(col("__v")).as("__bmax"))
+        // ≤ `buckets` rows per (group, k): pick the rank's bucket
+        val cumW = Window
+          .partitionBy((g :+ col("__k")): _*).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val refined = hist
+          .withColumn("__cum", coalesce(sum("__c").over(cumW), lit(0L)))
+          .filter(col("__cb") + col("__cum") <= col("__k") &&
+            col("__k") < col("__cb") + col("__cum") + col("__c"))
+          .select((g :+ col("__k")
+            :+ (col("__cb") + col("__cum")).as("__cb")
+            :+ col("__bmin").as("__lo") :+ col("__bmax").as("__hi")
+            :+ col("__c").as("__cnt")
+            :+ when(col("__bmin") === col("__bmax"), col("__bmin"))
+              .cast("double").as("__ans")): _*)
+        val (next, nextRdds) =
+          checkpointTracked(settled.unionByName(refined))
+        remaining =
+          next.filter(isActive).agg(max("__cnt")).head().getAs[Any](0)
+        targetRdds.foreach(_.unpersist(blocking = false))
+        targetRdds = nextRdds
+        targets = next
+        iter += 1
+      }
+
+      // final gather: candidates per unresolved target are bounded by
+      // `threshold` (or by the tie-residue), so the per-(group, k)
+      // row_number window partitions are small and sort-spillable
+      val pending = targets.filter(col("__ans").isNull)
+      val rnW = Window.partitionBy((g :+ col("__k")): _*)
+        .orderBy(col("__v"))
+      val gathered = nonNull.join(pending, groupKey)
+        .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+        .withColumn("__rn", row_number().over(rnW))
+        .filter(col("__cb") + col("__rn") - 1 === col("__k"))
+        .select((g :+ col("__k") :+ col("__v").as("__ans")): _*)
+      val resolved = targets.filter(col("__ans").isNotNull)
+        .select((g :+ col("__k") :+ col("__ans")): _*)
+        .unionByName(gathered)
+
+      // interpolation — EXACTLY Spark Percentile.getPercentile:
+      // pos = p·(n−1); q = (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi
+      val vLo = resolved.select((g :+ col("__k").as("__kl")
+        :+ col("__ans").as("__vl")): _*)
+      val vHi = resolved.select((g :+ col("__k").as("__kh")
+        :+ col("__ans").as("__vh")): _*)
+      val interpolated = posMap
+        .join(vLo, groupKey :+ "__kl")
+        .join(vHi, groupKey :+ "__kh")
+        .select((g :+ col("__p").as("p")
+          // the two shortcuts mirror Spark Percentile.getPercentile
+          // exactly: integral position, and equal neighbor values
+          // (where algebraic interpolation could perturb an ulp)
+          :+ when(col("__kl") === col("__kh") ||
+              col("__vl") === col("__vh"), col("__vl"))
+            .otherwise(
+              (col("__kh").cast("double") - col("__pos")) * col("__vl") +
+                (col("__pos") - col("__kl").cast("double")) * col("__vh"))
+            .as("q")): _*)
+
+      // all-NULL groups vanished with the null filter but `percentile`
+      // still emits them with q = NULL — restore via the group spine
+      val spine = data.select(g: _*).distinct()
+        .crossJoin(broadcast(psFrame.select(col("__p").as("p"))))
+      val out = spine.join(interpolated, groupKey :+ "p", "left")
+        .select((groupCols.map(col) :+ col("p") :+ col("q")): _*)
+      // the iterative loop already ran actions; materialize the final
+      // join so the persisted inputs can be released before return
+      val (finalDf, _) = checkpointTracked(out)
+      targetRdds.foreach(_.unpersist(blocking = false))
+      posMap.unpersist(blocking = false)
+      finalDf
+    } finally data.unpersist(blocking = false)
+  }
+}
