@@ -464,6 +464,17 @@ object QueriesRelational2 {
         t(spark, dir, "events"), "user_id", "ts", "event_id")
       .orderBy("user_id")
 
+  /** q108 — the EXACT distinct profile: same melt/group/join shape
+    * as q102's HLL profile but with true count(DISTINCT), giving the
+    * profile logic a replayable oracle hash (q102 itself stays
+    * rows-only by the sketch convention).
+    */
+  def q108DistinctExact(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.distinctProfile(
+        t(spark, dir, "lineitem"), "l_returnflag",
+        Seq("l_orderkey", "l_partkey", "l_shipdate"))
+      .orderBy("grp", "column")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_window_rank"    -> (q08WindowRank _),
     "q09_window_running" -> (q09WindowRunning _),
@@ -498,7 +509,8 @@ object QueriesRelational2 {
     "q101_transitions"   -> (q101Transitions _),
     "q102_approx_distinct_noracle" -> (q102ApproxDistinct _),
     "q104_skew_report"   -> (q104SkewReport _),
-    "q105_inter_arrival" -> (q105InterArrival _))
+    "q105_inter_arrival" -> (q105InterArrival _),
+    "q108_distinct_exact" -> (q108DistinctExact _))
 
   val oracles: Map[String, String] = Map(
     "q08_window_rank" ->
@@ -934,5 +946,25 @@ object QueriesRelational2 {
                 floor(quantile_cont(gap_us, 0.5) + 0.5) / 1e6 AS p50_gap_s,
                 floor(quantile_cont(gap_us, 0.9) + 0.5) / 1e6 AS p90_gap_s,
                 max(gap_us) / 1e6 AS max_gap_s
-         FROM g GROUP BY 1 ORDER BY user_id""")
+         FROM g GROUP BY 1 ORDER BY user_id""",
+    // q108: per-group exact distinct counts, one UNION ALL branch per
+    // profiled column, joined to the shared per-group row count
+    "q108_distinct_exact" ->
+      """WITH n AS (SELECT l_returnflag AS grp, count(*) AS n_rows
+              FROM lineitem GROUP BY 1),
+         d AS (
+           SELECT l_returnflag AS grp, 'l_orderkey' AS "column",
+                  count(DISTINCT l_orderkey) AS n_distinct
+           FROM lineitem GROUP BY 1
+           UNION ALL
+           SELECT l_returnflag, 'l_partkey',
+                  count(DISTINCT l_partkey)
+           FROM lineitem GROUP BY 1
+           UNION ALL
+           SELECT l_returnflag, 'l_shipdate',
+                  count(DISTINCT l_shipdate)
+           FROM lineitem GROUP BY 1)
+         SELECT d.grp, d."column", n.n_rows, d.n_distinct
+         FROM d JOIN n USING (grp)
+         ORDER BY grp, "column"""")
 }

@@ -565,6 +565,50 @@ object Dedup {
         xxhash64(concat_ws(" ", slice(col("t"), col("i"), lit(n)))).as("g"))
       .distinct()
 
+  /** Gram-space saturation guard for the prefix-filter joins
+    * (measured hazard, SCALING.md round 5): prefix filtering is
+    * linear only while distinct grams ≫ gram instances / docs — a
+    * closed/templated vocabulary caps the n-gram space (31 words →
+    * ≤ 31³ trigrams), every doc's rare-first prefix collapses onto
+    * the same few grams, and the candidate join silently goes
+    * quadratic (46.6× wall for 10× data in the measured case). The
+    * distinct-grams / gram-instances ratio detects that from the
+    * already-computed frequency frame: saturated corpora sit well
+    * below `minRatio` (the measured 31-word corpus at n=3 was
+    * ~0.0006 at sf1; open-vocabulary web text stays ≫ 0.05 even at
+    * the billion-doc decade because new documents keep minting new
+    * grams). `mode`: "warn" logs and proceeds (default — the
+    * operator stays correct, just slow), "raise" fails fast with the
+    * remediation, "off" skips the check (also skips its one
+    * aggregate job over the persisted gram frame).
+    */
+  private def gramSaturationGuard(freq: DataFrame, n: Int, op: String,
+                                  mode: String, minRatio: Double): Unit = {
+    mode match {
+      case "off" => ()
+      case "warn" | "raise" =>
+        val row = freq
+          .agg(count(lit(1)).as("d"), sum("df").as("m")).head()
+        val m = if (row.isNullAt(1)) 0L else row.getLong(1)
+        if (m > 0) {
+          val ratio = row.getLong(0).toDouble / m.toDouble
+          if (ratio < minRatio) {
+            val msg = f"$op: $n-gram space is SATURATED " +
+              f"(distinct/instances = $ratio%.6f < $minRatio%.3f) — " +
+              "the corpus vocabulary is closed/templated, prefix " +
+              "buckets stop selecting, and the candidate join " +
+              s"degrades toward all-pairs; raise n above $n or use " +
+              "minhashNearDups (signatures don't saturate)"
+            if (mode == "raise") throw InvalidArgumentValue(msg)
+            else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+          }
+        }
+      case other =>
+        throw InvalidArgumentValue(
+          s"saturationMode must be off|warn|raise, got $other")
+    }
+  }
+
   /** EXACT word-n-gram Jaccard near-duplicate pairs — no sketch, no
     * probabilistic recall: every pair with Jaccard ≥ `threshold` over
     * distinct word n-grams is returned (the complement of
@@ -611,7 +655,9 @@ object Dedup {
     */
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3,
-                           threshold: Double = 0.5): DataFrame = {
+                           threshold: Double = 0.5,
+                           saturationMode: String = "warn",
+                           minDistinctGramRatio: Double = 0.05): DataFrame = {
     if (threshold <= 0.0 || threshold > 1.0)
       throw InvalidArgumentValue(
         s"threshold must be in (0, 1], got $threshold")
@@ -624,6 +670,10 @@ object Dedup {
 
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
     val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    try gramSaturationGuard(freq, n, "ngramJaccardNearDups",
+      saturationMode, minDistinctGramRatio)
+    catch { case e: graft.GraftException =>
+      grams.unpersist(blocking = false); throw e }
 
     // rarest-first total order; row_number is one shuffle+sort per doc
     val rankW = org.apache.spark.sql.expressions.Window
@@ -693,7 +743,9 @@ object Dedup {
     */
   def ngramContainmentJoin(df: DataFrame, idCol: String,
                            textCol: String, n: Int = 3,
-                           threshold: Double = 0.8): DataFrame = {
+                           threshold: Double = 0.8,
+                           saturationMode: String = "warn",
+                           minDistinctGramRatio: Double = 0.05): DataFrame = {
     if (threshold <= 0.0 || threshold > 1.0)
       throw InvalidArgumentValue(
         s"threshold must be in (0, 1], got $threshold")
@@ -703,6 +755,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
     val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    try gramSaturationGuard(freq, n, "ngramContainmentJoin",
+      saturationMode, minDistinctGramRatio)
+    catch { case e: graft.GraftException =>
+      grams.unpersist(blocking = false); throw e }
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("g").asc)
     val prefix = grams

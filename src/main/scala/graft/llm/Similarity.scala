@@ -1147,6 +1147,14 @@ object Similarity {
     v.as[(Long, Seq[Double])].mapPartitions { rows =>
       rows.flatMap { case (id, vec) =>
         val a = vec.toArray
+        // the sign matrix was sized from the first row — a ragged row
+        // would either read past it (AIOOBE in the compiled kernel)
+        // or silently project a truncated vector; fail fast instead,
+        // mirroring the requireSameDim convention of the two-frame
+        // kernels
+        if (a.length != dim)
+          throw InvalidArgumentValue(
+            s"randomProjection: row $id has dim ${a.length}, expected $dim")
         (0 until signs.length).iterator.map { j =>
           val s = signs(j)
           var acc = 0.0

@@ -145,9 +145,18 @@ object Profiling {
       if (!df.columns.contains(c))
         throw InvalidArgumentValue(s"no such column: $c")
     }
-    val keyExpr = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
-    val counts = df.groupBy(keyExpr.as("key"))
+    // group on the STRUCT of key columns (exact tuple identity —
+    // concat_ws alone would both skip NULLs and let values containing
+    // the separator collide, misattributing counts), then render the
+    // display string afterward: NULL → ␀ (U+2400), literal '|' and
+    // '\' backslash-escaped, so distinct tuples render distinctly
+    val rendered = concat_ws("|", keyCols.map(c =>
+      coalesce(regexp_replace(col(c).cast("string"),
+        "([\\\\|])", "\\\\$1"), lit("␀"))): _*)
+    val counts = df
+      .groupBy(struct(keyCols.map(col): _*).as("__t"), rendered.as("key"))
       .agg(count(lit(1)).as("n"))
+      .drop("__t")
     val total = counts.agg(
       sum("n").as("__rows"), count(lit(1)).as("__keys"),
       max("n").as("__max"), avg("n").as("__mean"),
@@ -211,6 +220,43 @@ object Profiling {
         explode(array(entries: _*)).as("__e"))
       .select(col("grp"), col("__e.column"), col("n_rows"),
         col("__e.approx_distinct"))
+  }
+
+  /** EXACT distinct-count twin of [[approxDistinctProfile]] — same
+    * output shape with true `count(DISTINCT ...)` values, so the
+    * profile's melt/group/join logic gets a replayable oracle hash
+    * (the HLL variant can only ever be rows-checked: register sets
+    * legitimately differ across engines).
+    *
+    * Scale note: this is the verification twin — exact distinct
+    * shuffles every distinct value per (group, column) (Spark expands
+    * k distinct aggregates into a k-fold Expand before the shuffle).
+    * At the 100 TB design point use `approxDistinctProfile`, whose
+    * shuffle carries constant-size sketch registers instead.
+    *
+    * @return one row per (group, column): (grp, column, n_rows,
+    *         n_distinct)
+    */
+  def distinctProfile(df: DataFrame, groupCol: String,
+                      cols: Seq[String]): DataFrame = {
+    if (cols.isEmpty)
+      throw InvalidArgumentValue("cols must be non-empty")
+    if (!df.columns.contains(groupCol))
+      throw InvalidArgumentValue(s"no such column: $groupCol")
+    cols.foreach { c =>
+      if (!df.columns.contains(c))
+        throw InvalidArgumentValue(s"no such column: $c")
+    }
+    val aggs = count(lit(1)).as("__n") +: cols.map(c =>
+      countDistinct(col(c)).as(s"__d_$c"))
+    val wide = df.groupBy(col(groupCol).as("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map(c => struct(lit(c).as("column"),
+      col(s"__d_$c").as("n_distinct")))
+    wide.select(col("grp"), col("__n").as("n_rows"),
+        explode(array(entries: _*)).as("__e"))
+      .select(col("grp"), col("__e.column"), col("n_rows"),
+        col("__e.n_distinct"))
   }
 
   /** Per-group winsorization: clip a numeric column to its group's

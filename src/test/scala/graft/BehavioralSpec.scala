@@ -205,6 +205,31 @@ class BehavioralSpec extends SparkSpec {
     }
   }
 
+  test("skewReport keys: NULLs and separator chars cannot collide") {
+    // ("a", NULL) vs ("a",) missing-style vs ("a|b", "c") vs ("a", "b|c"):
+    // concat_ws grouping would merge some of these; struct grouping
+    // must keep all four distinct with exact counts
+    val df = Seq(
+      ("a", null, 1), ("a", null, 2), ("a", null, 3),
+      ("a|b", "c", 4), ("a|b", "c", 5),
+      ("a", "b|c", 6),
+      ("a", "", 7)
+    ).toDF("k1", "k2", "x")
+    val heavy = Profiling.skewReport(df, Seq("k1", "k2"), topK = 10)
+      .filter(col("kind") === "heavy_key")
+      .select("key", "n_rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(heavy.values.toSeq.sorted == Seq(1L, 1L, 2L, 3L),
+      s"counts misattributed: $heavy")
+    // NULL renders as ␀, literal '|' in a value is escaped — the
+    // four rendered keys are distinct strings
+    assert(heavy.keySet.size == 4, s"rendered keys collided: ${heavy.keySet}")
+    assert(heavy("a|␀") == 3L)
+    assert(heavy("a\\|b|c") == 2L)
+    assert(heavy("a|b\\|c") == 1L)
+    assert(heavy("a|") == 1L)
+  }
+
   test("interArrivalStats computes tie-broken gap percentiles") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L),

@@ -1566,6 +1566,60 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("randomProjection fails fast on ragged vectors") {
+    // longer-than-first rows would otherwise AIOOBE inside the
+    // compiled kernel; shorter rows would silently truncate
+    val ragged = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (3L, Seq(1.0f))
+    ).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.randomProjection(ragged, "vec_id", "embedding", 4)
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains("expected 3")),
+      s"wanted a dim-mismatch failure, got $e")
+  }
+
+  test("gram-saturation guard fires on a closed vocabulary and not on open text") {
+    // 3-word vocabulary: ≤ 27 distinct trigrams no matter how many
+    // docs — the measured SCALING.md quadratic case in miniature
+    val vocab = Array("aa", "bb", "cc")
+    val closed = (0 until 40).map { i =>
+      (i.toLong, (0 until 30).map(j => vocab((i + j) % 3)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val e = intercept[graft.exceptions.InvalidArgumentValue] {
+      Dedup.ngramJaccardNearDups(closed, "doc_id", "text", n = 3,
+        threshold = 0.9, saturationMode = "raise")
+    }
+    assert(e.getMessage.contains("SATURATED") &&
+      e.getMessage.contains("minhashNearDups"))
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Dedup.ngramContainmentJoin(closed, "doc_id", "text", n = 3,
+        threshold = 0.9, saturationMode = "raise")
+    }
+    // same corpus with the guard off still computes (slow-but-correct
+    // contract), and open-vocabulary text never trips "raise"
+    val r = Dedup.ngramJaccardNearDups(closed, "doc_id", "text", n = 3,
+      threshold = 0.999, saturationMode = "off")
+    r.unpersist()
+    val open = (0 until 40).map(i =>
+      (i.toLong, (0 until 30).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r2 = Dedup.ngramJaccardNearDups(open, "doc_id", "text", n = 3,
+      threshold = 0.9, saturationMode = "raise")
+    r2.unpersist()
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Dedup.ngramJaccardNearDups(open, "doc_id", "text", n = 3,
+        threshold = 0.9, saturationMode = "bogus")
+    }
+  }
+
   test("lexicalStats: hand-checked TTR and deterministic top token") {
     // src1: tokens a a b c -> 4 tokens, 3 types, top = a (2, share .5)
     // src2: b and c tie at 2 -> top breaks to the LARGER token string
