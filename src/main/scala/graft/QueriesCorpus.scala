@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.CorpusStats
+
+/** Corpus-level diagnostics (round 6): the [[graft.llm.CorpusStats]]
+  * operators exercised end-to-end on the documents table, each with a
+  * DuckDB oracle. Same determinism conventions as [[QueriesLlm]]
+  * (integer inputs to every float op where possible, round(…, 6) on
+  * both sides, total ORDER BY).
+  */
+object QueriesCorpus {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(spark, dir, name)
+
+  /** q109 — space-saving heavy-hitter tokens. Capacity 2¹⁶ exceeds
+    * every partition's distinct-token count at test scale, so the
+    * sketch is provably exact (no counter evicted ⇒ est = true count,
+    * err = 0 — see [[CorpusStats.heavyHitterTokens]]) and the oracle
+    * is plain exact SQL top-k; the approximate regime's bound
+    * invariants are property-tested in CorpusStatsSpec.
+    */
+  def q109HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.heavyHitterTokens(t(spark, dir, "documents"), "text",
+        k = 50, capacity = 1 << 16, mergeGroups = 8)
+      .orderBy("rk")
+
+  /** q110 — cross-source char-4-gram overlap matrix (the corpus-level
+    * contamination diagnostic). */
+  def q110SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.sourceOverlapMatrix(t(spark, dir, "documents"),
+        "source", "text", n = 4)
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("n_common"), round(col("jaccard"), 6).as("jaccard"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("group_a", "group_b")
+
+  /** q111 — per-document character entropy. abs() squashes the −0.0 a
+    * single-distinct-character document would produce (−1·log₂1), so
+    * both engines hash the same bits. */
+  def q111CharEntropy(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.charEntropy(t(spark, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_chars_text"),
+        round(abs(col("char_entropy")), 6).as("char_entropy"))
+      .orderBy("doc_id")
+
+  /** q112 — per-source Zipf rank-frequency slope. */
+  def q112ZipfSlope(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.zipfSlope(t(spark, dir, "documents"), "source", "text")
+      .select(col("grp").as("source"),
+        round(col("zipf_slope"), 6).as("zipf_slope"),
+        col("n_types"), col("n_tokens"))
+      .orderBy("source")
+
+  /** q113 — top-100 adjacent-token PMI collocations (count ≥ 5). */
+  def q113PmiBigrams(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.pmiCollocations(t(spark, dir, "documents"), "text",
+        minCount = 5, k = 100)
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        round(col("pmi"), 6).as("pmi"), col("rk"))
+      .orderBy("rk")
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_heavy_hitters" -> (q109HeavyHitters _),
+    "q110_source_overlap" -> (q110SourceOverlap _),
+    "q111_char_entropy" -> (q111CharEntropy _),
+    "q112_zipf_slope" -> (q112ZipfSlope _),
+    "q113_pmi_bigrams" -> (q113PmiBigrams _))
+
+  val oracles: Map[String, String] = Map(
+    "q109_heavy_hitters" ->
+      """WITH d AS (SELECT
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+         tok AS (SELECT unnest(t) AS token FROM d),
+         c AS (SELECT token, count(*) AS est FROM tok GROUP BY 1),
+         r AS (SELECT token, est, CAST(0 AS BIGINT) AS err,
+                 row_number() OVER (ORDER BY est DESC, token) AS rk
+               FROM c)
+         SELECT token, est, err, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 50 ORDER BY rk""",
+    // q110 mirrors q31's shingle construction, grouped by source
+    "q110_source_overlap" ->
+      """WITH pos AS (SELECT source, text,
+                unnest(generate_series(1, greatest(length(text) - 3, 1))) AS i
+              FROM documents),
+         sh AS (SELECT DISTINCT source, substr(lower(text), i::INT, 4) AS g
+                FROM pos),
+         sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.source AS group_a, b.source AS group_b,
+                     count(*) AS n_common
+                   FROM sh a JOIN sh b
+                     ON a.g = b.g AND a.source < b.source
+                   GROUP BY 1, 2)
+         SELECT group_a, group_b, sa.n AS n_a, sb.n AS n_b, n_common,
+                round(n_common * 1.0 / (sa.n + sb.n - n_common), 6)
+                  AS jaccard,
+                round(n_common * 1.0 / least(sa.n, sb.n), 6)
+                  AS containment
+         FROM inter
+         JOIN sizes sa ON sa.source = group_a
+         JOIN sizes sb ON sb.source = group_b
+         ORDER BY group_a, group_b""",
+    // q111: DuckDB's entropy() is log2-based Shannon entropy over the
+    // unnested character multiset — the same -Σ p·log₂p the engine
+    // computes; round(6) absorbs summation-order ulps
+    "q111_char_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                    FROM documents)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chars_text,
+                round(abs(entropy(ch)), 6) AS char_entropy
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q112_zipf_slope" ->
+      """WITH d AS (SELECT source,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+         tok AS (SELECT source, unnest(t) AS tok FROM d),
+         f AS (SELECT source, tok, count(*) AS cnt
+               FROM tok GROUP BY 1, 2),
+         r AS (SELECT source, cnt, row_number() OVER (
+                 PARTITION BY source ORDER BY cnt DESC, tok) AS rk
+               FROM f)
+         SELECT source, round(regr_slope(ln(cnt), ln(rk)), 6)
+                  AS zipf_slope,
+                count(*) AS n_types, CAST(sum(cnt) AS BIGINT) AS n_tokens
+         FROM r GROUP BY source ORDER BY source""",
+    // q113: every input to the final ln is an exact integer count, so
+    // the score reproduces bit-for-bit from the counts on both engines
+    "q113_pmi_bigrams" ->
+      """WITH d AS (SELECT
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+         bg AS (SELECT t[i] AS a, t[i + 1] AS b
+                FROM (SELECT t,
+                        unnest(generate_series(1, len(t) - 1)) AS i
+                      FROM d)),
+         cab AS (SELECT a, b, count(*) AS c_ab FROM bg
+                 GROUP BY 1, 2 HAVING count(*) >= 5),
+         uni AS (SELECT unnest(t) AS tok FROM d),
+         cu AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+         tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM cu) AS t_tokens,
+                        (SELECT CAST(count(*) AS BIGINT) FROM bg) AS t_bigrams),
+         s AS (SELECT cab.a, cab.b, cab.c_ab, ca.c AS c_a, cb.c AS c_b,
+                 ln((cab.c_ab * 1.0 / tot.t_bigrams) /
+                    ((ca.c * 1.0 / tot.t_tokens) *
+                     (cb.c * 1.0 / tot.t_tokens))) AS pmi
+               FROM cab
+               JOIN cu ca ON ca.tok = cab.a
+               JOIN cu cb ON cb.tok = cab.b
+               CROSS JOIN tot),
+         r AS (SELECT *, row_number() OVER (
+                 ORDER BY pmi DESC, a, b) AS rk FROM s)
+         SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+                CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+                round(pmi, 6) AS pmi, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 100 ORDER BY rk""")
+}

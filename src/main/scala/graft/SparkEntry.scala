@@ -41,9 +41,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     disjointMerge(Queries.registry, QueriesRelational2.registry,
-      QueriesWrite.registry, QueriesLlm.registry)
+      QueriesWrite.registry, QueriesLlm.registry, QueriesCorpus.registry)
 
   def oracleSql: Map[String, String] =
     disjointMerge(Queries.oracles, QueriesRelational2.oracles,
-      QueriesWrite.oracles, QueriesLlm.oracles)
+      QueriesWrite.oracles, QueriesLlm.oracles, QueriesCorpus.oracles)
 }

@@ -1,0 +1,351 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.exceptions._
+
+/** Corpus-level statistical diagnostics for training-data curation —
+  * the "what is in this 100 TB pile" layer that sits above the
+  * per-document quality filters in [[TextAnalysis]]:
+  *
+  *   - [[sourceOverlapMatrix]] — cross-source n-gram overlap (the
+  *     corpus-level contamination / split-leakage diagnostic);
+  *   - [[charEntropy]] — per-document character entropy (a
+  *     zero-shuffle noise/garbage signal: natural text sits ~4 bits,
+  *     base64 blobs and key-mash ~6, repeated filler < 2);
+  *   - [[zipfSlope]] — per-group token rank-frequency log-log slope
+  *     (natural corpora fit ≈ −1; templated/synthetic text flattens
+  *     it — Piantadosi 2014's diagnostic as a GROUP BY);
+  *   - [[pmiCollocations]] — top adjacent-token collocations by
+  *     pointwise mutual information (Church & Hanks 1990), the
+  *     boilerplate-phrase / template-mining signal;
+  *   - [[heavyHitterTokens]] — mergeable space-saving top-k tokens
+  *     (Metwally et al. 2005; merge rule from Agarwal et al. 2013
+  *     "Mergeable Summaries"), the bounded-memory path when the token
+  *     vocabulary itself is too large to shuffle.
+  *
+  * All but the sketch are single-scan declarative plans (explode →
+  * partial-aggregating groupBy), so Catalyst keeps the map side
+  * combining and nothing data-sized crosses a shuffle that the
+  * aggregate has not already reduced to (group × key) rows.
+  */
+object CorpusStats {
+
+  /** Cross-group character n-gram overlap matrix.
+    *
+    * For every unordered pair of groups (sources, splits, snapshot
+    * versions): the distinct-gram intersection size, Jaccard
+    * similarity, and containment (intersection over the SMALLER gram
+    * set — the direction-free analogue of [[Dedup.ngramContainmentJoin]]'s
+    * doc-level signal). High containment between a train source and an
+    * eval source is the corpus-level leakage alarm that doc-level
+    * contamination checks (q59/q66) localize afterwards.
+    *
+    * Scale shape: one explode + distinct to (group, gram) — the hash
+    * aggregate partial-combines map-side so the shuffle carries
+    * distinct (group, gram) rows, bounded by gram-space × groups, not
+    * by corpus size; the pair join is an equi-join ON gram whose
+    * output is |pairs sharing a gram| ≤ groups² × gram-space. With
+    * tens of groups this is dimension-table sized at any corpus size.
+    */
+  def sourceOverlapMatrix(df: DataFrame, groupCol: String,
+                          textCol: String, n: Int = 4): DataFrame = {
+    if (n < 1) throw InvalidArgumentValue(s"n must be >= 1, got $n")
+    val grams = df
+      .select(col(groupCol).as("grp"),
+        explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("grp").agg(count(lit(1)).as("n_grams"))
+    val a = grams.as("a")
+    val b = grams.as("b")
+    val inter = a.join(b, col("a.g") === col("b.g") &&
+        col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("group_a"), col("b.grp").as("group_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("grp", "group_a")
+        .withColumnRenamed("n_grams", "n_a"), "group_a")
+      .join(sizes.withColumnRenamed("grp", "group_b")
+        .withColumnRenamed("n_grams", "n_b"), "group_b")
+      .select(col("group_a"), col("group_b"),
+        col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+          .as("jaccard"),
+        (col("n_common") / least(col("n_a"), col("n_b")))
+          .as("containment"))
+  }
+
+  /** Per-row Shannon character entropy (bits): −Σ p(c)·log₂ p(c) over
+    * the characters of `textCol`, plus the character count.
+    *
+    * Computed entirely with higher-order array functions — one
+    * zero-shuffle projection pass, no explode, no aggregate: the
+    * per-row cost is O(len × distinct-chars) and the 100 TB cost is
+    * exactly one scan. Empty/NULL text yields entropy 0.0/NULL
+    * respectively.
+    */
+  def charEntropy(df: DataFrame, textCol: String): DataFrame = {
+    val cs = expr(s"filter(split($textCol, ''), x -> x <> '')")
+    val withArr = df.withColumn("__cs", cs)
+      .withColumn("__n", size(col("__cs")).cast("double"))
+    val counts = expr(
+      "transform(array_distinct(__cs), c -> " +
+        "cast(size(filter(__cs, x -> x = c)) as double))")
+    // NULL text stays NULL (`when`'s null-condition-is-false would
+    // otherwise silently map it to the empty-string 0.0 case)
+    val ent = when(col(textCol).isNull, lit(null).cast("double"))
+      .when(col("__n") > 0,
+        -expr("aggregate(__counts, 0.0d, (acc, c) -> " +
+          "acc + (c / __n) * log2(c / __n))"))
+      .otherwise(lit(0.0))
+    withArr.withColumn("__counts", counts)
+      .withColumn("char_entropy", ent)
+      .withColumn("n_chars_text", col("__n").cast("long"))
+      .drop("__cs", "__counts", "__n")
+  }
+
+  /** Token rank-frequency Zipf slope per group: regression slope of
+    * ln(frequency) on ln(rank) over the group's token frequency table
+    * (rank 1 = most frequent; ties broken token-ascending so the rank
+    * is a total order and replays identically anywhere). Natural
+    * language fits ≈ −1; strongly templated or deduplicated-to-death
+    * corpora flatten toward 0.
+    *
+    * Scale shape: explode → (group, token) count (map-side combined,
+    * shuffle ≤ vocab × groups) → one keyed window for rank →
+    * `regr_slope` aggregate (constant-size buffer). Nothing holds the
+    * vocabulary in one task's heap.
+    */
+  def zipfSlope(df: DataFrame, groupCol: String,
+                textCol: String): DataFrame = {
+    val freq = df
+      .select(col(groupCol).as("grp"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("grp")
+      .orderBy(col("cnt").desc, col("tok").asc)
+    freq.withColumn("rk", row_number().over(w))
+      .groupBy("grp")
+      .agg(
+        expr("regr_slope(ln(cnt), ln(rk))").as("zipf_slope"),
+        count(lit(1)).as("n_types"),
+        sum("cnt").as("n_tokens"))
+  }
+
+  /** Top-k adjacent-token collocations by pointwise mutual
+    * information with a minimum pair count (Church & Hanks 1990):
+    * PMI(a,b) = ln( (c_ab / B) / ((c_a / T) · (c_b / T)) ) where B =
+    * total bigrams and T = total tokens. Every input to the final ln
+    * is an exact integer count, so the score is reproducible
+    * bit-for-bit from the counts on any engine.
+    *
+    * Scale shape: two explode+count aggregates (bigrams via one
+    * arrays_zip of the token array with its tail — no self-join),
+    * broadcast-joined unigram counts onto the ≥minCount bigram
+    * survivors, one global top-k. Shuffle ≤ vocab² (and in practice
+    * the minCount filter prunes before the join).
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5, k: Int = 100): DataFrame = {
+    if (k < 1) throw InvalidArgumentValue(s"k must be >= 1, got $k")
+    val toks = df.select(TextAnalysis.tokens(col(textCol)).as("t"))
+    val uni = toks.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val biAll = toks
+      .select(explode(expr(
+        "arrays_zip(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1))"))
+        .as("p"))
+      .select(col("p.0").as("a"), col("p.1").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val bi = biAll.where(col("c_ab") >= minCount)
+    // totals are over ALL tokens/bigrams — computed before the
+    // minCount filter, which prunes candidates, not probability mass
+    val totals = uni.agg(sum("c").as("t_tokens")).crossJoin(
+      biAll.agg(sum("c_ab").as("t_bigrams")))
+    val scored = bi
+      .join(broadcast(uni.select(col("tok").as("a"), col("c").as("c_a"))), "a")
+      .join(broadcast(uni.select(col("tok").as("b"), col("c").as("c_b"))), "b")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi",
+        log((col("c_ab") / col("t_bigrams")) /
+          ((col("c_a") / col("t_tokens")) * (col("c_b") / col("t_tokens")))))
+    // top-k first (TakeOrderedAndProject — distributed selection, no
+    // global window over the full candidate set), then rank the ≤k
+    // survivors; the single-partition window is bounded by k
+    scored
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(k)
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("pmi").desc, col("a").asc, col("b").asc)).cast("long"))
+      .select("a", "b", "c_ab", "c_a", "c_b", "pmi", "rk")
+  }
+
+  // ---------------------------------------------------------------
+  // Mergeable space-saving heavy hitters
+  // ---------------------------------------------------------------
+
+  /** One space-saving counter summary: `thr` is the summary-wide
+    * upper bound on the true count of any ABSENT token; per token,
+    * true count ∈ [lower, upper]. (Metwally et al. 2005: upper = est,
+    * lower = est − err, thr = min est once the summary is full.)
+    */
+  private final case class Summary(
+      thr: Long, items: scala.collection.mutable.HashMap[String, (Long, Long)])
+
+  /** Space-saving over one partition's token stream with a lazily
+    * rebuilt min-heap (stale entries skipped; heap rebuilt from the
+    * live map when it exceeds 8× capacity, so updates stay
+    * O(log capacity) amortized and memory stays O(capacity)).
+    */
+  private def spaceSaving(toks: Iterator[String], capacity: Int): Summary = {
+    val map = new scala.collection.mutable.HashMap[String, (Long, Long)]
+    val cmp: java.util.Comparator[(String, Long)] =
+      (x: (String, Long), y: (String, Long)) =>
+        java.lang.Long.compare(x._2, y._2)
+    val pq = new java.util.PriorityQueue[(String, Long)](
+      math.max(16, capacity), cmp)
+    def push(t: String, est: Long): Unit = {
+      pq.add((t, est))
+      if (pq.size > 8 * capacity) {
+        pq.clear()
+        map.foreach { case (tk, (e, _)) => pq.add((tk, e)) }
+      }
+    }
+    toks.foreach { t =>
+      map.get(t) match {
+        case Some((est, err)) =>
+          map.update(t, (est + 1, err)); push(t, est + 1)
+        case None if map.size < capacity =>
+          map.update(t, (1L, 0L)); push(t, 1L)
+        case None =>
+          // evict the live minimum (skip heap entries superseded by
+          // later increments or prior evictions)
+          var popped = pq.poll()
+          while (!map.get(popped._1).exists(_._1 == popped._2))
+            popped = pq.poll()
+          val (victim, minEst) = popped
+          map.remove(victim)
+          map.update(t, (minEst + 1, minEst)); push(t, minEst + 1)
+      }
+    }
+    val thr = if (map.size < capacity) 0L
+      else map.valuesIterator.map(_._1).min
+    // convert (est, err) counters to the (upper, lower) bound
+    // representation the merge layer works in
+    val bounds = map.map { case (t, (est, err)) => t -> (est, est - err) }
+    Summary(thr, bounds)
+  }
+
+  /** Agarwal et al. 2013 merge: thresholds add; a token absent from
+    * one side contributes that side's threshold to the upper bound
+    * and 0 to the lower; pruning back to `capacity` keeps the largest
+    * uppers and folds the largest pruned upper into the threshold
+    * (every pruned upper ≤ every kept upper, so the bound is sound).
+    */
+  private def mergeSummaries(a: Summary, b: Summary,
+                             capacity: Int): Summary = {
+    val out = new scala.collection.mutable.HashMap[String, (Long, Long)]
+    (a.items.keysIterator ++ b.items.keysIterator).foreach { t =>
+      if (!out.contains(t)) {
+        val (ua, la) = a.items.get(t)
+          .map { case (u, l) => (u, l) }.getOrElse((a.thr, 0L))
+        val (ub, lb) = b.items.get(t)
+          .map { case (u, l) => (u, l) }.getOrElse((b.thr, 0L))
+        out.update(t, (ua + ub, la + lb))
+      }
+    }
+    var thr = a.thr + b.thr
+    if (out.size > capacity) {
+      val sorted = out.toSeq.sortBy { case (t, (u, _)) => (-u, t) }
+      val pruned = sorted.drop(capacity)
+      thr = math.max(thr, pruned.head._2._1)
+      Summary(thr, scala.collection.mutable.HashMap(sorted.take(capacity): _*))
+    } else Summary(thr, out)
+  }
+
+  private def summaryToRows(pid: Int, s: Summary): Iterator[(Int, String, Long, Long, Long)] =
+    s.items.iterator.map { case (t, (u, l)) => (pid, t, u, l, s.thr) }
+
+  /** Regroup summary rows by summary id. Returns (minId, summaries) —
+    * the min id re-tags a MERGED summary uniquely: task ids must NOT
+    * be used for that, because `coalesce` runs several mapPartitions
+    * invocations inside one task, and identically-tagged summaries
+    * would silently collide at the next regroup.
+    */
+  private def rowsToSummaries(rows: Iterator[(Int, String, Long, Long, Long)]): (Int, Seq[Summary]) = {
+    val byPid = scala.collection.mutable.HashMap[Int, Summary]()
+    rows.foreach { case (pid, t, u, l, thr) =>
+      val s = byPid.getOrElseUpdate(pid,
+        Summary(thr, scala.collection.mutable.HashMap()))
+      s.items.update(t, (u, l))
+    }
+    (if (byPid.isEmpty) 0 else byPid.keysIterator.min,
+      byPid.values.toSeq)
+  }
+
+  /** Top-k heavy-hitter tokens via mergeable space-saving summaries —
+    * the bounded-memory alternative to a full (token → count) shuffle
+    * when the vocabulary itself is web-scale (URLs, hashes, n-grams).
+    *
+    * Three levels, every task O(capacity · summaries-in-task) memory:
+    *   1. per input partition: one space-saving pass over the token
+    *      stream (lower/upper bounds per kept token, threshold for
+    *      absent ones);
+    *   2. summaries hash-partition by summary id into `mergeGroups`
+    *      tasks, each folding its summaries with the Agarwal merge;
+    *   3. one final task folds the ≤mergeGroups group summaries and
+    *      emits the top k by upper bound.
+    *
+    * Returned columns: token, est (upper bound), err (upper − lower),
+    * rk. When `capacity` exceeds every partition's distinct-token
+    * count no counter is ever evicted, so est is the EXACT count and
+    * err = 0 regardless of partitioning — the configuration the
+    * oracle-checked query pins; the approximate regime's bound
+    * invariants (lower ≤ true ≤ upper, true top-1 survives) are
+    * property-tested in CorpusStatsSpec.
+    */
+  def heavyHitterTokens(df: DataFrame, textCol: String, k: Int,
+                        capacity: Int = 1 << 16,
+                        mergeGroups: Int = 32): DataFrame = {
+    if (k < 1) throw InvalidArgumentValue(s"k must be >= 1, got $k")
+    if (capacity < k)
+      throw InvalidArgumentValue(
+        s"capacity ($capacity) must be >= k ($k)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .as[String]
+    // tuple Datasets throughout (column names stay _1.._5) so the
+    // repartition key can be addressed without a rename round-trip.
+    // mapPartitionsWithIndex (not TaskContext.partitionId) for the
+    // summary id: under a coalesced input several partition
+    // invocations share one task id, and colliding ids would merge
+    // summaries by overwrite instead of by the bound-preserving rule
+    val partials = spark.createDataset(
+      toks.rdd.mapPartitionsWithIndex { (idx, it) =>
+        summaryToRows(idx, spaceSaving(it, capacity))
+      })
+    val grouped = partials
+      .repartition(mergeGroups, col("_1"))
+      .as[(Int, String, Long, Long, Long)]
+      .mapPartitions { rows =>
+        val (minId, ss) = rowsToSummaries(rows)
+        if (ss.isEmpty) Iterator.empty
+        else summaryToRows(minId, ss.reduce(mergeSummaries(_, _, capacity)))
+      }
+    val finalRows = grouped.coalesce(1).mapPartitions { rows =>
+      val (_, ss) = rowsToSummaries(rows)
+      if (ss.isEmpty) Iterator.empty
+      else {
+        val merged = ss.reduce(mergeSummaries(_, _, capacity))
+        merged.items.toSeq
+          .sortBy { case (t, (u, _)) => (-u, t) }
+          .take(k).zipWithIndex.iterator
+          .map { case ((t, (u, l)), i) => (t, u, u - l, i + 1L) }
+      }
+    }
+    finalRows.toDF("token", "est", "err", "rk")
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.exceptions.InvalidArgumentValue
+import graft.llm.CorpusStats
+
+/** Behavior pins for the corpus-level diagnostics:
+  *   - heavyHitterTokens: exactness when capacity is never exceeded
+  *     (any partitioning), and the space-saving bound invariants
+  *     (lower ≤ true ≤ upper; true heaviest item survives) in the
+  *     genuinely approximate regime with forced evictions;
+  *   - sourceOverlapMatrix / charEntropy / zipfSlope /
+  *     pmiCollocations: hand-computable fixtures.
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Int, String, String)*) =
+    rows.toSeq.toDF("doc_id", "text", "source")
+
+  test("heavyHitterTokens is exact when capacity never fills") {
+    val df = docs(
+      (1, "a a a b b c", "s"), (2, "a b d d", "s"), (3, "e a", "s"))
+    for (parts <- Seq(1, 3, 7)) {
+      val got = CorpusStats
+        .heavyHitterTokens(df.repartition(parts), "text", k = 3,
+          capacity = 64, mergeGroups = 2)
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq ===
+        Seq(("a", 5L, 0L, 1L), ("b", 3L, 0L, 2L), ("d", 2L, 0L, 3L)))
+    }
+  }
+
+  test("heavyHitterTokens bounds hold under forced evictions") {
+    // 40 distinct fillers + one genuinely heavy token, capacity 4:
+    // every partition evicts constantly. Per 2-row partition the
+    // token stream is 140 long, so the min counter ≈ 140/4 = 35; the
+    // heavy token's per-partition count (60) exceeds it, so
+    // space-saving guarantees it survives every partition summary,
+    // and its merged upper (≥ 180) dominates any filler's
+    // (≤ Σ thresholds ≈ 110).
+    val text = (Seq.fill(30)("heavy") ++ (1 to 40).map(i => s"f$i"))
+      .mkString(" ")
+    val df = Seq.fill(6)(text).toDF("text")
+    val truth = Map("heavy" -> 180L) ++
+      (1 to 40).map(i => s"f$i" -> 6L).toMap
+    val got = CorpusStats
+      .heavyHitterTokens(df.repartition(3), "text", k = 4,
+        capacity = 4, mergeGroups = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 4)
+    // the true heaviest item is guaranteed present and ranked first
+    assert(got.head._1 === "heavy")
+    // upper/lower bracket the true count for every reported token
+    got.foreach { case (tok, upper, err) =>
+      val lower = upper - err
+      assert(lower <= truth(tok), s"$tok lower $lower > true")
+      assert(upper >= truth(tok), s"$tok upper $upper < true")
+    }
+  }
+
+  test("heavyHitterTokens validates arguments") {
+    val df = Seq("a").toDF("text")
+    intercept[InvalidArgumentValue] {
+      CorpusStats.heavyHitterTokens(df, "text", k = 0)
+    }
+    intercept[InvalidArgumentValue] {
+      CorpusStats.heavyHitterTokens(df, "text", k = 10, capacity = 4)
+    }
+  }
+
+  test("sourceOverlapMatrix computes jaccard and containment") {
+    // 2-grams: s1 = {ab, bc}; s2 = {bc, cd}; s3 = {xy}
+    val df = docs((1, "abc", "s1"), (2, "bcd", "s2"), (3, "xy", "s3"))
+    val got = CorpusStats.sourceOverlapMatrix(df, "source", "text", n = 2)
+      .orderBy("group_a", "group_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // only the pair sharing a gram appears (inner join on gram)
+    assert(got.toSeq === Seq(("s1", "s2", 2L, 2L, 1L, 1.0 / 3, 0.5)))
+  }
+
+  test("charEntropy matches hand-computed values and handles empties") {
+    val df = Seq((1, "aabb"), (2, "aaaa"), (3, ""), (4, null))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.charEntropy(df, "text")
+      .orderBy("doc_id")
+      .select("doc_id", "char_entropy", "n_chars_text")
+      .collect()
+    assert(got(0).getDouble(1) === 1.0) // two symbols, p=.5 each
+    assert(math.abs(got(1).getDouble(1)) === 0.0) // single symbol
+    assert(got(1).getLong(2) === 4L)
+    assert(got(2).getDouble(1) === 0.0 && got(2).getLong(2) === 0L)
+    assert(got(3).isNullAt(1)) // NULL text propagates
+  }
+
+  test("zipfSlope recovers the slope of an exact power law") {
+    // a perfect 1/r law: f(r) = 12/r at ranks 1..3 (12, 6, 4) →
+    // ln f = ln 12 − 1·ln r → slope exactly −1
+    val text = Array.fill(12)("t1") ++ Array.fill(6)("t2") ++
+      Array.fill(4)("t3")
+    val df = Seq((1, text.mkString(" "), "s")).toDF("doc_id", "text", "source")
+    val got = CorpusStats.zipfSlope(df, "source", "text").collect().head
+    assert(math.abs(got.getDouble(1) - (-1.0)) < 1e-9)
+    assert(got.getLong(2) === 3L) // n_types
+    assert(got.getLong(3) === 22L) // n_tokens
+  }
+
+  test("pmiCollocations scores an always-adjacent pair highest") {
+    // "x y" always adjacent; fillers break other adjacencies
+    val rows = (1 to 6).map(i => (i, s"x y f$i g$i"))
+    val df = rows.toDF("doc_id", "text")
+    val got = CorpusStats.pmiCollocations(df, "text", minCount = 5, k = 10)
+      .collect()
+    assert(got.length === 1) // only (x, y) reaches count 5
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) === ("x", "y"))
+    assert(r.getLong(2) === 6L) // c_ab
+    // bigrams per doc = 3, total 18; c_a = c_b = 6, tokens = 24
+    val expected = math.log((6.0 / 18.0) / ((6.0 / 24.0) * (6.0 / 24.0)))
+    assert(math.abs(r.getDouble(5) - expected) < 1e-12)
+  }
+}
