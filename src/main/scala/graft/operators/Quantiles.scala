@@ -161,8 +161,22 @@ object Quantiles {
 
       var (targets, targetRdds) = checkpointTracked(targets0)
       val isActive = col("__ans").isNull && col("__cnt") > threshold
-      var remaining =
-        targets.filter(isActive).agg(max("__cnt")).head().getAs[Any](0)
+      // one action per round returns BOTH the convergence signal and
+      // the active-target row count. The count gates an explicit
+      // broadcast of the target side in the data join below:
+      // localCheckpoint erases size stats (LogicalRDD reports the
+      // default huge sizeInBytes), so WITHOUT the hint Catalyst
+      // sort-merge-joins and re-shuffles the FULL data frame every
+      // refinement pass — the measured full-column exchange this
+      // branch exists to avoid. Above the limit (data-sized group
+      // counts) the keyed shuffle join is the correct physical plan.
+      val bcastTargetLimit = 100000L
+      def roundStats(d: DataFrame): (Any, Long) = {
+        val r = d.filter(isActive)
+          .agg(max("__cnt"), count(lit(1))).head()
+        (r.getAs[Any](0), r.getLong(1))
+      }
+      var (remaining, activeCnt) = roundStats(targets)
       var prevRemaining = Long.MaxValue
       var iter = 0
       while (remaining != null &&
@@ -178,7 +192,9 @@ object Quantiles {
         // histogram pass: monotonic float bucketing over each active
         // target's interval; equal values always share a bucket
         val w = (col("__hi") - col("__lo")) / buckets
-        val hist = nonNull.join(active, groupKey)
+        val activeSide =
+          if (activeCnt <= bcastTargetLimit) broadcast(active) else active
+        val hist = nonNull.join(activeSide, groupKey)
           .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
           .withColumn("__b",
             least(greatest(floor((col("__v") - col("__lo")) / w), lit(0)),
@@ -202,8 +218,9 @@ object Quantiles {
               .cast("double").as("__ans")): _*)
         val (next, nextRdds) =
           checkpointTracked(settled.unionByName(refined))
-        remaining =
-          next.filter(isActive).agg(max("__cnt")).head().getAs[Any](0)
+        val (r, c) = roundStats(next)
+        remaining = r
+        activeCnt = c
         targetRdds.foreach(_.unpersist(blocking = false))
         targetRdds = nextRdds
         targets = next
@@ -214,9 +231,14 @@ object Quantiles {
       // `threshold` (or by the tie-residue), so the per-(group, k)
       // row_number window partitions are small and sort-spillable
       val pending = targets.filter(col("__ans").isNull)
+      // same broadcast gate as the histogram pass (targets is
+      // checkpointed and tiny to scan, so the count action is cheap)
+      val pendingSide =
+        if (pending.count() <= bcastTargetLimit) broadcast(pending)
+        else pending
       val rnW = Window.partitionBy((g :+ col("__k")): _*)
         .orderBy(col("__v"))
-      val gathered = nonNull.join(pending, groupKey)
+      val gathered = nonNull.join(pendingSide, groupKey)
         .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
         .withColumn("__rn", row_number().over(rnW))
         .filter(col("__cb") + col("__rn") - 1 === col("__k"))

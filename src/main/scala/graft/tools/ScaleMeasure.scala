@@ -34,7 +34,21 @@ object ScaleMeasure {
     "q106_n5" -> ((s, dir) =>
       graft.llm.Dedup.ngramContainmentJoin(
         graft.Tables.read(s, dir, "documents"), "doc_id", "text",
-        n = 5, threshold = 0.8)))
+        n = 5, threshold = 0.8)),
+    // the streaming windowed HLL in its batch form (stream==batch is
+    // spec-pinned): the decade claim is shuffle ≈ window-count ×
+    // register mass, NOT event mass — partial map-side sketch merge
+    "windowed_approx_distinct" -> ((s, dir) =>
+      graft.streaming.Streaming.windowedApproxDistinct(
+        graft.Tables.read(s, dir, "events"), "ts", "user_id", "1 hour")),
+    // the replaced percentile path, in its worst shape: a GLOBAL
+    // quantile over a continuous column — the case whose percentile
+    // buffer would hold every distinct value in one task. The decade
+    // claim is linear scans + constant-size aggregates per pass.
+    "exact_quantiles_global" -> ((s, dir) =>
+      graft.operators.Quantiles.exactQuantiles(
+        graft.Tables.read(s, dir, "events"), Nil, "value",
+        Seq(0.05, 0.5, 0.95))))
 
   private class Listener extends SparkListener {
     private val stageGroup = TrieMap[Int, String]()
