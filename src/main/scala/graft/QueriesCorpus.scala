@@ -42,8 +42,8 @@ object QueriesCorpus {
     * single-distinct-character document would produce (−1·log₂1), so
     * both engines hash the same bits. */
   def q111CharEntropy(spark: SparkSession, dir: String): DataFrame =
-    CorpusStats.charEntropy(t(spark, dir, "documents"), "text")
-      .select(col("doc_id"), col("n_chars_text"),
+    CorpusStats.charEntropy(t(spark, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_chars_text"),
         round(abs(col("char_entropy")), 6).as("char_entropy"))
       .orderBy("doc_id")
 

@@ -78,32 +78,64 @@ object CorpusStats {
   }
 
   /** Per-row Shannon character entropy (bits): −Σ p(c)·log₂ p(c) over
-    * the characters of `textCol`, plus the character count.
+    * the code points of `textCol`, plus the code-point count.
     *
-    * Computed entirely with higher-order array functions — one
-    * zero-shuffle projection pass, no explode, no aggregate: the
-    * per-row cost is O(len × distinct-chars) and the 100 TB cost is
-    * exactly one scan. Empty/NULL text yields entropy 0.0/NULL
-    * respectively.
+    * A single zero-shuffle `mapPartitions` kernel with an
+    * allocation-reused BMP count array (the `compressionRatio`
+    * pattern — Spark's higher-order array functions are
+    * CodegenFallback and measured ~9× slower here): O(len) per row,
+    * one scan at any scale. Astral code points fall back to a small
+    * hash map; NULL text yields NULL metrics, empty text entropy 0.0.
     */
-  def charEntropy(df: DataFrame, textCol: String): DataFrame = {
-    val cs = expr(s"filter(split($textCol, ''), x -> x <> '')")
-    val withArr = df.withColumn("__cs", cs)
-      .withColumn("__n", size(col("__cs")).cast("double"))
-    val counts = expr(
-      "transform(array_distinct(__cs), c -> " +
-        "cast(size(filter(__cs, x -> x = c)) as double))")
-    // NULL text stays NULL (`when`'s null-condition-is-false would
-    // otherwise silently map it to the empty-string 0.0 case)
-    val ent = when(col(textCol).isNull, lit(null).cast("double"))
-      .when(col("__n") > 0,
-        -expr("aggregate(__counts, 0.0d, (acc, c) -> " +
-          "acc + (c / __n) * log2(c / __n))"))
-      .otherwise(lit(0.0))
-    withArr.withColumn("__counts", counts)
-      .withColumn("char_entropy", ent)
-      .withColumn("n_chars_text", col("__n").cast("long"))
-      .drop("__cs", "__counts", "__n")
+  def charEntropy(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val counts = new Array[Int](65536)
+        val touched = new Array[Int](65536)
+        val ln2 = math.log(2.0)
+        rows.map { case (id, t) =>
+          if (t == null) (id, None, None)
+          else if (t.isEmpty) (id, Some(0L), Some(0.0))
+          else {
+            var astral: java.util.HashMap[Integer, Int] = null
+            var nTouched = 0
+            var n = 0L
+            var i = 0
+            while (i < t.length) {
+              val cp = t.codePointAt(i)
+              if (cp < 65536) {
+                if (counts(cp) == 0) { touched(nTouched) = cp; nTouched += 1 }
+                counts(cp) += 1
+              } else {
+                if (astral == null) astral = new java.util.HashMap
+                val prev = astral.get(cp)
+                astral.put(cp, if (prev == null) 1 else prev + 1)
+              }
+              i += Character.charCount(cp)
+              n += 1
+            }
+            var ent = 0.0
+            val nd = n.toDouble
+            var j = 0
+            while (j < nTouched) {
+              val p = counts(touched(j)) / nd
+              ent -= p * (math.log(p) / ln2)
+              counts(touched(j)) = 0 // reset for the next row
+              j += 1
+            }
+            if (astral != null) astral.values.forEach { c =>
+              val p = c.toDouble / nd
+              ent -= p * (math.log(p) / ln2)
+            }
+            (id, Some(n), Some(ent))
+          }
+        }
+      }
+      .toDF("id", "n_chars_text", "char_entropy")
   }
 
   /** Token rank-frequency Zipf slope per group: regression slope of
@@ -194,48 +226,68 @@ object CorpusStats {
   private final case class Summary(
       thr: Long, items: scala.collection.mutable.HashMap[String, (Long, Long)])
 
-  /** Space-saving over one partition's token stream with a lazily
-    * rebuilt min-heap (stale entries skipped; heap rebuilt from the
-    * live map when it exceeds 8× capacity, so updates stay
-    * O(log capacity) amortized and memory stays O(capacity)).
+  /** Resumable space-saving counter set with a lazily rebuilt
+    * min-heap (stale entries skipped; heap rebuilt from the live map
+    * when it exceeds 8× capacity, so updates stay O(log capacity)
+    * amortized and memory stays O(capacity)). `private[graft]` so the
+    * streaming layer can carry the counters as
+    * flatMapGroupsWithState state and keep inserting across
+    * micro-batches — space-saving is an insertion algorithm, so the
+    * continuation is exactly the batch single-pass.
     */
-  private def spaceSaving(toks: Iterator[String], capacity: Int): Summary = {
-    val map = new scala.collection.mutable.HashMap[String, (Long, Long)]
-    val cmp: java.util.Comparator[(String, Long)] =
+  private[graft] final class SpaceSaving(capacity: Int) {
+    val counters = new scala.collection.mutable.HashMap[String, (Long, Long)]
+    private val cmp: java.util.Comparator[(String, Long)] =
       (x: (String, Long), y: (String, Long)) =>
         java.lang.Long.compare(x._2, y._2)
-    val pq = new java.util.PriorityQueue[(String, Long)](
+    private val pq = new java.util.PriorityQueue[(String, Long)](
       math.max(16, capacity), cmp)
-    def push(t: String, est: Long): Unit = {
+
+    private def push(t: String, est: Long): Unit = {
       pq.add((t, est))
       if (pq.size > 8 * capacity) {
         pq.clear()
-        map.foreach { case (tk, (e, _)) => pq.add((tk, e)) }
+        counters.foreach { case (tk, (e, _)) => pq.add((tk, e)) }
       }
     }
-    toks.foreach { t =>
-      map.get(t) match {
+
+    /** Restore a counter (state resume); caller feeds ≤ capacity. */
+    def seed(t: String, est: Long, err: Long): Unit = {
+      counters.update(t, (est, err)); push(t, est)
+    }
+
+    def insert(t: String): Unit =
+      counters.get(t) match {
         case Some((est, err)) =>
-          map.update(t, (est + 1, err)); push(t, est + 1)
-        case None if map.size < capacity =>
-          map.update(t, (1L, 0L)); push(t, 1L)
+          counters.update(t, (est + 1, err)); push(t, est + 1)
+        case None if counters.size < capacity =>
+          counters.update(t, (1L, 0L)); push(t, 1L)
         case None =>
           // evict the live minimum (skip heap entries superseded by
           // later increments or prior evictions)
           var popped = pq.poll()
-          while (!map.get(popped._1).exists(_._1 == popped._2))
+          while (!counters.get(popped._1).exists(_._1 == popped._2))
             popped = pq.poll()
           val (victim, minEst) = popped
-          map.remove(victim)
-          map.update(t, (minEst + 1, minEst)); push(t, minEst + 1)
+          counters.remove(victim)
+          counters.update(t, (minEst + 1, minEst)); push(t, minEst + 1)
       }
-    }
-    val thr = if (map.size < capacity) 0L
-      else map.valuesIterator.map(_._1).min
+
+    /** Upper bound on the true count of any token NOT in `counters`. */
+    def threshold: Long =
+      if (counters.size < capacity) 0L
+      else counters.valuesIterator.map(_._1).min
+  }
+
+  private def spaceSaving(toks: Iterator[String], capacity: Int): Summary = {
+    val ss = new SpaceSaving(capacity)
+    toks.foreach(ss.insert)
     // convert (est, err) counters to the (upper, lower) bound
     // representation the merge layer works in
-    val bounds = map.map { case (t, (est, err)) => t -> (est, est - err) }
-    Summary(thr, bounds)
+    val bounds = ss.counters.map { case (t, (est, err)) =>
+      t -> (est, est - err)
+    }
+    Summary(ss.threshold, bounds)
   }
 
   /** Agarwal et al. 2013 merge: thresholds add; a token absent from

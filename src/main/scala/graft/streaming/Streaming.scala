@@ -74,6 +74,115 @@ object Streaming {
         col("n_events"))
   }
 
+  /** One emitted heavy-hitter row: current top-k entry for a window.
+    * `closed` marks the final emission of a window whose event-time
+    * timeout fired (watermark passed the window end).
+    */
+  case class WindowHeavyHitter(window_start: java.sql.Timestamp,
+                               token: String, est: Long, err: Long,
+                               rk: Int, closed: Boolean = false)
+
+  /** Space-saving state carried across micro-batches, encoder-flat
+    * (parallel Seqs instead of a Map so the state row stays a plain
+    * product of array columns).
+    */
+  case class HHState(tokens: Seq[String], ests: Seq[Long],
+                     errs: Seq[Long])
+
+  /** Windowed heavy-hitter tokens under BOUNDED state: the streaming
+    * form of [[graft.llm.CorpusStats.heavyHitterTokens]]. A plain
+    * `groupBy(window, token).count` keeps one state row per DISTINCT
+    * token per window — for web-scale vocabularies (URLs, hashes,
+    * n-grams) that state is unbounded and the query eventually dies.
+    * Here each window's state is one space-saving counter set of at
+    * most `capacity` entries (Metwally et al. 2005) carried by
+    * `flatMapGroupsWithState`; space-saving is an insertion
+    * algorithm, so continuing the insertion across micro-batches IS
+    * the batch single-pass, and each trigger emits the window's
+    * current top k with per-token error bounds (err = 0 while no
+    * counter has ever been evicted — the provably-exact regime).
+    *
+    * The same call runs on a batch frame (fresh state, one pass).
+    * With a watermark, expired windows emit one final `closed` row
+    * set and their state is dropped — total state is then
+    * open-windows × capacity, independent of the stream's length and
+    * vocabulary.
+    */
+  def windowedHeavyHitters(events: DataFrame, tsCol: String,
+                           tokenCol: String, windowDuration: String,
+                           k: Int, capacity: Int = 4096,
+                           watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[WindowHeavyHitter] = {
+    if (k < 1) throw graft.exceptions.InvalidArgumentValue(
+      s"k must be >= 1, got $k")
+    if (capacity < k) throw graft.exceptions.InvalidArgumentValue(
+      s"capacity ($capacity) must be >= k ($k)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // hoisted: the state function must not capture the Dataset
+    // itself (it does not survive closure serialization)
+    val isStream = events.isStreaming
+    val wm =
+      if (isStream) events.withWatermark(tsCol, watermark)
+      else events
+    // the raw watermarked ts column must flow into the stateful
+    // operator (casting the window fields strips the event-time
+    // watermark tag, and EventTimeTimeout then fails analysis)
+    val keyed = wm
+      .select(window(col(tsCol), windowDuration).as("w"),
+        col(tokenCol).cast("string").as("t"), col(tsCol).as("__ts"))
+      .filter(col("t").isNotNull)
+      .select(col("w.start").cast("long").as("ws"),
+        col("w.end").cast("long").as("we"), col("t"), col("__ts"))
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .groupByKey { case (ws, we, _, _) => (ws, we) }
+
+    def topK(ss: graft.llm.CorpusStats.SpaceSaving, wsSec: Long,
+             closed: Boolean): Iterator[WindowHeavyHitter] = {
+      val start = new java.sql.Timestamp(wsSec * 1000L)
+      ss.counters.toSeq
+        .sortBy { case (t, (est, _)) => (-est, t) }
+        .take(k).zipWithIndex.iterator
+        .map { case ((t, (est, err)), i) =>
+          WindowHeavyHitter(start, t, est, err, i + 1, closed)
+        }
+    }
+
+    keyed.flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+      (key: (Long, Long),
+       rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+       state: GroupState[HHState]) =>
+        val (wsSec, weSec) = key
+        if (state.hasTimedOut) {
+          val ss = new graft.llm.CorpusStats.SpaceSaving(capacity)
+          state.getOption.foreach { s =>
+            s.tokens.indices.foreach(i =>
+              ss.seed(s.tokens(i), s.ests(i), s.errs(i)))
+          }
+          state.remove()
+          topK(ss, wsSec, closed = true)
+        } else {
+          val ss = new graft.llm.CorpusStats.SpaceSaving(capacity)
+          state.getOption.foreach { s =>
+            s.tokens.indices.foreach(i =>
+              ss.seed(s.tokens(i), s.ests(i), s.errs(i)))
+          }
+          rows.foreach { case (_, _, t, _) => ss.insert(t) }
+          val entries = ss.counters.toSeq
+          state.update(HHState(entries.map(_._1),
+            entries.map(_._2._1), entries.map(_._2._2)))
+          // fire the final emission once the watermark passes the
+          // window end (streaming only — timeouts are no-ops in the
+          // batch execution of flatMapGroupsWithState)
+          if (isStream)
+            state.setTimeoutTimestamp(weSec * 1000L)
+          topK(ss, wsSec, closed = false)
+        }
+    }
+  }
+
   /** Session windows per user: gap-based sessionization. */
   def sessionized(events: DataFrame, tsCol: String, gap: String,
                   watermark: String = "10 minutes"): DataFrame = {

@@ -83,18 +83,25 @@ class CorpusStatsSpec extends SparkSpec {
   }
 
   test("charEntropy matches hand-computed values and handles empties") {
-    val df = Seq((1, "aabb"), (2, "aaaa"), (3, ""), (4, null))
+    val df = Seq((1, "aabb"), (2, "aaaa"), (3, ""), (4, null),
+        (5, "a😀😀b")) // a😀😀b — astral pair path
       .toDF("doc_id", "text")
-    val got = CorpusStats.charEntropy(df, "text")
-      .orderBy("doc_id")
-      .select("doc_id", "char_entropy", "n_chars_text")
+    val got = CorpusStats.charEntropy(df, "doc_id", "text")
+      .orderBy("id")
+      .select("id", "char_entropy", "n_chars_text")
       .collect()
     assert(got(0).getDouble(1) === 1.0) // two symbols, p=.5 each
     assert(math.abs(got(1).getDouble(1)) === 0.0) // single symbol
     assert(got(1).getLong(2) === 4L)
     assert(got(2).getDouble(1) === 0.0 && got(2).getLong(2) === 0L)
     assert(got(3).isNullAt(1)) // NULL text propagates
+    // 4 code points (not 6 UTF-16 units); dist = {a:1, 😀:2, b:1}
+    assert(got(4).getLong(2) === 4L)
+    val exp = -(0.25 * log2(0.25) * 2 + 0.5 * log2(0.5))
+    assert(math.abs(got(4).getDouble(1) - exp) < 1e-12)
   }
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
 
   test("zipfSlope recovers the slope of an exact power law") {
     // a perfect 1/r law: f(r) = 12/r at ranks 1..3 (12, 6, 4) →

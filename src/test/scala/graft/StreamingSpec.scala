@@ -53,6 +53,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("streamed windowed heavy hitters converge to the batch pass") {
+    // capacity (4096) ≥ distinct event types, so space-saving is
+    // provably exact and the micro-batch continuation must land on
+    // the batch one-pass counts regardless of file arrival order.
+    // The 40-day watermark exceeds the data span: no row is ever
+    // late, no window times out, state continues across all triggers.
+    val streamed = Streaming.windowedHeavyHitters(
+      Streaming.readParquetStream(spark, streamDir, events,
+        maxFilesPerTrigger = 1),
+      "ts", "event_type", "1 hour", k = 5, watermark = "40 days")
+    val got = Streaming.runToMemory(spark, streamed.toDF(),
+      "win_hh", outputMode = "update")
+    // est per (window, token) is monotone across triggers in the
+    // exact regime — max est IS the final emission
+    val finals = got.groupBy("window_start", "token")
+      .agg(max(col("est")).as("est"), max(col("err")).as("err"))
+    val want = Streaming.windowedHeavyHitters(events, "ts",
+        "event_type", "1 hour", k = 5)
+      .toDF().select("window_start", "token", "est", "err")
+    assert(finals.count() === want.count())
+    assert(finals.join(want,
+      Seq("window_start", "token", "est", "err")).count() === want.count())
+    // exact regime: every emitted error bound is zero
+    assert(got.filter(col("err") =!= 0).count() === 0)
+  }
+
+  test("windowed heavy hitters emit closed rows when windows expire") {
+    val streamed = Streaming.windowedHeavyHitters(
+      Streaming.readParquetStream(spark, streamDir, events,
+        maxFilesPerTrigger = 1),
+      "ts", "event_type", "1 hour", k = 3, watermark = "1 minute")
+    val got = Streaming.runToMemory(spark, streamed.toDF(),
+      "win_hh_closed", outputMode = "update")
+    // with a tight watermark and multiple triggers over out-of-order
+    // files, event-time timeouts must fire final emissions
+    assert(got.filter(col("closed")).count() > 0)
+    assert(got.filter(col("rk") < 1 || col("rk") > 3).count() === 0)
+  }
+
   test("sessionization works identically on batch frames") {
     val sessions = Streaming.sessionized(events, "ts", "30 minutes")
     assert(sessions.count() > 0)
