@@ -63,12 +63,28 @@ object QueriesCorpus {
         round(col("pmi"), 6).as("pmi"), col("rk"))
       .orderBy("rk")
 
+  /** q114 — the streaming windowed heavy hitter's BATCH path (the
+    * same flatMapGroupsWithState code, fresh state, one pass). With
+    * capacity ≫ the 5 event types the counters are provably exact,
+    * so plain per-window top-3 SQL is the oracle; the stream==batch
+    * convergence is StreamingSpec's half of the pin.
+    */
+  def q114WindowedHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.windowedHeavyHitters(
+        t(spark, dir, "events"), "ts", "event_type", "1 hour", k = 3)
+      .toDF()
+      .select(col("window_start").cast("string").as("window_start"),
+        col("token"), col("est"), col("err"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("window_start", "rk")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_heavy_hitters" -> (q109HeavyHitters _),
     "q110_source_overlap" -> (q110SourceOverlap _),
     "q111_char_entropy" -> (q111CharEntropy _),
     "q112_zipf_slope" -> (q112ZipfSlope _),
-    "q113_pmi_bigrams" -> (q113PmiBigrams _))
+    "q113_pmi_bigrams" -> (q113PmiBigrams _),
+    "q114_windowed_heavy_hitters" -> (q114WindowedHeavyHitters _))
 
   val oracles: Map[String, String] = Map(
     "q109_heavy_hitters" ->
@@ -156,5 +172,17 @@ object QueriesCorpus {
          SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
                 CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
                 round(pmi, 6) AS pmi, CAST(rk AS BIGINT) AS rk
-         FROM r WHERE rk <= 100 ORDER BY rk""")
+         FROM r WHERE rk <= 100 ORDER BY rk""",
+    // q114: Spark's epoch-aligned 1-hour tumbling window ==
+    // date_trunc('hour'); exact regime ⇒ est = count, err = 0
+    "q114_windowed_heavy_hitters" ->
+      """WITH w AS (SELECT date_trunc('hour', ts) AS ws,
+                event_type AS token FROM events),
+         c AS (SELECT ws, token, count(*) AS est FROM w GROUP BY 1, 2),
+         r AS (SELECT ws, token, est, row_number() OVER (
+                 PARTITION BY ws ORDER BY est DESC, token) AS rk
+               FROM c)
+         SELECT CAST(ws AS VARCHAR) AS window_start, token, est,
+                CAST(0 AS BIGINT) AS err, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 3 ORDER BY window_start, rk""")
 }

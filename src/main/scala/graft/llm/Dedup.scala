@@ -407,6 +407,32 @@ object Dedup {
     }.toMap
   }
 
+  /** Compact a minhash index in place: every append lands its own
+    * `batch=<tag>` files, so an index that has absorbed months of
+    * daily batches is a small-files field that slows every probe's
+    * scan planning. Delegates the rewrite to
+    * [[graft.sources.FsOps.compactDataset]] (partition-layout
+    * preserving, staged tmp→bak→swap), then RE-WRITES the sidecar
+    * meta — the staged swap carries only the parquet tree, and an
+    * index without its meta refuses appends. Probe results are
+    * bit-identical before and after (LlmSpec pins it): only the file
+    * geometry changes, never a row.
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, targetFileMb: Int = 128)
+      : graft.sources.FsOps.CompactStats = {
+    val meta = readIndexMeta(spark, path)
+    if (meta.isEmpty)
+      throw InvalidArgumentValue(
+        s"no index meta at $path — not a minhash index (or pre-meta); " +
+          "refusing to compact")
+    val stats = graft.sources.FsOps.compactDataset(spark, path,
+      targetFileMb, partitionCols = Seq("batch"))
+    writeIndexMeta(spark, path, meta("shingleK").toInt,
+      meta("numHashes").toInt, meta("seed").toLong)
+    stats
+  }
+
   /** A parameter mismatch between build and probe/append is
     * silently-empty results, not an error — so both validate against
     * the sidecar meta before touching the data.

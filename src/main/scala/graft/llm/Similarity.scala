@@ -444,6 +444,28 @@ object Similarity {
     * probe-list cache is released before returning) — `.unpersist()`
     * the result when done.
     */
+  /** Compact an IVF index's cell tree in place: batch-tagged appends
+    * land one small file set per (batch, cell), so a long-lived index
+    * degrades every probe's scan planning. Rewrites `$path/cells`
+    * through [[graft.sources.FsOps.compactDataset]] preserving the
+    * (batch, cell) layout — the static `cell IN (...)` partition
+    * pruning keeps working unchanged — and leaves `$path/centroids`
+    * untouched. Probe results are bit-identical before and after
+    * (LlmSpec pins it).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, targetFileMb: Int = 128)
+      : graft.sources.FsOps.CompactStats = {
+    val cells = s"$path/cells"
+    val fs = new org.apache.hadoop.fs.Path(cells)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(cells)))
+      throw InvalidArgumentValue(
+        s"no cells tree at $cells — not an IVF index; refusing to compact")
+    graft.sources.FsOps.compactDataset(spark, cells, targetFileMb,
+      partitionCols = Seq("batch", "cell"))
+  }
+
   def probeIvfIndex(path: String, queries: DataFrame, queryId: String,
                     vecCol: String, k: Int, nprobe: Int): DataFrame = {
     if (k <= 0) throw InvalidArgumentValue(s"k must be positive, got $k")

@@ -95,6 +95,45 @@ class LlmSpec extends SparkSpec {
     assert(after == Set("base"), s"stale tag survived retraction: $after")
   }
 
+  test("minhash index compaction preserves probe results and the meta") {
+    val corpus = docs.filter($"doc_id" < 400)
+    val late = docs.filter($"doc_id" >= 400 && $"doc_id" < 450)
+    val batch = docs.filter($"doc_id" >= 450)
+    val idx = tmpDir("mh-compact")
+    // AQE coalesces this tiny fixture to one file per batch; disable
+    // it for the builds so each batch lands several small files — the
+    // geometry months of daily appends produce at real scale
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Dedup.buildMinhashIndex(corpus.repartition(8), "doc_id", "text", idx)
+      Dedup.appendToMinhashIndex(late.repartition(8), "doc_id", "text",
+        idx, "day1")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    def probe() = Dedup.probeMinhashIndex(idx,
+        corpus.unionByName(late), batch, "doc_id", "text",
+        minBandMatches = 3)
+      .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+      .collect().toSeq
+    val before = probe()
+    val filesBefore = graft.sources.FsOps.listObjects(spark, idx)
+      .count(_.path.endsWith(".parquet"))
+    val stats = Dedup.compactMinhashIndex(spark, idx)
+    val filesAfter = graft.sources.FsOps.listObjects(spark, idx)
+      .count(_.path.endsWith(".parquet"))
+    assert(filesAfter < filesBefore,
+      s"compaction did not reduce files: $filesBefore -> $filesAfter")
+    assert(stats.filesBefore === filesBefore)
+    // probe results bit-identical, and the meta survived the swap —
+    // an append against the compacted index still validates + lands
+    assert(probe() === before)
+    Dedup.appendToMinhashIndex(batch.limit(5), "doc_id", "text",
+      idx, "day2")
+    // a non-index dir is refused, not silently rewritten
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Dedup.compactMinhashIndex(spark, tmpDir("mh-not-an-index"))
+    }
+  }
+
   test("index append equals one-shot build; re-append is idempotent") {
     val early = docs.filter($"doc_id" < 300)
     val mid = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
@@ -520,6 +559,28 @@ class LlmSpec extends SparkSpec {
     // recall need not be perfect (that's the point of nprobe<nlist),
     // but probing half the cells on near-random data should find >40%
     assert(approx.intersect(exact).size >= exact.size * 2 / 5)
+  }
+
+  test("ivf index compaction preserves probe results and cell pruning") {
+    val queries = emb.filter($"vec_id" < 3)
+    val corpus = emb.filter($"vec_id" >= 3)
+    val idx = tmpDir("ivf-compact")
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", idx, nlist = 4)
+    def probe() = Similarity.probeIvfIndex(idx, queries,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .orderBy("qid", "rnk").collect().toSeq
+    val before = probe()
+    Similarity.compactIvfIndex(spark, idx)
+    assert(probe() === before)
+    // static cell pruning still works on the compacted layout
+    val partial = Similarity.probeIvfIndex(idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 1)
+    val pf = partial.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("cell"))
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Similarity.compactIvfIndex(spark, tmpDir("ivf-not-an-index"))
+    }
   }
 
   test("ivf index probe at full nprobe equals brute force; pruning is static") {
