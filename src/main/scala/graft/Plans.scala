@@ -154,7 +154,27 @@ object Plans {
       "q106_containment" ->
         ("containment join: rare-first prefix grams equi-join the " +
           "full gram set (asymmetric prefix filter) + exact " +
-          "intersection verify — never an all-pairs compare"))
+          "intersection verify — never an all-pairs compare"),
+      "q109_heavy_hitters" ->
+        ("space-saving heavy hitters: per-partition summaries → one " +
+          "hash exchange of capacity-bounded summary ROWS → merge " +
+          "tree — token volume never shuffles"),
+      "q110_source_overlap" ->
+        ("cross-source overlap: distinct (group, gram) aggregation, " +
+          "gram equi-join bounded by gram-space × groups — the " +
+          "corpus text never reaches the pair stage"),
+      "q111_char_entropy" ->
+        ("char entropy: one mapPartitions kernel projection over the " +
+          "scan — zero joins, zero aggregation; the only exchange is " +
+          "the presentation sort"),
+      "q113_pmi_bigrams" ->
+        ("PMI collocations: bigrams via codegen array zip (no " +
+          "self-join), unigram/total sides broadcast, global top-k " +
+          "as TakeOrderedAndProject before the bounded rank window"),
+      "q114_windowed_heavy_hitters" ->
+        ("windowed heavy hitters, batch path: one window-keyed " +
+          "exchange into flatMapGroupsWithState — per-window state " +
+          "is capacity-bounded, vocabulary never aggregates"))
 
     val sb = new StringBuilder
     sb ++= s"# PLANS — formatted physical plans at $sfDir\n\n"

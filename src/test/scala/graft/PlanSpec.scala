@@ -253,4 +253,37 @@ class PlanSpec extends SparkSpec {
       p.contains("CartesianProduct")
     assert(!bnlj, s"pair/cross join crept into the line filter:\n$p")
   }
+
+  test("q110 overlap pair stage never sees corpus text") {
+    val p = planOf(graft.llm.CorpusStats.sourceOverlapMatrix(
+      Tables.read(spark, sf, "documents"), "source", "text"))
+    // gram equi-join only: no cross/nested-loop pair generation
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"pair explosion:\n$p")
+    // the distinct (group, gram) aggregate partial-combines map-side
+    // BEFORE its exchange, so only distinct rows shuffle
+    assert(p.contains("HashAggregate"), s"no hash aggregate in:\n$p")
+  }
+
+  test("q113 PMI ranks via TakeOrderedAndProject with broadcast models") {
+    val p = planOf(graft.llm.CorpusStats.pmiCollocations(
+      Tables.read(spark, sf, "documents"), "text"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k did not plan as distributed selection:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"model join fell back to a shuffle join:\n$p")
+  }
+
+  test("q114 windowed heavy hitters keep state per window key") {
+    val p = planOf(graft.streaming.Streaming.windowedHeavyHitters(
+      Tables.read(spark, sf, "events"), "ts", "event_type",
+      "1 hour", k = 3).toDF())
+    // batch execution plans the stateful operator as MapGroups
+    // (streaming plans it as FlatMapGroupsWithState)
+    assert(p.contains("MapGroups") || p.contains("FlatMapGroupsWithState"),
+      s"expected the bounded-state operator in:\n$p")
+    // no (window, token) aggregation — the vocabulary must never be
+    // the aggregation key
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
