@@ -78,13 +78,28 @@ object QueriesCorpus {
         col("rk").cast("long").as("rk"))
       .orderBy("window_start", "rk")
 
+  /** q115 — per-source exact duplication rate over the q30-style
+    * constructed corpus (documents ∪ re-keyed copies of the first 100
+    * docs): which sources carry the duplicate mass.
+    */
+  def q115DupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.select("source", "text").unionByName(
+      docs.filter(col("doc_id") < 100).select("source", "text"))
+    graft.llm.Dedup.exactDupStatsByGroup(corpus, "source", "text")
+      .select(col("grp").as("source"), col("n_total"), col("n_unique"),
+        col("n_dup_groups"), col("n_removed"), col("dup_rate"))
+      .orderBy("source")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_heavy_hitters" -> (q109HeavyHitters _),
     "q110_source_overlap" -> (q110SourceOverlap _),
     "q111_char_entropy" -> (q111CharEntropy _),
     "q112_zipf_slope" -> (q112ZipfSlope _),
     "q113_pmi_bigrams" -> (q113PmiBigrams _),
-    "q114_windowed_heavy_hitters" -> (q114WindowedHeavyHitters _))
+    "q114_windowed_heavy_hitters" -> (q114WindowedHeavyHitters _),
+    "q115_dup_rate_by_source" -> (q115DupRateBySource _))
 
   val oracles: Map[String, String] = Map(
     "q109_heavy_hitters" ->
@@ -184,5 +199,19 @@ object QueriesCorpus {
                FROM c)
          SELECT CAST(ws AS VARCHAR) AS window_start, token, est,
                 CAST(0 AS BIGINT) AS err, CAST(rk AS BIGINT) AS rk
-         FROM r WHERE rk <= 3 ORDER BY window_start, rk""")
+         FROM r WHERE rk <= 3 ORDER BY window_start, rk""",
+    "q115_dup_rate_by_source" ->
+      """WITH corpus AS (SELECT source, text FROM documents
+           UNION ALL
+           SELECT source, text FROM documents WHERE doc_id < 100),
+         g AS (SELECT source AS grp, md5(text) AS h, count(*) AS cnt
+               FROM corpus GROUP BY 1, 2)
+         SELECT grp AS source, CAST(sum(cnt) AS BIGINT) AS n_total,
+                count(*) AS n_unique,
+                CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_groups,
+                CAST(sum(cnt) - count(*) AS BIGINT) AS n_removed,
+                round((sum(cnt) - count(*)) * 1.0 / sum(cnt), 6)
+                  AS dup_rate
+         FROM g GROUP BY grp ORDER BY grp""")
 }

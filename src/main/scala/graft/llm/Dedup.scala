@@ -46,6 +46,25 @@ object Dedup {
         i => lowered.substr(i, lit(k))))
   }
 
+  /** Per-group exact duplicate metrics — which sources/snapshots are
+    * polluting the corpus: same single-pass content-hash aggregation
+    * as [[exactDupStats]] but keyed, plus the duplicate-mass rate.
+    * Shuffle is the distinct (group, hash) set with map-side combine;
+    * the second aggregate is |groups|-sized.
+    */
+  def exactDupStatsByGroup(df: DataFrame, groupCol: String,
+                           textCol: String): DataFrame =
+    df.groupBy(col(groupCol).as("grp"), md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("grp")
+      .agg(
+        sum("cnt").as("n_total"),
+        count(lit(1)).as("n_unique"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        (sum("cnt") - count(lit(1))).as("n_removed"))
+      .withColumn("dup_rate",
+        round(col("n_removed").cast("double") / col("n_total"), 6))
+
   /** Exact duplicate metrics by content hash (md5 of the text column).
     * One aggregation: counts, distinct contents, and duplicate-group
     * count in a single pass.

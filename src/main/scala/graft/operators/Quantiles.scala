@@ -82,7 +82,8 @@ object Quantiles {
   def exactQuantiles(df: DataFrame, groupCols: Seq[String],
                      valueCol: String, ps: Seq[Double],
                      buckets: Int = 256, threshold: Long = 4096,
-                     maxIter: Int = 48): DataFrame = {
+                     maxIter: Int = 48,
+                     broadcastTargetLimit: Long = 100000L): DataFrame = {
     if (ps.isEmpty)
       throw InvalidArgumentValue("ps must be non-empty")
     ps.foreach { p =>
@@ -108,12 +109,17 @@ object Quantiles {
       else (df, groupCols)
     val g = gNames.map(col)
 
-    // narrow projection, persisted: every refinement pass re-scans it
-    val data = workDf
-      .select((g :+ col(valueCol).cast("double").as("__v")): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // narrow projection, persisted: every refinement pass re-scans
+    // it. Once the first round action has measured the target-state
+    // size, the MANY-group regime re-persists this projection
+    // hash-partitioned by the group keys (see below) so the per-pass
+    // keyed join never re-exchanges the data side; `data`/`nonNull`
+    // are vars only for that swap.
+    val narrow =
+      workDf.select((g :+ col(valueCol).cast("double").as("__v")): _*)
+    var data = narrow.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val nonNull = data.filter(col("__v").isNotNull)
+      var nonNull = data.filter(col("__v").isNotNull)
       if (nonNull.filter(isnan(col("__v"))).limit(1).count() > 0)
         throw InvalidArgumentValue(
           s"$valueCol contains NaN — exactQuantiles requires NaN-free input")
@@ -170,13 +176,26 @@ object Quantiles {
       // refinement pass — the measured full-column exchange this
       // branch exists to avoid. Above the limit (data-sized group
       // counts) the keyed shuffle join is the correct physical plan.
-      val bcastTargetLimit = 100000L
+      val bcastTargetLimit = broadcastTargetLimit
       def roundStats(d: DataFrame): (Any, Long) = {
         val r = d.filter(isActive)
           .agg(max("__cnt"), count(lit(1))).head()
         (r.getAs[Any](0), r.getLong(1))
       }
       var (remaining, activeCnt) = roundStats(targets)
+      // MANY-group regime: the target state will never broadcast, so
+      // every pass would re-exchange the data side of the keyed join.
+      // Re-persist the projection hash-partitioned by the group keys
+      // once — the cached distribution satisfies the join requirement
+      // for every subsequent pass (and for the final gather).
+      if (groupCols.nonEmpty && activeCnt > bcastTargetLimit) {
+        val partitioned = narrow.repartition(g: _*)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        partitioned.count() // materialize before dropping the old blocks
+        data.unpersist(blocking = false)
+        data = partitioned
+        nonNull = data.filter(col("__v").isNotNull)
+      }
       var prevRemaining = Long.MaxValue
       var iter = 0
       while (remaining != null &&

@@ -29,10 +29,12 @@ class QuantilesSpec extends SparkSpec {
     */
   private def assertParity(rows: Seq[(String, java.lang.Double)],
                            ps: Seq[Double], buckets: Int = 4,
-                           threshold: Long = 3): Unit = {
+                           threshold: Long = 3,
+                           broadcastTargetLimit: Long = 100000L): Unit = {
     val df = rows.toDF("grp", "v")
     val got = Quantiles.exactQuantiles(df, Seq("grp"), "v", ps,
-        buckets = buckets, threshold = threshold)
+        buckets = buckets, threshold = threshold,
+        broadcastTargetLimit = broadcastTargetLimit)
       .collect().map(r => (r.getString(0), r.getDouble(1)) ->
         (if (r.isNullAt(2)) null else r.getAs[Double](2).asInstanceOf[Any]))
       .toMap
@@ -56,6 +58,23 @@ class QuantilesSpec extends SparkSpec {
         case _ => false
       }
       assert(same, s"$k: percentile=$w exactQuantiles=$gv")
+    }
+  }
+
+  test("many-group regime (group-partitioned data, no broadcast) keeps bit parity") {
+    // broadcastTargetLimit = 0 forces the keyed-join path plus the
+    // one-time group-keyed re-persist — parity must be unaffected by
+    // the physical-plan change
+    val gen = for {
+      n <- Gen.chooseNum(1, 120)
+      vals <- Gen.listOfN(n, for {
+        g <- Gen.chooseNum(0, 5)
+        v <- Gen.chooseNum(-1e6, 1e6)
+      } yield (s"g$g", java.lang.Double.valueOf(v)))
+    } yield vals
+    forAllSeeded(gen, cases = 10) { rows =>
+      assertParity(rows, Seq(0.05, 0.5, 0.95),
+        broadcastTargetLimit = 0L)
     }
   }
 
