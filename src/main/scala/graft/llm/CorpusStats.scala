@@ -360,15 +360,27 @@ object CorpusStats {
     */
   def heavyHitterTokens(df: DataFrame, textCol: String, k: Int,
                         capacity: Int = 1 << 16,
-                        mergeGroups: Int = 32): DataFrame = {
+                        mergeGroups: Int = 32): DataFrame =
+    heavyHitterItems(
+      df.select(explode(TextAnalysis.tokens(col(textCol))).as("item")),
+      "item", k, capacity, mergeGroups)
+
+  /** [[heavyHitterTokens]] over an arbitrary already-itemized column
+    * — the form the motivating vocabularies actually arrive in
+    * (URLs, n-gram streams, hash buckets). Same summary tree, same
+    * bounds.
+    */
+  def heavyHitterItems(df: DataFrame, itemCol: String, k: Int,
+                       capacity: Int = 1 << 16,
+                       mergeGroups: Int = 32): DataFrame = {
     if (k < 1) throw InvalidArgumentValue(s"k must be >= 1, got $k")
     if (capacity < k)
       throw InvalidArgumentValue(
         s"capacity ($capacity) must be >= k ($k)")
     val spark = df.sparkSession
     import spark.implicits._
-    val toks = df.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .as[String]
+    val toks = df.select(col(itemCol).cast("string"))
+      .filter(col(itemCol).isNotNull).as[String]
     // tuple Datasets throughout (column names stay _1.._5) so the
     // repartition key can be addressed without a rename round-trip.
     // mapPartitionsWithIndex (not TaskContext.partitionId) for the

@@ -48,7 +48,17 @@ object ScaleMeasure {
     "exact_quantiles_global" -> ((s, dir) =>
       graft.operators.Quantiles.exactQuantiles(
         graft.Tables.read(s, dir, "events"), Nil, "value",
-        Seq(0.05, 0.5, 0.95))))
+        Seq(0.05, 0.5, 0.95))),
+    // the sketch on its motivating vocabulary: the char-4-gram stream
+    // (distinct grams ≫ tokens) — shuffle must stay summary-bounded
+    "hh_grams" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, explode}
+      graft.llm.CorpusStats.heavyHitterItems(
+        graft.Tables.read(s, dir, "documents")
+          .select(explode(graft.llm.Dedup.shingles(col("text"), 4))
+            .as("g")),
+        "g", k = 100)
+    }))
 
   private class Listener extends SparkListener {
     private val stageGroup = TrieMap[Int, String]()

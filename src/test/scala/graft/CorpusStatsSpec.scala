@@ -61,6 +61,21 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitterItems matches the tokenized path and drops nulls") {
+    val df = docs(
+      (1, "a a a b b c", "s"), (2, "a b d d", "s"), (3, "e a", "s"))
+    val viaText = CorpusStats
+      .heavyHitterTokens(df, "text", k = 3, capacity = 64)
+      .collect().toSeq
+    val items = df.select(explode(
+      graft.llm.TextAnalysis.tokens(col("text"))).as("it"))
+      .unionByName(Seq(Tuple1(null: String)).toDF("it"))
+    val viaItems = CorpusStats
+      .heavyHitterItems(items, "it", k = 3, capacity = 64)
+      .collect().toSeq
+    assert(viaItems === viaText)
+  }
+
   test("heavyHitterTokens validates arguments") {
     val df = Seq("a").toDF("text")
     intercept[InvalidArgumentValue] {
