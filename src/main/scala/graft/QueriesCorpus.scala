@@ -92,6 +92,24 @@ object QueriesCorpus {
       .orderBy("source")
   }
 
+  /** q116 — the Good–Turing count-of-counts table over the corpus
+    * vocabulary. */
+  def q116FreqOfFreqs(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.freqOfFreqs(t(spark, dir, "documents"), "text")
+      .select(col("cnt"), col("n_types"), col("mass"),
+        round(col("mass_share"), 6).as("mass_share"))
+      .orderBy("cnt")
+
+  /** q117 — decile tiers of document length with exact interpolated
+    * bounds (the `exactQuantiles` selection primitive composed into
+    * a curation dashboard row). */
+  def q117QuantileTiers(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.quantileTiers(
+        t(spark, dir, "documents").select("n_chars"), "n_chars")
+      .select(col("tier"), col("n_rows"), col("v_min"), col("v_max"),
+        round(col("v_avg"), 6).as("v_avg"))
+      .orderBy("tier")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_heavy_hitters" -> (q109HeavyHitters _),
     "q110_source_overlap" -> (q110SourceOverlap _),
@@ -99,7 +117,9 @@ object QueriesCorpus {
     "q112_zipf_slope" -> (q112ZipfSlope _),
     "q113_pmi_bigrams" -> (q113PmiBigrams _),
     "q114_windowed_heavy_hitters" -> (q114WindowedHeavyHitters _),
-    "q115_dup_rate_by_source" -> (q115DupRateBySource _))
+    "q115_dup_rate_by_source" -> (q115DupRateBySource _),
+    "q116_freq_of_freqs" -> (q116FreqOfFreqs _),
+    "q117_quantile_tiers" -> (q117QuantileTiers _))
 
   val oracles: Map[String, String] = Map(
     "q109_heavy_hitters" ->
@@ -213,5 +233,30 @@ object QueriesCorpus {
                 CAST(sum(cnt) - count(*) AS BIGINT) AS n_removed,
                 round((sum(cnt) - count(*)) * 1.0 / sum(cnt), 6)
                   AS dup_rate
-         FROM g GROUP BY grp ORDER BY grp""")
+         FROM g GROUP BY grp ORDER BY grp""",
+    "q116_freq_of_freqs" ->
+      """WITH d AS (SELECT
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+         tok AS (SELECT unnest(t) AS tok FROM d),
+         f AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM f)
+         SELECT f.c AS cnt, count(*) AS n_types,
+                CAST(f.c * count(*) AS BIGINT) AS mass,
+                round(f.c * count(*) * 1.0 / tot.t, 6) AS mass_share
+         FROM f CROSS JOIN tot GROUP BY f.c, tot.t ORDER BY cnt""",
+    // q117: bit-equal interpolated bounds (quantile_cont ==
+    // exactQuantiles, QuantilesSpec), strictly-below tier rule on
+    // both sides; a value on a bound stays in the lower tier
+    "q117_quantile_tiers" ->
+      """WITH b AS (SELECT quantile_cont(n_chars,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+              FROM documents),
+         t AS (SELECT d.n_chars,
+                 1 + len(list_filter(b.bs, x -> d.n_chars > x)) AS tier
+               FROM documents d CROSS JOIN b)
+         SELECT CAST(tier AS BIGINT) AS tier, count(*) AS n_rows,
+                min(n_chars) AS v_min, max(n_chars) AS v_max,
+                round(avg(n_chars), 6) AS v_avg
+         FROM t GROUP BY tier ORDER BY tier""")
 }

@@ -214,6 +214,67 @@ object CorpusStats {
       .select("a", "b", "c_ab", "c_a", "c_b", "pmi", "rk")
   }
 
+  /** Token frequency-of-frequencies (the Good–Turing count-of-counts
+    * table, Gale & Sampson 1995): for each observed token count r,
+    * how many types N_r have it, the mass r·N_r they carry, and its
+    * share of all tokens. The singleton row (r = 1) is the
+    * vocabulary's open-endedness signal; a heavy low-r tail means
+    * tokenizer/vocab pressure, a fat high-r head means boilerplate.
+    *
+    * Scale shape: two map-combined aggregations — (token → count)
+    * bounded by vocab, then (count → types) bounded by distinct
+    * counts — plus a broadcast 1-row total. Nothing data-sized
+    * shuffles twice.
+    */
+  def freqOfFreqs(df: DataFrame, textCol: String): DataFrame = {
+    val f = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = f.agg(sum("c").as("__t"))
+    f.groupBy("c").agg(count(lit(1)).as("n_types"))
+      .crossJoin(broadcast(total))
+      .select(col("c").as("cnt"), col("n_types"),
+        (col("c") * col("n_types")).as("mass"),
+        (col("c") * col("n_types") / col("__t")).as("mass_share"))
+  }
+
+  /** Quantile-tiered corpus stats: cut a numeric column into
+    * `tiers` equal-probability buckets with EXACT interpolated bounds
+    * ([[graft.operators.Quantiles.exactQuantiles]] — scale-safe at
+    * any group size) and aggregate per tier. The curation dashboard's
+    * "what does each decile of document length / quality score look
+    * like" row, built from the same selection primitive the profiler
+    * uses, so the bounds replay exactly in any engine with
+    * `quantile_cont`.
+    *
+    * Tier t ∈ [1, tiers] = 1 + number of interior bounds strictly
+    * below the value (a value sitting exactly on a bound stays in
+    * the lower tier); NULL values are dropped, matching the
+    * quantile's own null semantics. Scale shape: one exactQuantiles
+    * call (linear scans, O(buckets) state), a (tiers−1)-row
+    * broadcast join, one aggregation.
+    */
+  def quantileTiers(df: DataFrame, valueCol: String,
+                    tiers: Int = 10): DataFrame = {
+    if (tiers < 2)
+      throw InvalidArgumentValue(s"tiers must be >= 2, got $tiers")
+    val ps = (1 until tiers).map(_.toDouble / tiers)
+    val bounds = graft.operators.Quantiles
+      .exactQuantiles(df, Nil, valueCol, ps)
+      .agg(collect_list(col("q")).as("__bs"))
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .withColumn("tier",
+        (lit(1) + expr(s"aggregate(__bs, 0, (acc, b) -> " +
+          s"acc + if(cast($valueCol as double) > b, 1, 0))"))
+          .cast("long"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("v_min"),
+        max(col(valueCol)).as("v_max"),
+        avg(col(valueCol)).as("v_avg"))
+  }
+
   // ---------------------------------------------------------------
   // Mergeable space-saving heavy hitters
   // ---------------------------------------------------------------

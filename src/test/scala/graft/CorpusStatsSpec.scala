@@ -118,6 +118,34 @@ class CorpusStatsSpec extends SparkSpec {
 
   private def log2(x: Double): Double = math.log(x) / math.log(2.0)
 
+  test("freqOfFreqs builds the count-of-counts table") {
+    // counts: a→3, b→2, c→2, d→1 ⇒ N_1=1, N_2=2, N_3=1; total 8
+    val df = Seq("a a b c", "a b c d").toDF("text")
+    val got = CorpusStats.freqOfFreqs(df, "text")
+      .orderBy("cnt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 1L, 1.0 / 8), (2L, 2L, 4L, 4.0 / 8),
+      (3L, 1L, 3L, 3.0 / 8)))
+  }
+
+  test("quantileTiers cuts equal-probability buckets with exact bounds") {
+    // values 1..100, quartiles: bounds 25.75, 50.5, 75.25 —
+    // strictly-below rule puts 1..25 | 26..50 | 51..75 | 76..100
+    val df = (1 to 100).map(i => Tuple1(i.toLong)).toDF("v")
+    val got = CorpusStats.quantileTiers(df, "v", tiers = 4)
+      .orderBy("tier")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 25L, 1L, 25L), (2L, 25L, 26L, 50L),
+      (3L, 25L, 51L, 75L), (4L, 25L, 76L, 100L)))
+    intercept[InvalidArgumentValue] {
+      CorpusStats.quantileTiers(df, "v", tiers = 1)
+    }
+  }
+
   test("zipfSlope recovers the slope of an exact power law") {
     // a perfect 1/r law: f(r) = 12/r at ranks 1..3 (12, 6, 4) →
     // ln f = ln 12 − 1·ln r → slope exactly −1
