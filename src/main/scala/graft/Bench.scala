@@ -219,19 +219,32 @@ object Bench {
     // co-tenant with the rest of the gate and lands uniformly ~30%
     // high, so the JSON carries BOTH — round-over-round adjudication
     // compares clean-vs-clean without fishing numbers out of
-    // BENCHNOTES prose. Missing/malformed file → null (never break
-    // the driver's json.load).
+    // BENCHNOTES prose. The file is PARSED (Jackson, already on
+    // Spark's classpath) before splicing: a malformed file must
+    // become null, not corrupt the whole bench record. The clean
+    // record also carries a "task_sec" map (executor task-seconds per
+    // query from the clean run's stage metrics) — re-emitted here as
+    // "cleanTaskSec", the round-over-round headline: task_sec is
+    // scheduling-noise-immune where wall time is not.
     val cleanPath = sys.env.getOrElse("SPARK_GRAFT_CLEAN_MEDIANS",
       "bench_clean_medians.json")
-    val clean = {
+    val (clean, cleanTaskSec) = {
       val p = java.nio.file.Paths.get(cleanPath)
       if (java.nio.file.Files.exists(p)) {
-        val s = java.nio.file.Files.readString(p).trim
-        if (s.startsWith("{") && s.endsWith("}")) s else "null"
-      } else "null"
+        try {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val node = om.readTree(java.nio.file.Files.readString(p))
+          if (node != null && node.isObject) {
+            val ts = node.get("task_sec")
+            (om.writeValueAsString(node),
+              if (ts != null && ts.isObject) om.writeValueAsString(ts)
+              else "null")
+          } else ("null", "null")
+        } catch { case _: Exception => ("null", "null") }
+      } else ("null", "null")
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errs,"stageMetrics":$sm,"cleanMedians":$clean,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errs,"stageMetrics":$sm,"cleanMedians":$clean,"cleanTaskSec":$cleanTaskSec,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     println(line)

@@ -91,6 +91,17 @@ object CorpusStats {
                   textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the kernel decodes ids into a primitive Long — a non-integral
+    // id would cast to NULL and die deep in the deserializer with an
+    // opaque error; fail fast with the module's own exception instead
+    df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw InvalidArgumentValue(
+        s"idCol '$idCol' must be an integral type, got ${dt.simpleString}")
+    }
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .mapPartitions { rows =>
@@ -196,9 +207,20 @@ object CorpusStats {
     // minCount filter, which prunes candidates, not probability mass
     val totals = uni.agg(sum("c").as("t_tokens")).crossJoin(
       biAll.agg(sum("c_ab").as("t_bigrams")))
+    // prune the unigram table to tokens that actually appear in a
+    // surviving bigram BEFORE it is joined: the full vocabulary is
+    // web-scale (the reason heavyHitterTokens exists), but the
+    // survivors are bounded by the minCount filter — ≤ 2·|bi| tokens.
+    // No forced broadcast: AQE picks broadcast when the pruned side
+    // measures small, shuffle-join when an adversarial corpus leaves
+    // it large, so the 8 GB broadcast ceiling is never a correctness
+    // cliff.
+    val liveToks = bi.select(col("a").as("tok"))
+      .union(bi.select(col("b").as("tok"))).distinct()
+    val uniLive = uni.join(liveToks, Seq("tok"), "left_semi")
     val scored = bi
-      .join(broadcast(uni.select(col("tok").as("a"), col("c").as("c_a"))), "a")
-      .join(broadcast(uni.select(col("tok").as("b"), col("c").as("c_b"))), "b")
+      .join(uniLive.select(col("tok").as("a"), col("c").as("c_a")), "a")
+      .join(uniLive.select(col("tok").as("b"), col("c").as("c_b")), "b")
       .crossJoin(broadcast(totals))
       .withColumn("pmi",
         log((col("c_ab") / col("t_bigrams")) /
@@ -262,11 +284,15 @@ object CorpusStats {
     val bounds = graft.operators.Quantiles
       .exactQuantiles(df, Nil, valueCol, ps)
       .agg(collect_list(col("q")).as("__bs"))
+    // Column-API aggregate (not an interpolated SQL string): a value
+    // column whose name needs backticks (dots, spaces) resolves the
+    // same way it does everywhere else in the module
+    val v = col(valueCol).cast("double")
     df.filter(col(valueCol).isNotNull)
       .crossJoin(broadcast(bounds))
       .withColumn("tier",
-        (lit(1) + expr(s"aggregate(__bs, 0, (acc, b) -> " +
-          s"acc + if(cast($valueCol as double) > b, 1, 0))"))
+        (lit(1) + aggregate(col("__bs"), lit(0),
+          (acc, b) => acc + when(v > b, 1).otherwise(0)))
           .cast("long"))
       .groupBy("tier")
       .agg(count(lit(1)).as("n_rows"),

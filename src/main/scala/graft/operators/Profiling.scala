@@ -148,11 +148,13 @@ object Profiling {
     // group on the STRUCT of key columns (exact tuple identity —
     // concat_ws alone would both skip NULLs and let values containing
     // the separator collide, misattributing counts), then render the
-    // display string afterward: NULL → ␀ (U+2400), literal '|' and
-    // '\' backslash-escaped, so distinct tuples render distinctly
+    // display string afterward: NULL → ␀ (U+2400); literal '|', '\'
+    // AND '␀' backslash-escaped (a value that IS the NULL sentinel
+    // must not render identically to NULL), so distinct tuples render
+    // distinctly
     val rendered = concat_ws("|", keyCols.map(c =>
       coalesce(regexp_replace(col(c).cast("string"),
-        "([\\\\|])", "\\\\$1"), lit("␀"))): _*)
+        "([\\\\|␀])", "\\\\$1"), lit("␀"))): _*)
     val counts = df
       .groupBy(struct(keyCols.map(col): _*).as("__t"), rendered.as("key"))
       .agg(count(lit(1)).as("n"))

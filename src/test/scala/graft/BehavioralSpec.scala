@@ -230,6 +230,20 @@ class BehavioralSpec extends SparkSpec {
     assert(heavy("a|") == 1L)
   }
 
+  test("skewReport keys: a literal ␀ value is distinct from NULL") {
+    // a value that IS the NULL sentinel character must not render
+    // byte-identically to an actual NULL — it is backslash-escaped
+    val df = Seq(("a", "␀", 1), ("a", null, 2), ("a", null, 3))
+      .toDF("k1", "k2", "x")
+    val heavy = Profiling.skewReport(df, Seq("k1", "k2"), topK = 10)
+      .filter(col("kind") === "heavy_key")
+      .select("key", "n_rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(heavy.keySet.size == 2, s"sentinel collided: ${heavy.keySet}")
+    assert(heavy("a|␀") == 2L)      // the real NULLs
+    assert(heavy("a|\\␀") == 1L)    // the literal character, escaped
+  }
+
   test("interArrivalStats computes tie-broken gap percentiles") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L),

@@ -114,6 +114,12 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(4).getLong(2) === 4L)
     val exp = -(0.25 * log2(0.25) * 2 + 0.5 * log2(0.5))
     assert(math.abs(got(4).getDouble(1) - exp) < 1e-12)
+    // a non-integral id column fails fast with the module's own
+    // exception, not a deep deserializer NPE
+    intercept[InvalidArgumentValue] {
+      CorpusStats.charEntropy(
+        Seq(("x", "t")).toDF("doc_id", "text"), "doc_id", "text")
+    }
   }
 
   private def log2(x: Double): Double = math.log(x) / math.log(2.0)
@@ -144,6 +150,14 @@ class CorpusStatsSpec extends SparkSpec {
     intercept[InvalidArgumentValue] {
       CorpusStats.quantileTiers(df, "v", tiers = 1)
     }
+    // a column name needing backticks resolves through the Column API
+    // (an interpolated SQL string would fail to parse on "v x-1")
+    val odd = (1 to 100).map(i => Tuple1(i.toLong)).toDF("v x-1")
+    val gotOdd = CorpusStats.quantileTiers(odd, "v x-1", tiers = 4)
+      .orderBy("tier").select("tier", "n_rows")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotOdd.toSeq === Seq((1L, 25L), (2L, 25L), (3L, 25L),
+      (4L, 25L)))
   }
 
   test("zipfSlope recovers the slope of an exact power law") {
