@@ -463,6 +463,10 @@ class LlmSpec extends SparkSpec {
     // round 2: only (a,b)=1 remains; round 3: nothing — early stop
     val merges = Bpe.trainBpeMerges(corpus, "text", numMerges = 5)
     assert(merges == Seq(("a", "a"), ("a", "b")))
+    // both execution tiers agree: in-memory (default — the word table
+    // fits) and forced-distributed batched rounds
+    assert(Bpe.trainBpeMerges(corpus, "text", 5,
+      maxDriverWords = 0) == merges)
     def count(ms: Seq[(String, String)]): Long =
       Bpe.bpeTokenCount(corpus, "doc_id", "text", ms)
         .as[(Long, Long)].head()._2
@@ -500,7 +504,10 @@ class LlmSpec extends SparkSpec {
       .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
       .toSeq.toDF("doc_id", "text")
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
-    val got = Bpe.trainBpeMerges(corpus, "text", numMerges = 500)
+    // maxDriverWords = 0 forces the DISTRIBUTED path — this test
+    // exists to prove the checkpoint rotation survives a deep train
+    val got = Bpe.trainBpeMerges(corpus, "text", numMerges = 500,
+      maxDriverWords = 0)
     assert(got.size == 500, s"early stop at ${got.size} merges")
     // rotation frees every persist AND every checkpoint block it made
     assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore)
@@ -524,6 +531,10 @@ class LlmSpec extends SparkSpec {
       }
     }
     assert(got == ref.toList)
+    // the delta-maintained in-memory tier produces the identical deep
+    // vocabulary (500 merges exercises delta bookkeeping far past
+    // where a stale count or index entry would surface)
+    assert(Bpe.trainBpeMerges(corpus, "text", numMerges = 500) == got)
   }
 
   test("shingles are distinct lowercase k-grams") {

@@ -381,13 +381,20 @@ class PropertySpec extends SparkSpec {
     forAllSeeded(corpusGen, cases = 6) { docsList =>
       val df = docsList.zipWithIndex
         .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // default path = in-memory delta trainer (tier 1); forcing
+      // maxDriverWords = 0 exercises the distributed batched rounds —
+      // both must replay the full-recount reference exactly
       val got = Bpe.trainBpeMerges(df, "text", numMerges = 6)
+      val gotDist = Bpe.trainBpeMerges(df, "text", numMerges = 6,
+        maxDriverWords = 0)
       val wordCounts = docsList
         .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
         .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
         .toSeq
-      assert(got == refTrain(wordCounts, 6),
-        s"merges differ; corpus=$docsList")
+      val ref = refTrain(wordCounts, 6)
+      assert(got == ref, s"tier-1 merges differ; corpus=$docsList")
+      assert(gotDist == ref,
+        s"distributed merges differ; corpus=$docsList")
     }
   }
 
