@@ -10,13 +10,12 @@ import org.apache.spark.sql.functions._
   * BMP, and JPEG headers (container signatures + dimension fields,
   * public file-format knowledge) directly from the payload bytes —
   * no codec library, no pixel decode, fail-soft `None` on anything
-  * corrupt, truncated, or unrecognized. Full PIXEL decode (the input
-  * to a vision encoder) remains a clearly-marked stub seam
-  * (`FakeDecoder`): this environment has no image/audio codecs, and
-  * everything around the seam — schema shape, partition-friendly
-  * batching via mapPartitions, deterministic feature layout — is the
-  * real production plumbing. Swap `FakeDecoder` for a
-  * JNI/codec-backed decoder without touching the Spark side.
+  * corrupt, truncated, or unrecognized. PIXEL decode is real too:
+  * `ImageDecoder` runs the JDK's own codecs (`javax.imageio` ships
+  * PNG/GIF/BMP/JPEG readers in every JRE — no external library) and
+  * derives per-channel pixel statistics; a learned vision encoder
+  * would slot in at the same `mapPartitions` seam without touching
+  * the Spark side.
   */
 object Multimodal {
 
@@ -24,7 +23,7 @@ object Multimodal {
   case class MediaMeta(mime: String, sizeBytes: Long, sha: String)
   case class MediaRow(id: Long, content: Array[Byte], mime: String)
   case class MediaFeatures(id: Long, sizeBytes: Long,
-                           features: Array[Float])
+                           features: Option[Array[Float]])
 
   /** Parsed image header: container format and pixel dimensions. */
   case class ImageInfo(format: String, width: Int, height: Int)
@@ -300,38 +299,82 @@ object Multimodal {
       }.toDF()
   }
 
-  /** STUB decoder: a real implementation would hand `bytes` to an
-    * image/audio codec. This deterministic fake derives a fixed-size
-    * feature vector from the payload bytes so the batching/schema
-    * path is testable end-to-end.
+  /** Real pixel decoder backed by the JDK's own codecs
+    * (`javax.imageio` — PNG/GIF/BMP/JPEG readers ship in every JRE,
+    * no external library, zero egress): decodes the payload and
+    * derives a fixed-layout feature vector
+    *   [width, height, meanR, meanG, meanB, stdR, stdG, stdB]
+    * with means/stddevs over pixel channel values normalized to
+    * [0, 1]. Fail-soft `None` on any unrecognized container, corrupt
+    * stream, or codec failure — at 100 TB some payloads WILL be
+    * garbage and a task failure on row 10^12 is not acceptable.
     */
-  object FakeDecoder {
+  object ImageDecoder {
     val FeatureDim = 8
-    def decode(bytes: Array[Byte]): Array[Float] = {
-      // ??? real codec goes here — deterministic fake below
-      val out = new Array[Float](FeatureDim)
-      var i = 0
-      while (i < bytes.length) {
-        out(i % FeatureDim) += (bytes(i) & 0xff) / 255.0f
-        i += 1
-      }
-      out
+    // no temp-file stream cache inside executor tasks — decode from
+    // the in-memory payload only
+    javax.imageio.ImageIO.setUseCache(false)
+    def decode(bytes: Array[Byte]): Option[Array[Float]] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val sum = new Array[Double](3)
+          val sumSq = new Array[Double](3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y) // sRGB regardless of storage model
+              var c = 0
+              while (c < 3) {
+                val v = ((rgb >> (16 - 8 * c)) & 0xff) / 255.0
+                sum(c) += v
+                sumSq(c) += v * v
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toDouble * h
+          val out = new Array[Float](FeatureDim)
+          out(0) = w.toFloat
+          out(1) = h.toFloat
+          var c = 0
+          while (c < 3) {
+            val m = sum(c) / n
+            out(2 + c) = m.toFloat
+            out(5 + c) =
+              math.sqrt(math.max(0.0, sumSq(c) / n - m * m)).toFloat
+            c += 1
+          }
+          Some(out)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
   }
 
-  /** Feature extraction over binary payloads. mapPartitions (not a
-    * per-row UDF) so a real decoder can amortize codec/model init
-    * once per partition — the Scala analog of a pandas UDF over
-    * `mapInPandas` batches.
+  /** Feature extraction over binary payloads: real decoded-pixel
+    * statistics per image (`ImageDecoder`), `features` null for
+    * payloads that don't decode (size still reported — the row is
+    * not lost). mapPartitions (not a per-row UDF) so a heavier
+    * decoder or learned encoder can amortize init once per
+    * partition — the Scala analog of a pandas UDF over `mapInPandas`
+    * batches.
     */
   def extractFeatures(ds: Dataset[MediaRow])
       (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     ds.mapPartitions { rows =>
-      // per-partition decoder init would go here
+      // per-partition init for a heavier decoder would go here
       rows.map { r =>
-        MediaFeatures(r.id, r.content.length.toLong,
-          FakeDecoder.decode(r.content))
+        val size = if (r.content == null) 0L else r.content.length.toLong
+        MediaFeatures(r.id, size, ImageDecoder.decode(r.content))
       }
     }
   }

@@ -862,20 +862,46 @@ class LlmSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(2L, 1L))
   }
 
-  test("multimodal extractFeatures runs batched over binary payloads") {
+  test("multimodal extractFeatures decodes real pixels to known channel stats") {
     implicit val s = spark
+    // a solid-color PNG (lossless): channel means are exactly the
+    // fill color / 255 and stddevs exactly 0
+    def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val orange = solidPng(6, 4, 0xff8800)
     val rows = Seq(
-      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3, 4), "image/png"),
-      Multimodal.MediaRow(2L, Array[Byte](5, 6), "image/png"))
+      Multimodal.MediaRow(1L, orange, "image/png"),
+      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3, 4), "image/png"),
+      Multimodal.MediaRow(3L, null, "image/png"))
     val out = Multimodal.extractFeatures(rows.toDS()).collect()
       .sortBy(_.id)
-    assert(out.map(_.sizeBytes).toSeq == Seq(4L, 2L))
-    assert(out.forall(_.features.length == Multimodal.FakeDecoder.FeatureDim))
+    assert(out.map(_.sizeBytes).toSeq == Seq(orange.length.toLong, 4L, 0L))
+    // the decoded row: [w, h, meanR, meanG, meanB, stdR, stdG, stdB]
+    val f = out(0).features.get
+    assert(f.length == Multimodal.ImageDecoder.FeatureDim)
+    assert(f(0) == 6f && f(1) == 4f)
+    assert(math.abs(f(2) - 255f / 255f) < 1e-6 &&
+      math.abs(f(3) - 136f / 255f) < 1e-6 &&
+      math.abs(f(4) - 0f) < 1e-6, s"means: ${f.toSeq}")
+    assert(f(5) == 0f && f(6) == 0f && f(7) == 0f, s"stds: ${f.toSeq}")
+    // non-image payloads fail soft: features null, size kept
+    assert(out(1).features.isEmpty && out(2).features.isEmpty)
     // deterministic: same payload → same features
     val again = Multimodal.extractFeatures(rows.toDS()).collect()
       .sortBy(_.id)
-    assert(out.map(_.features.toSeq).toSeq ==
-      again.map(_.features.toSeq).toSeq)
+    assert(out.map(_.features.map(_.toSeq)).toSeq ==
+      again.map(_.features.map(_.toSeq)).toSeq)
   }
 
   test("de-HOF'd stats and languageId equal the HOF formulations") {
