@@ -196,6 +196,30 @@ object QueriesLlm {
       .orderBy("qid", "rnk")
   }
 
+  /** q118 — the PQ ADC scan under FIXED codebooks, hash-checked
+    * end-to-end (the oracle-checked companion to the rows-only q63):
+    * with `kmeansIters = 0` the codebooks are exactly the 16
+    * lowest-id normalized corpus vectors' subspace slices — fully
+    * SQL-expressible — so the oracle replays the ENTIRE PQ pipeline
+    * in DuckDB: normalize → slice codebooks → nearest-code encoding
+    * (argmin L2, ties to the lowest code) → per-query ADC tables →
+    * m-lookup approximate sims → top-50 shortlist → exact-cosine
+    * re-rank to top-10. q63 keeps the trained-codebook configuration
+    * (k-means artifacts aren't SQL-expressible); between them the
+    * codebook training is spec-pinned and everything downstream of
+    * the codebooks is oracle-pinned.
+    */
+  def q118AnnPqFixed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.pqTopK(
+        emb.filter(col("vec_id") >= 5), emb.filter(col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", k = 10, m = 8, ncodes = 16,
+        kmeansIters = 0, shortlist = 50)
+      .select(col("qid"), col("rnk"), col("cid"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rnk")
+  }
+
   /** q64 — Gopher-rule quality filter: thresholds chosen to split the
     * corpus on three rules (token count 30–90, avg word length ≤ 4.5,
     * ≥ 1 English stopword hit) while the symbol/alpha rules pass
@@ -924,6 +948,7 @@ object QueriesLlm {
     "q61_mixture_sample" -> (q61MixtureSample _),
     "q62_dup_gram_frac"  -> (q62DupGramFrac _),
     "q63_ann_pq_noracle" -> (q63AnnPq _),
+    "q118_ann_pq_fixed"  -> (q118AnnPqFixed _),
     "q64_quality_filter" -> (q64QualityFilter _),
     "q65_remove_spans"   -> (q65RemoveSpans _),
     "q66_contamination_bloom" -> (q66ContaminationBloom _),
@@ -1480,6 +1505,66 @@ object QueriesLlm {
                FROM s)
          SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, round(sim, 4) AS sim
          FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "q118_ann_pq_fixed" ->
+      """WITH raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS x
+                      FROM embeddings),
+         nn AS (SELECT id, x,
+                       sqrt(list_sum(list_transform(x, v -> v * v))) AS nrm
+                FROM raw),
+         e AS (SELECT id,
+                      CASE WHEN nrm > 0
+                           THEN list_transform(x, v -> v / nrm)
+                           ELSE x END AS v
+               FROM nn),
+         c AS (SELECT * FROM e WHERE id >= 5),
+         q AS (SELECT * FROM e WHERE id < 5),
+         -- codebooks with kmeansIters=0: the 16 lowest-id normalized
+         -- corpus vectors, sliced into 8 subspaces of 8 dims
+         cb AS (SELECT s.sub, b.code, p.pos,
+                       b.v[s.sub * 8 + p.pos + 1] AS cen
+                FROM (SELECT row_number() OVER (ORDER BY id) - 1 AS code, v
+                      FROM (SELECT id, v FROM c ORDER BY id LIMIT 16)) b
+                CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+                CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS pos) p),
+         -- nearest-code encoding: argmin L2 per (corpus id, subspace),
+         -- ties to the lowest code
+         enc AS (SELECT id, sub, code FROM (
+                   SELECT id, sub, code,
+                          row_number() OVER (PARTITION BY id, sub
+                            ORDER BY d ASC, code ASC) AS rn
+                   FROM (SELECT c.id, cb.sub, cb.code,
+                                sum(pow(c.v[cb.sub * 8 + cb.pos + 1]
+                                        - cb.cen, 2)) AS d
+                         FROM c CROSS JOIN cb
+                         GROUP BY c.id, cb.sub, cb.code))
+                 WHERE rn = 1),
+         -- per-query ADC tables: <query slice, codeword> per (sub, code)
+         adc AS (SELECT q.id AS qid, cb.sub, cb.code,
+                        sum(q.v[cb.sub * 8 + cb.pos + 1] * cb.cen) AS t
+                 FROM q CROSS JOIN cb
+                 GROUP BY 1, 2, 3),
+         sims AS (SELECT adc.qid, enc.id AS cid, sum(adc.t) AS sim
+                  FROM enc JOIN adc ON adc.sub = enc.sub
+                                   AND adc.code = enc.code
+                  GROUP BY 1, 2),
+         sl AS (SELECT qid, cid FROM (
+                  SELECT qid, cid,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY sim DESC, cid ASC) AS rn
+                  FROM sims WHERE NOT isnan(sim))
+                WHERE rn <= 50),
+         rr AS (SELECT sl.qid, sl.cid,
+                       list_cosine_similarity(qr.x, cr.x) AS sim
+                FROM sl
+                JOIN raw qr ON qr.id = sl.qid
+                JOIN raw cr ON cr.id = sl.cid)
+         SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid,
+                round(sim, 4) AS sim
+         FROM (SELECT qid, cid, sim,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, cid ASC) AS rnk
+               FROM rr WHERE NOT isnan(sim))
+         WHERE rnk <= 10 ORDER BY qid, rnk""",
     "q34_ann_ivf" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
                     FROM embeddings WHERE vec_id >= 495),
