@@ -37,12 +37,23 @@ object Sql {
   private case class Entry(atMs: Long, ttlSec: Long, df: DataFrame,
                            queryId: String)
 
+  /** Per-session cache state. `gen` is the invalidation generation:
+    * `invalidateCache` bumps it BEFORE clearing, and `readSqlQuery`
+    * refuses to (re-)insert an entry whose execution started under an
+    * older generation — otherwise a query in flight across an
+    * invalidation would re-populate the cache with a result computed
+    * from pre-invalidation data.
+    */
+  private case class SessionCache(
+      entries: TrieMap[String, Entry],
+      gen: java.util.concurrent.atomic.AtomicLong)
+
   // one cache per SparkSession (results are session-scoped plans).
   // NOTE: weak keys alone can't reclaim a session whose cache holds
   // entries — Entry.df strongly references the session through its
   // plan — so every access also sweeps caches of STOPPED sessions.
   private val caches = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, TrieMap[String, Entry]]())
+    new java.util.WeakHashMap[SparkSession, SessionCache]())
 
   private def sweepStoppedSessions(): Unit = caches.synchronized {
     val it = caches.entrySet().iterator()
@@ -50,11 +61,12 @@ object Sql {
       if (it.next().getKey.sparkContext.isStopped) it.remove()
   }
 
-  private def cacheOf(spark: SparkSession): TrieMap[String, Entry] =
+  private def cacheOf(spark: SparkSession): SessionCache =
     caches.synchronized {
       sweepStoppedSessions()
       Option(caches.get(spark)).getOrElse {
-        val m = TrieMap.empty[String, Entry]
+        val m = SessionCache(TrieMap.empty[String, Entry],
+          new java.util.concurrent.atomic.AtomicLong(0L))
         caches.put(spark, m)
         m
       }
@@ -114,7 +126,12 @@ object Sql {
     val canon = canonicalize(sql,
       spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
         .toBoolean)
-    val cache = cacheOf(spark)
+    val sc = cacheOf(spark)
+    val cache = sc.entries
+    // snapshot the invalidation generation BEFORE any work: if an
+    // invalidateCache lands anywhere during this call, the result of
+    // this execution must not be (re-)inserted
+    val genAtStart = sc.gen.get()
     val now = clock()
 
     // drop + unpersist expired entries on EVERY access (each entry
@@ -141,11 +158,25 @@ object Sql {
         var df = spark.sql(sql)
         if (ttlSec > 0) {
           df = df.persist(StorageLevel.MEMORY_AND_DISK)
-          // a still-live entry can be replaced here (stored-TTL live
-          // but stale under THIS caller's window) — release its
-          // persisted blocks or they stay pinned until session stop
-          cache.put(canon, Entry(started, ttlSec, df, queryId))
-            .foreach(prev => prev.df.unpersist(blocking = false))
+          if (sc.gen.get() == genAtStart) {
+            // a still-live entry can be replaced here (stored-TTL live
+            // but stale under THIS caller's window) — release its
+            // persisted blocks or they stay pinned until session stop
+            cache.put(canon, Entry(started, ttlSec, df, queryId))
+              .foreach(prev => prev.df.unpersist(blocking = false))
+            // double-check: an invalidation between the generation
+            // read and the put must still win — remove what we just
+            // inserted (invalidateCache bumps gen BEFORE clearing, so
+            // one of the two always sees the other's write)
+            if (sc.gen.get() != genAtStart)
+              cache.remove(canon).foreach(e =>
+                e.df.unpersist(blocking = false))
+          } else {
+            // an invalidation raced this execution: the result may
+            // predate whatever the invalidation accounted for — do
+            // not cache it; release the persist so nothing leaks
+            df.unpersist(blocking = false)
+          }
         }
         QueryResult(df,
           QueryMetadata(queryId, canon, started, clock(), cacheHit = false))
@@ -170,9 +201,12 @@ object Sql {
     * so this is an engine extension).
     */
   def invalidateCache(spark: SparkSession): Unit = {
-    val cache = cacheOf(spark)
-    cache.values.foreach(_.df.unpersist(blocking = false))
-    cache.clear()
+    val sc = cacheOf(spark)
+    // generation first: any in-flight readSqlQuery that started before
+    // this point sees the bump and refuses to re-insert its result
+    sc.gen.incrementAndGet()
+    sc.entries.values.foreach(_.df.unpersist(blocking = false))
+    sc.entries.clear()
   }
 
   /** CTAS materialization: run the SQL and persist the result as a

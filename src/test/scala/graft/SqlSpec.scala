@@ -82,6 +82,51 @@ class SqlSpec extends SparkSpec {
     assert(!r1.metadata.cacheHit && !r2.metadata.cacheHit)
   }
 
+  test("an invalidation racing an in-flight readSqlQuery wins: no re-insert") {
+    // deterministic interleaving via the injectable clock: the miss
+    // path calls clock() three times (freshness check, started,
+    // finished); firing invalidateCache on the SECOND call lands it
+    // after the cache miss but before the execution's result is
+    // inserted — the generation guard must refuse the insert, or an
+    // invalidation could be silently undone by a query in flight
+    var now = 3_000_000L
+    var calls = 0
+    val racingClock = () => {
+      calls += 1
+      if (calls == 2) Sql.invalidateCache(spark)
+      now
+    }
+    val q = "SELECT count(*) AS n FROM region"
+    val r1 = Sql.readSqlQuery(spark, q, Some(60), racingClock)
+    assert(!r1.metadata.cacheHit)
+    assert(r1.df.head().getLong(0) > 0) // the result itself is fine
+    // the raced execution was NOT cached: the next call re-executes…
+    val r2 = Sql.readSqlQuery(spark, q, Some(60), () => now)
+    assert(!r2.metadata.cacheHit,
+      "a racing invalidation was overwritten by the in-flight query")
+    // …and normal caching resumes from that clean execution
+    val r3 = Sql.readSqlQuery(spark, q, Some(60), () => now)
+    assert(r3.metadata.cacheHit)
+    assert(r3.metadata.queryId == r2.metadata.queryId)
+  }
+
+  test("two sessions have independent caches and invalidation scopes") {
+    val s2 = spark.newSession()
+    var now = 4_000_000L
+    val clock = () => now
+    val q = "SELECT 1 AS x" // table-free: temp views are session-scoped
+    val a1 = Sql.readSqlQuery(spark, q, Some(60), clock)
+    val b1 = Sql.readSqlQuery(s2, q, Some(60), clock)
+    // the second session missed even though the first had the entry
+    assert(!a1.metadata.cacheHit && !b1.metadata.cacheHit)
+    Sql.invalidateCache(s2)
+    val a2 = Sql.readSqlQuery(spark, q, Some(60), clock)
+    val b2 = Sql.readSqlQuery(s2, q, Some(60), clock)
+    assert(a2.metadata.cacheHit,
+      "invalidating one session must not evict another session's cache")
+    assert(!b2.metadata.cacheHit)
+  }
+
   test("a cataloged write invalidates cached SELECTs within their TTL") {
     import spark.implicits._
     import graft.sinks.Writer
