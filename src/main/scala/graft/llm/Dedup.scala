@@ -523,10 +523,14 @@ object Dedup {
     val newSig = signaturesOf(newShingles, numHashes, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // candidate pairs: index bands vs batch bands (daily batch side is
-    // small — AQE broadcasts it against the index scan)
+    // candidate pairs: index bands vs batch bands. The batch side is
+    // small by the ingest contract, so it is broadcast STATICALLY —
+    // an AQE runtime conversion would still materialize the index
+    // side's banded shuffle WRITE (the corpus-proportional cost the
+    // decade measurement in SCALING.md flagged) before deciding;
+    // the explicit hint keeps the index side a pure scan
     val candidates = bandedOf(idxSig, numHashes, bands).as("x")
-      .join(bandedOf(newSig, numHashes, bands).as("y"),
+      .join(broadcast(bandedOf(newSig, numHashes, bands)).as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") =!= col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -547,10 +551,13 @@ object Dedup {
       .reduce(_ + _)
     // persisted: `strong` feeds candA and the verify join — without
     // it each consumer would re-run the band join and estimate, i.e.
-    // extra full scans of the signature index
-    val strong = candidates
+    // extra full scans of the signature index. Candidate/batch sides
+    // broadcast statically for the same no-corpus-shuffle-write
+    // reason as the band join above (candidates are bounded by the
+    // batch's band matches, batch signatures by the batch itself)
+    val strong = broadcast(candidates)
       .join(aSide, "id_a")
-      .join(bSide, "id_b")
+      .join(broadcast(bSide), "id_b")
       .filter(estMatches.cast("double") / numHashes >= threshold - slack)
       .select("id_a", "id_b")
       // a duplicate id in the index (a doc appended under two tags, in
@@ -561,10 +568,14 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // exact verify: corpus text re-shingled ONLY for candidate docs
+    // exact verify: corpus text re-shingled ONLY for candidate docs.
+    // candA broadcast statically — a shuffled semi join would write
+    // the FULL corpus shingle set to shuffle before pruning (measured
+    // 200+ MB/decade in SCALING.md round-7); broadcast keeps the
+    // corpus side a scan that drops non-candidates in place
     val candA = strong.select(col("id_a").as("id")).distinct()
     val corpusShingles = shingleHashRows(corpus, idCol, textCol, shingleK)
-      .join(candA, Seq("id"), "left_semi")
+      .join(broadcast(candA), Seq("id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizesA = corpusShingles.groupBy("id").agg(count(lit(1)).as("na"))
     val sizesB = newShingles.groupBy("id").agg(count(lit(1)).as("nb"))

@@ -1,0 +1,112 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{functions => F}
+
+import graft.GraftSession
+import graft.llm.Dedup
+import graft.streaming.Streaming
+
+/** Streaming ingest-dedup decade measurement (SCALING.md's evidence
+  * for `dedupIngestStream`): build the persisted minhash index from a
+  * GenDocs corpus, then stream the SAME fixed 500-doc batch against
+  * it — the recurring per-batch cost. Run with the sf0.1 and sf1
+  * corpora: the probe's shuffle must be bounded by the batch's band
+  * signatures joined against matching index partitions, not by corpus
+  * mass, so the decade should move the index BUILD (linear) but leave
+  * the per-batch probe near-flat.
+  *
+  * Streaming microbatches run on the stream-execution thread, so the
+  * job-group trick can't attribute stages; nothing else runs during
+  * the measured window, so the listener sums ALL task metrics between
+  * the start/stop marks.
+  *
+  * Usage: runMain graft.tools.StreamIngestMeasure <docsParquet> <label>
+  */
+object StreamIngestMeasure {
+
+  private class Totals extends SparkListener {
+    val on = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val shuffle = new AtomicLong(0)
+    val taskMs = new AtomicLong(0)
+    val tasks = new AtomicLong(0)
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+      if (on.get()) Option(e.taskMetrics).foreach { m =>
+        shuffle.addAndGet(m.shuffleReadMetrics.totalBytesRead +
+          m.shuffleWriteMetrics.bytesWritten)
+        taskMs.addAndGet(m.executorRunTime)
+        tasks.incrementAndGet()
+      }
+    def reset(): Unit = { shuffle.set(0); taskMs.set(0); tasks.set(0) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val docsPath = args(0)
+    val label = args.lift(1).getOrElse("gen")
+    val spark = GraftSession.builder("graft-ingest-measure", "local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.applyEngineConf(spark)
+    val listener = new Totals
+    spark.sparkContext.addSparkListener(listener)
+    val baseFile = new java.io.File(s"target/im-$label")
+    // clean slate: a leftover checkpoint would mark the batch already
+    // processed (skewing landed counts) and a leftover index would be
+    // appended to
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete(): Unit
+    }
+    if (baseFile.exists()) rmRf(baseFile)
+    val base = baseFile.getAbsolutePath
+
+    val corpus = spark.read.parquet(docsPath).select("doc_id", "text")
+    val nCorpus = corpus.count()
+
+    // the fixed probe batch: 500 docs, half copied from the corpus
+    // (guaranteed dups), half with a disambiguating suffix — SAME
+    // batch shape at every corpus scale
+    val batch = corpus.orderBy("doc_id").limit(500)
+      .select((F.col("doc_id") + 10000000L).as("doc_id"),
+        F.when(F.col("doc_id") % 2 === 0, F.col("text"))
+          .otherwise(F.concat(F.col("text"),
+            F.lit(" zzqx unique suffix marker"))).as("text"))
+    batch.cache().count()
+
+    val idx = s"$base/idx"
+    val t0 = System.nanoTime()
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+    val buildWall = (System.nanoTime() - t0) / 1e9
+    println(f"[im] index_build | corpus=$nCorpus | wall=$buildWall%.2f s")
+
+    val srcDir = s"$base/in"
+    batch.write.mode("overwrite").parquet(srcDir)
+
+    // one untimed warmup pass (codegen), then the timed pass
+    for (rep <- 0 to 1) {
+      val out = s"$base/clean-$rep"
+      val ckpt = s"$base/ckpt-$rep"
+      if (rep == 1) { listener.reset(); listener.on.set(true) }
+      val t1 = System.nanoTime()
+      val q = Streaming.dedupIngestStream(
+        Streaming.readParquetStream(spark, srcDir, batch,
+          maxFilesPerTrigger = 100),
+        "doc_id", "text", idx, corpus, out, ckpt, minBandMatches = 3)
+      try q.processAllAvailable() finally q.stop()
+      val wall = (System.nanoTime() - t1) / 1e9
+      if (rep == 1) {
+        listener.on.set(false)
+        Thread.sleep(1500)
+        val landed = spark.read.parquet(out).count()
+        println(f"[im] probe_batch | corpus=$nCorpus | wall=$wall%.2f s | " +
+          f"task=${listener.taskMs.get() / 1e3}%.1f s | " +
+          f"shuffle_mb=${listener.shuffle.get() / 1e6}%.2f | " +
+          f"tasks=${listener.tasks.get()} | landed=$landed")
+      }
+    }
+    spark.stop()
+  }
+}
