@@ -265,13 +265,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"no hash aggregate in:\n$p")
   }
 
-  test("q113 PMI ranks via TakeOrderedAndProject with broadcast models") {
+  test("q113 PMI ranks via TakeOrderedAndProject with pruned model joins") {
+    // round-7 ADVICE: the unigram model is no longer force-broadcast
+    // (the full vocabulary is web-scale, so the hint risked the 8 GB
+    // broadcast ceiling); instead it is SEMI-JOIN-PRUNED to tokens in
+    // the ≥minCount bigram survivors and the join strategy is left to
+    // AQE. Pin the prune and the distributed top-k; join flavor is
+    // AQE's call at runtime.
     val p = planOf(graft.llm.CorpusStats.pmiCollocations(
       Tables.read(spark, sf, "documents"), "text"))
     assert(p.contains("TakeOrderedAndProject"),
       s"global top-k did not plan as distributed selection:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"unigram model is not survivor-pruned before the join:\n$p")
+    // at fixture scale the pruned model must still measure small
+    // enough that statistics pick broadcast statically (the 1-row
+    // totals cross join legitimately plans as a Cross BNLJ)
     assert(!p.contains("SortMergeJoin"),
-      s"model join fell back to a shuffle join:\n$p")
+      s"pruned model join fell back to a shuffle join at fixture scale:\n$p")
   }
 
   test("q114 windowed heavy hitters keep state per window key") {
