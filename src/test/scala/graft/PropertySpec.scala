@@ -383,15 +383,18 @@ class PropertySpec extends SparkSpec {
         .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
       // default path = in-memory delta trainer (tier 1); forcing
       // maxDriverWords = 0 exercises the distributed batched rounds —
-      // both must replay the full-recount reference exactly
-      val got = Bpe.trainBpeMerges(df, "text", numMerges = 6)
-      val gotDist = Bpe.trainBpeMerges(df, "text", numMerges = 6,
+      // both must replay the full-recount reference exactly. 20
+      // merges on a 10-word vocabulary drives both paths deep into
+      // tie territory (most pair counts equal), where a tie-break or
+      // delta-bookkeeping bug would surface
+      val got = Bpe.trainBpeMerges(df, "text", numMerges = 20)
+      val gotDist = Bpe.trainBpeMerges(df, "text", numMerges = 20,
         maxDriverWords = 0)
       val wordCounts = docsList
         .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
         .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
         .toSeq
-      val ref = refTrain(wordCounts, 6)
+      val ref = refTrain(wordCounts, 20)
       assert(got == ref, s"tier-1 merges differ; corpus=$docsList")
       assert(gotDist == ref,
         s"distributed merges differ; corpus=$docsList")
