@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Selection, Similarity, TextAnalysis}
 import graft.operators.Relational
 
 /** LLM-training-data pipeline operators exercised end-to-end over the
@@ -218,6 +218,122 @@ object QueriesLlm {
       .select(col("qid"), col("rnk"), col("cid"),
         round(col("sim"), 4).as("sim"))
       .orderBy("qid", "rnk")
+  }
+
+  /** q119 — DSIR importance weights (Xie et al. 2023): target = the
+    * English slice, raw = the whole corpus, hashed uni+bigram
+    * features into 1000 md5 buckets, add-1 smoothing. English docs
+    * must surface with log_w > the non-English tail — the signal the
+    * resampler (q120) selects by. The oracle replays gram hashing,
+    * both bucket models, and the log-ratio sum in DuckDB.
+    */
+  def q119DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Selection.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", numBuckets = 1000, smoothing = 1.0)
+      .select(col("id").as("doc_id"), col("n_grams"),
+        round(col("log_w"), 6).as("log_w"))
+      .orderBy("doc_id")
+  }
+
+  /** q120 — DSIR selection, fraction form (the 100 TB path): Gumbel
+    * keys from md5-derived uniforms, the exact 0.75-quantile
+    * threshold from the distributed histogram-refinement selector,
+    * keep keys above it (≈ 25% of the corpus, skewed toward the
+    * English target). Summarized per lang so the result is
+    * selection-set-shaped, not float-shaped.
+    */
+  def q120DsirSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sel = Selection.dsirSampleFraction(docs,
+      docs.filter(col("lang") === "en"), "doc_id", "text",
+      frac = 0.25, numBuckets = 1000, smoothing = 1.0)
+    val out = sel.join(docs.select(col("doc_id").as("id"), col("lang"),
+        col("source"), col("n_chars")), "id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("chars_kept"))
+      .orderBy("lang")
+    // sel is persisted by the operator (caller-unpersists contract):
+    // materialize the summary before releasing it
+    val matd = out.persist()
+    matd.count()
+    sel.unpersist(blocking = false)
+    matd
+  }
+
+  /** q121 — temperature-mixed sample (α = 0.5, the XLM-R rule):
+    * per-source budgets ∝ √mass normalized, filled by the
+    * deterministic hash-ordered prefix rule (q61's machinery with
+    * computed instead of literal weights). Flatter than natural: the
+    * small sources keep a larger share than their mass.
+    */
+  def q121TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    Selection.temperatureMixSample(t(spark, dir, "documents"),
+        "doc_id", "n_chars", "source", alpha = 0.5,
+        totalBudget = 60000L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("chars_kept"))
+      .orderBy("source")
+
+  /** q122 — hard-negative mining for contrastive training: for the 5
+    * anchor vectors, the 10 most-similar corpus vectors with a
+    * DIFFERENT label inside the semi-hard band [0, 0.95) — informative
+    * negatives, not mislabeled near-dups. Exact scoring (the oracle is
+    * the same cross join + filters in DuckDB); at web scale the same
+    * filters apply to IVF-probed candidates instead.
+    */
+  def q122HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.hardNegatives(
+        emb.filter(col("vec_id") >= 5), emb.filter(col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", "label", k = 10,
+        simLo = 0.0, simHi = 0.95)
+      .select(col("qid"), col("rnk"), col("cid"),
+        round(col("sim"), 4).as("sim"), col("q_label"), col("c_label"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** q123 — content-defined chunking: md5-gated token boundaries
+    * (window 3, divisor 16, chunks clamped to [10, 40] tokens). The
+    * oracle replays the boundary hash AND the greedy cut walk as a
+    * recursive CTE over each doc's boundary list — every chunk's
+    * position, length, and text hash-checked.
+    */
+  def q123CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cdcChunkDocuments(t(spark, dir, "documents"),
+        "doc_id", "text",
+        windowTokens = 3, divisor = 16, minTokens = 10, maxTokens = 40)
+      .select(col("id").as("doc_id"), col("chunk_id"),
+        col("start_tok"), col("n_chunk_tokens"), col("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** q124 — SHIFT-ROBUST chunk dedup: the corpus ∪ prefix-shifted
+    * copies ("zzz " prepended, re-keyed ids). Fixed windows (q87)
+    * find almost nothing here — one prepended token shifts every
+    * 25-token window — while CDC boundaries re-align within one
+    * chunk, so the copies light up with dup_frac ≈ 1. Same
+    * distinct-(doc, chunk) ≥-2-docs counting shape as q62.
+    */
+  def q124CdcShiftDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val shifted = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(lit("zzz "), col("text")).as("text"))
+    val corpus = docs.unionByName(shifted)
+    val chunks = TextAnalysis.cdcChunkDocuments(corpus, "doc_id",
+      "text", windowTokens = 3, divisor = 16, minTokens = 10,
+      maxTokens = 40)
+    val dg = chunks.select(col("id"), col("chunk_text")).distinct()
+    val freq = dg.groupBy("chunk_text").agg(count(lit(1)).as("__nd"))
+    dg.join(freq, "chunk_text")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L))
+          .as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks") / col("n_chunks"), 6).as("dup_frac"))
+      .orderBy("doc_id")
   }
 
   /** q64 — Gopher-rule quality filter: thresholds chosen to split the
@@ -949,6 +1065,12 @@ object QueriesLlm {
     "q62_dup_gram_frac"  -> (q62DupGramFrac _),
     "q63_ann_pq_noracle" -> (q63AnnPq _),
     "q118_ann_pq_fixed"  -> (q118AnnPqFixed _),
+    "q119_dsir_weights"  -> (q119DsirWeights _),
+    "q120_dsir_sample"   -> (q120DsirSample _),
+    "q121_temperature_mix" -> (q121TemperatureMix _),
+    "q122_hard_negatives" -> (q122HardNegatives _),
+    "q123_cdc_chunks"    -> (q123CdcChunks _),
+    "q124_cdc_shift_dedup" -> (q124CdcShiftDedup _),
     "q64_quality_filter" -> (q64QualityFilter _),
     "q65_remove_spans"   -> (q65RemoveSpans _),
     "q66_contamination_bloom" -> (q66ContaminationBloom _),
@@ -1565,6 +1687,204 @@ object QueriesLlm {
                         ORDER BY sim DESC, cid ASC) AS rnk
                FROM rr WHERE NOT isnan(sim))
          WHERE rnk <= 10 ORDER BY qid, rnk""",
+    // q119/q120: hashed uni+bigram DSIR — the gram builder mirrors
+    // q62's unnest(generate_series) shape; buckets use the q47 md5
+    // convention; smoothing add-1 over B=1000
+    "q119_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+         g AS (SELECT doc_id, lang, unnest(t) AS gram FROM toks
+               UNION ALL
+               SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS gram
+               FROM (SELECT doc_id, lang, t,
+                       unnest(generate_series(1, len(t) - 1)) AS i
+                     FROM toks WHERE len(t) >= 2)),
+         bk AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(gram), 1, 15))::BIGINT % 1000 AS b
+                FROM g),
+         rawc AS (SELECT b, count(*) AS cr FROM bk GROUP BY 1),
+         tgtc AS (SELECT b, count(*) AS ct FROM bk
+                  WHERE lang = 'en' GROUP BY 1),
+         nt AS (SELECT count(*) AS n FROM bk WHERE lang = 'en'),
+         nr AS (SELECT count(*) AS n FROM bk),
+         model AS (SELECT rawc.b, cr, coalesce(ct, 0) AS ct
+                   FROM rawc LEFT JOIN tgtc USING (b)),
+         per AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+         sc AS (SELECT doc_id, sum(c) AS n_grams,
+                  sum(c * (ln((ct + 1.0) / (nt.n + 1000.0))
+                         - ln((cr + 1.0) / (nr.n + 1000.0)))) AS lw
+                FROM per JOIN model USING (b)
+                CROSS JOIN nt CROSS JOIN nr
+                GROUP BY 1)
+         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                round(lw, 6) AS log_w
+         FROM sc ORDER BY doc_id""",
+    // q120: q119's weights + md5-derived Gumbel keys; threshold =
+    // interpolated 0.75 quantile (quantile_cont shares Spark's exact
+    // interpolation bit-for-bit — the round-6 parity sweep)
+    "q120_dsir_sample" ->
+      """WITH toks AS (SELECT doc_id, lang,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+         g AS (SELECT doc_id, lang, unnest(t) AS gram FROM toks
+               UNION ALL
+               SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS gram
+               FROM (SELECT doc_id, lang, t,
+                       unnest(generate_series(1, len(t) - 1)) AS i
+                     FROM toks WHERE len(t) >= 2)),
+         bk AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(gram), 1, 15))::BIGINT % 1000 AS b
+                FROM g),
+         rawc AS (SELECT b, count(*) AS cr FROM bk GROUP BY 1),
+         tgtc AS (SELECT b, count(*) AS ct FROM bk
+                  WHERE lang = 'en' GROUP BY 1),
+         nt AS (SELECT count(*) AS n FROM bk WHERE lang = 'en'),
+         nr AS (SELECT count(*) AS n FROM bk),
+         model AS (SELECT rawc.b, cr, coalesce(ct, 0) AS ct
+                   FROM rawc LEFT JOIN tgtc USING (b)),
+         per AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+         sc AS (SELECT doc_id,
+                  sum(c * (ln((ct + 1.0) / (nt.n + 1000.0))
+                         - ln((cr + 1.0) / (nr.n + 1000.0)))) AS lw
+                FROM per JOIN model USING (b)
+                CROSS JOIN nt CROSS JOIN nr
+                GROUP BY 1),
+         keyed AS (SELECT doc_id, lw
+                  + (-ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                         1, 15))::BIGINT % 1000000 + 0.5) / 1000000.0)))
+                  AS key
+                FROM sc),
+         thr AS (SELECT quantile_cont(key, 0.75) AS q FROM keyed)
+         SELECT d.lang, count(*) AS n_docs,
+                CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+         FROM keyed k CROSS JOIN thr
+         JOIN documents d USING (doc_id)
+         WHERE k.key >= thr.q
+         GROUP BY 1 ORDER BY 1""",
+    // q121: q61's budget-prefix shape with computed √mass weights
+    // (round 9dp pins pow's ≤1-ulp engine spread)
+    "q121_temperature_mix" ->
+      """WITH m AS (SELECT source, sum(n_chars) AS mass
+                    FROM documents GROUP BY 1),
+         w AS (SELECT source,
+                      round(power(mass * 1.0, 0.5), 9) AS wt FROM m),
+         tot AS (SELECT sum(wt) AS ws FROM w),
+         cum AS (SELECT d.source, d.n_chars,
+                   sum(d.n_chars) OVER (PARTITION BY d.source
+                     ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS c,
+                   CAST(floor(60000 * w.wt / t.ws) AS BIGINT) AS budget
+                 FROM documents d JOIN w USING (source) CROSS JOIN tot t)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars_kept
+         FROM cum WHERE c <= budget
+         GROUP BY source ORDER BY source""",
+    // q123/q124: CDC boundaries via the q47 md5-bucket convention on
+    // trailing 3-grams; the greedy [min,max]-clamped cut walk replays
+    // as a recursive CTE stepping through each doc's boundary list
+    "q123_cdc_chunks" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id,
+                    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                  FROM documents),
+         meta AS (SELECT doc_id, t, len(t) AS L FROM toks),
+         bnd AS (SELECT doc_id, list_sort(list(i)) AS bl
+                 FROM (SELECT doc_id, i
+                       FROM (SELECT doc_id, t,
+                               unnest(generate_series(3, len(t))) AS i
+                             FROM toks)
+                       WHERE ('0x' || substr(md5(
+                                array_to_string(t[i-2:i], ' ')),
+                                1, 15))::BIGINT % 16 = 15)
+                 GROUP BY doc_id),
+         cuts AS (
+           SELECT m.doc_id, m.t, m.L,
+                  coalesce(b.bl, []::BIGINT[]) AS bl,
+                  CAST(0 AS BIGINT) AS chunk_id,
+                  CAST(1 AS BIGINT) AS strt,
+                  least(coalesce(list_min(list_filter(
+                          coalesce(b.bl, []::BIGINT[]),
+                          x -> x >= 10 AND x <= 40)),
+                        least(40, m.L)), m.L) AS fin
+           FROM meta m LEFT JOIN bnd b USING (doc_id)
+           UNION ALL
+           SELECT doc_id, t, L, bl, chunk_id + 1, fin + 1,
+                  least(coalesce(list_min(list_filter(bl,
+                          x -> x >= fin + 10 AND x <= fin + 40)),
+                        least(fin + 40, L)), L)
+           FROM cuts WHERE fin < L)
+         SELECT doc_id, chunk_id, strt AS start_tok,
+                fin - strt + 1 AS n_chunk_tokens,
+                array_to_string(t[strt:fin], ' ') AS chunk_text
+         FROM cuts ORDER BY doc_id, chunk_id""",
+    "q124_cdc_shift_dedup" ->
+      """WITH RECURSIVE
+         corpus AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000, 'zzz ' || text
+                    FROM documents),
+         toks AS (SELECT doc_id,
+                    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                  FROM corpus),
+         meta AS (SELECT doc_id, t, len(t) AS L FROM toks),
+         bnd AS (SELECT doc_id, list_sort(list(i)) AS bl
+                 FROM (SELECT doc_id, i
+                       FROM (SELECT doc_id, t,
+                               unnest(generate_series(3, len(t))) AS i
+                             FROM toks)
+                       WHERE ('0x' || substr(md5(
+                                array_to_string(t[i-2:i], ' ')),
+                                1, 15))::BIGINT % 16 = 15)
+                 GROUP BY doc_id),
+         cuts AS (
+           SELECT m.doc_id, m.t, m.L,
+                  coalesce(b.bl, []::BIGINT[]) AS bl,
+                  CAST(1 AS BIGINT) AS strt,
+                  least(coalesce(list_min(list_filter(
+                          coalesce(b.bl, []::BIGINT[]),
+                          x -> x >= 10 AND x <= 40)),
+                        least(40, m.L)), m.L) AS fin
+           FROM meta m LEFT JOIN bnd b USING (doc_id)
+           UNION ALL
+           SELECT doc_id, t, L, bl, fin + 1,
+                  least(coalesce(list_min(list_filter(bl,
+                          x -> x >= fin + 10 AND x <= fin + 40)),
+                        least(fin + 40, L)), L)
+           FROM cuts WHERE fin < L),
+         dg AS (SELECT DISTINCT doc_id,
+                  array_to_string(t[strt:fin], ' ') AS chunk_text
+                FROM cuts),
+         freq AS (SELECT chunk_text, count(*) AS nd FROM dg GROUP BY 1),
+         per AS (SELECT doc_id, count(*) AS n_chunks,
+                   sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+                 FROM dg JOIN freq USING (chunk_text) GROUP BY 1)
+         SELECT doc_id, n_chunks,
+                CAST(n_dup AS BIGINT) AS n_dup_chunks,
+                round(n_dup * 1.0 / n_chunks, 6) AS dup_frac
+         FROM per ORDER BY doc_id""",
+    // q122: q33's cross join with the label-inequality + semi-hard
+    // band filters applied before the per-anchor rank
+    "q122_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
+                           label AS q_label
+                    FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+                      label AS c_label
+               FROM embeddings WHERE vec_id >= 5),
+         s AS (SELECT qid, cid, q_label, c_label,
+                      list_cosine_similarity(qe, ce) AS sim
+               FROM q CROSS JOIN c
+               WHERE q_label IS DISTINCT FROM c_label),
+         f AS (SELECT * FROM s WHERE sim >= 0.0 AND sim < 0.95),
+         r AS (SELECT qid, cid, sim, q_label, c_label,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, cid ASC) AS rnk
+               FROM f)
+         SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid,
+                round(sim, 4) AS sim, q_label, c_label
+         FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
     "q34_ann_ivf" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
                     FROM embeddings WHERE vec_id >= 495),

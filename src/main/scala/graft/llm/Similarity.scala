@@ -80,7 +80,8 @@ object Similarity {
     * then global top-k over the k·P survivors — no single window
     * partition ever holds the whole corpus.
     */
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+  private def topK(scored: DataFrame, k: Int,
+                   extra: Seq[String] = Nil): DataFrame = {
     val localW = Window.partitionBy(col("qid"), spark_partition_id())
       .orderBy(col("sim").desc, col("cid").asc)
     val globalW = Window.partitionBy(col("qid"))
@@ -94,7 +95,7 @@ object Similarity {
       .filter(col("__lr") <= k).drop("__lr")
       .withColumn("rnk", row_number().over(globalW).cast("long"))
       .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("cid"), col("sim"))
+      .select((Seq("qid", "rnk", "cid", "sim") ++ extra).map(col): _*)
   }
 
   /** Exact (brute-force) cosine top-k: every query scored against
@@ -114,6 +115,54 @@ object Similarity {
       c.crossJoin(broadcast(q)).select("qid", "cid", "qv", "cv"),
       "qid", "cid")
     topK(scored, k)
+  }
+
+  /** Hard-negative mining for contrastive training: for each anchor
+    * vector, the k most-similar corpus vectors whose label DIFFERS
+    * from the anchor's, optionally restricted to the semi-hard band
+    * simLo ≤ sim < simHi (Schroff et al. 2015's semi-hard rule — the
+    * negatives close enough to be informative but not mislabeled
+    * near-duplicates). Exact scoring: corpus ⨯ broadcast anchors with
+    * the compiled cosine kernel, label-inequality and band filters
+    * BEFORE the two-phase top-k, so the windows only ever rank
+    * surviving candidates.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — one broadcast of
+    * the (small) anchor set, a map-side scored scan of the corpus, and
+    * the per-partition-then-global top-k. For web-scale corpora where
+    * exact scanning is too slow, generate candidates with
+    * [[ivfTopK]] (or a persisted-index probe) at k' > k and apply the
+    * same label/band filter
+    * + re-rank to the survivors — the filters commute with candidate
+    * generation because they only ever DROP pairs.
+    *
+    * @param anchors small DataFrame with (anchorId, vecCol, labelCol)
+    * @return (qid, rnk, cid, sim, q_label, c_label), rnk 1..k by
+    *         (sim desc, cid asc) within each anchor
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame,
+                    corpusId: String, anchorId: String, vecCol: String,
+                    labelCol: String, k: Int,
+                    simLo: Double = -1.0,
+                    simHi: Double = 1.0): DataFrame = {
+    if (k <= 0) throw InvalidArgumentValue(s"k must be positive, got $k")
+    if (simLo.isNaN || simHi.isNaN || simLo >= simHi)
+      throw InvalidArgumentValue(
+        s"need simLo < simHi, got [$simLo, $simHi)")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val q = anchors.select(col(anchorId).cast("long").as("qid"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(corpusId).cast("long").as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"),
+      col(labelCol).as("c_label"))
+    requireSameDim(q.select("qid", "qv"), c.select("cid", "cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(!(col("c_label") <=> col("q_label")))
+      .select(col("qid"), col("cid"), col("q_label"), col("c_label"),
+        call_function("cosine_sim", col("qv"), col("cv")).as("sim"))
+      .filter(col("sim") >= simLo && col("sim") < simHi)
+    topK(scored, k, Seq("q_label", "c_label"))
   }
 
   /** Compiled nearest-cell assignment → (cid, cv, cell); ties resolve

@@ -644,6 +644,105 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Content-defined chunking (CDC) over whitespace tokens — the
+    * shift-ROBUST complement to [[chunkDocuments]]'s fixed windows: a
+    * chunk boundary falls after token i iff the md5 bucket of the
+    * trailing `windowTokens`-gram hits `divisor − 1` (the FastCDC /
+    * rsync idea lifted to token streams), clamped to
+    * [minTokens, maxTokens] per chunk. Because boundaries depend only
+    * on local CONTENT, inserting or deleting a prefix re-aligns
+    * within one chunk instead of shifting every window — chunk-level
+    * dedup then catches near-dups that fixed chunking misses
+    * entirely. Expected chunk length ≈ minTokens + divisor (the
+    * boundary is a geometric arrival after the minimum); the final
+    * chunk may run short.
+    *
+    * Determinism/replayability: the boundary hash is the engine
+    * convention (top-60-bits of md5 mod divisor — DuckDB:
+    * `('0x' || substr(md5(gram), 1, 15))::BIGINT % divisor`), so the
+    * full cut walk replays in SQL as a recursive CTE over each doc's
+    * boundary list.
+    *
+    * Scale shape: a zero-shuffle row-parallel mapPartitions kernel —
+    * per doc one pass computing boundary positions, one greedy cut
+    * walk. No cross-document state; the downstream dedup
+    * (group-by chunk text/hash) partial-aggregates map-side.
+    *
+    * @return (id, chunk_id, start_tok, n_chunk_tokens, chunk_text) —
+    *   start_tok 1-based; chunks concatenate back to the token stream
+    */
+  def cdcChunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                        windowTokens: Int = 3, divisor: Int = 16,
+                        minTokens: Int = 10,
+                        maxTokens: Int = 40): DataFrame = {
+    if (windowTokens < 1)
+      throw InvalidArgumentValue(
+        s"windowTokens must be >= 1: $windowTokens")
+    if (divisor < 2)
+      throw InvalidArgumentValue(s"divisor must be >= 2: $divisor")
+    if (minTokens < 1 || maxTokens < minTokens)
+      throw InvalidArgumentValue(
+        s"need 1 <= minTokens <= maxTokens: $minTokens/$maxTokens")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = windowTokens
+    val dv = divisor.toLong
+    val minT = minTokens
+    val maxT = maxTokens
+    df.select(col(idCol).cast("long").as("id"),
+        split(trim(lower(col(textCol))), "\\s+").as("t"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexDigits = "0123456789abcdef".toCharArray
+        rows.flatMap { case (id, toksSeq) =>
+          val toks = toksSeq.toArray
+          val L = toks.length
+          // 1-based boundary positions, ascending by construction
+          val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var i = w
+          while (i <= L) {
+            val gram = toks.slice(i - w, i).mkString(" ")
+            md.reset()
+            val d = md.digest(gram.getBytes("UTF-8"))
+            // top 60 bits = first 15 hex chars of the digest
+            val sb = new java.lang.StringBuilder(15)
+            var bi = 0
+            while (sb.length < 15) {
+              val b = d(bi) & 0xff
+              sb.append(hexDigits(b >> 4))
+              if (sb.length < 15) sb.append(hexDigits(b & 0xf))
+              bi += 1
+            }
+            val v = java.lang.Long.parseLong(sb.toString, 16)
+            if (v % dv == dv - 1) bounds += i
+            i += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, String)]
+          var start = 1
+          var cid = 0L
+          var bIdx = 0
+          while (start <= L) {
+            val lo = start + minT - 1
+            val hi = start + maxT - 1
+            while (bIdx < bounds.length && bounds(bIdx) < lo) bIdx += 1
+            val cut =
+              if (bIdx < bounds.length && bounds(bIdx) <= hi)
+                bounds(bIdx)
+              else math.min(hi, L)
+            val end = math.min(cut, L)
+            out += ((id, cid, start.toLong, (end - start + 1).toLong,
+              toks.slice(start - 1, end).mkString(" ")))
+            cid += 1
+            start = end + 1
+          }
+          out
+        }
+      }.toDF("id", "chunk_id", "start_tok", "n_chunk_tokens",
+        "chunk_text")
+  }
+
   /** Canonical text normalization ahead of dedup/tokenization: Unicode
     * NFC composition (é typed as e+◌́ must hash identically to é) via
     * the native codegen'd [[graft.functions.NfcNormalize]] expression,

@@ -285,6 +285,45 @@ class PlanSpec extends SparkSpec {
       s"pruned model join fell back to a shuffle join at fixture scale:\n$p")
   }
 
+  test("q119 DSIR scoring join broadcasts the bucket-bounded model") {
+    val docs = Tables.read(spark, sf, "documents")
+    val p = planOf(graft.llm.Selection.dsirLogWeights(docs,
+      docs.limit(50), "doc_id", "text", numBuckets = 1000))
+    // the model is ≤ numBuckets rows by construction — it must reach
+    // the scoring join as a broadcast, never a corpus-sized shuffle
+    assert(p.contains("BroadcastHashJoin"),
+      s"model join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"DSIR scoring must not shuffle-join or explode:\n$p")
+    // no windows anywhere: weights are pure joins + aggregations
+    assert(!p.contains("Window"), s"unexpected window in:\n$p")
+  }
+
+  test("q122 hard negatives broadcast anchors and rank two-phase") {
+    val emb = Tables.read(spark, sf, "embeddings")
+    val p = planOf(graft.llm.Similarity.hardNegatives(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 5),
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      "vec_id", "vec_id", "embedding", "label", k = 5))
+    // the anchor side must broadcast (BNLJ is the cross-join shape);
+    // the corpus is scanned exactly once, map-side
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"anchors not broadcast:\n$p")
+    // two windows: per-partition local top-k then global — the local
+    // one keyed by spark_partition_id so no partition holds the corpus
+    assert(p.contains("SPARK_PARTITION_ID"),
+      s"local top-k phase missing:\n$p")
+  }
+
+  test("q123 CDC chunking plans with zero shuffle") {
+    val p = planOf(graft.llm.TextAnalysis.cdcChunkDocuments(
+      Tables.read(spark, sf, "documents"), "doc_id", "text"))
+    // per-doc boundary hashing + cut walk is row-parallel — any
+    // Exchange here means cross-document state crept in
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"))
+  }
+
   test("q114 windowed heavy hitters keep state per window key") {
     val p = planOf(graft.streaming.Streaming.windowedHeavyHitters(
       Tables.read(spark, sf, "events"), "ts", "event_type",
