@@ -110,7 +110,20 @@ object QueriesCorpus {
         round(col("v_avg"), 6).as("v_avg"))
       .orderBy("tier")
 
+  /** q127 — per-source KL divergence from the corpus token
+    * distribution (md5-bucketed, add-1 smoothed, exact over the full
+    * bucket space incl. the closed-form never-observed term) — the
+    * source-drift triage dashboard.
+    */
+  def q127SourceDivergence(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.sourceDivergence(t(spark, dir, "documents"),
+        "source", "text", numBuckets = 1000, smoothing = 1.0)
+      .select(col("source"), col("n_tokens"),
+        round(col("kl_nats"), 6).as("kl_nats"))
+      .orderBy("source")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_source_divergence" -> (q127SourceDivergence _),
     "q109_heavy_hitters" -> (q109HeavyHitters _),
     "q110_source_overlap" -> (q110SourceOverlap _),
     "q111_char_entropy" -> (q111CharEntropy _),
@@ -122,6 +135,39 @@ object QueriesCorpus {
     "q117_quantile_tiers" -> (q117QuantileTiers _))
 
   val oracles: Map[String, String] = Map(
+    // q127: md5-bucket (q47 convention) token models; KL over the
+    // corpus-observed bucket grid plus the closed-form term for the
+    // (numBuckets − observed) never-seen buckets — exact, λ = 1
+    "q127_source_divergence" ->
+      """WITH toks AS (SELECT source,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  AS tok
+              FROM documents),
+         bk AS (SELECT source,
+                  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000 AS b
+                FROM toks),
+         gb AS (SELECT source, b, count(*) AS cg FROM bk GROUP BY 1, 2),
+         cb AS (SELECT b, count(*) AS cc FROM bk GROUP BY 1),
+         gt AS (SELECT source, CAST(sum(cg) AS BIGINT) AS ng
+                FROM gb GROUP BY 1),
+         ct AS (SELECT CAST(sum(cc) AS BIGINT) AS nc,
+                       count(*) AS nb FROM cb),
+         grid AS (SELECT gt.source, gt.ng, cb.b, cb.cc,
+                    coalesce(gb.cg, 0) AS cg
+                  FROM gt CROSS JOIN cb
+                  LEFT JOIN gb ON gb.source = gt.source
+                    AND gb.b = cb.b),
+         obs AS (SELECT g.source, min(g.ng) AS n_tokens,
+                   sum(((g.cg + 1.0) / (g.ng + 1000.0)) *
+                     ln(((g.cg + 1.0) / (g.ng + 1000.0)) /
+                        ((g.cc + 1.0) / (c.nc + 1000.0)))) AS klo
+                 FROM grid g CROSS JOIN ct c GROUP BY 1)
+         SELECT o.source, o.n_tokens,
+                round(o.klo + (1000 - c.nb) *
+                  (1.0 / (o.n_tokens + 1000.0)) *
+                  ln((1.0 / (o.n_tokens + 1000.0)) /
+                     (1.0 / (c.nc + 1000.0))), 6) AS kl_nats
+         FROM obs o CROSS JOIN ct c ORDER BY o.source""",
     "q109_heavy_hitters" ->
       """WITH d AS (SELECT
                 regexp_split_to_array(trim(lower(text)), '\s+') AS t

@@ -336,6 +336,50 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** q125 — language-MIX statistics (code-switch detection): docs
+    * constructed as 3-line composites (doc i + docs i+100, i+250 as
+    * lines — the q74 line-synthesis convention), so cross-language
+    * composites surface with n_langs ≥ 2 / entropy > 0 while
+    * same-language composites stay monolingual. Each line is
+    * language-ID'd by the q37 stopword-argmax rule; the oracle
+    * replays per-line token-list filtering + the entropy formula.
+    */
+  def q125LangMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val a = docs.filter(col("doc_id") < 100)
+    val b = docs.select((col("doc_id") - 100).as("doc_id"),
+      col("text").as("t2"))
+    val c = docs.select((col("doc_id") - 250).as("doc_id"),
+      col("text").as("t3"))
+    val corpus = a.join(b, "doc_id").join(c, "doc_id")
+      .select(col("doc_id"),
+        concat_ws("\n", col("text"), col("t2"), col("t3")).as("text"))
+    TextAnalysis.langMixStats(corpus, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_langs"),
+        col("top_lang"), round(col("top_share"), 6).as("top_share"),
+        round(col("lang_entropy"), 6).as("lang_entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** q126 — cross-corpus n-gram novelty: sources src10–19 scored
+    * against the src0–9 reference (word 5-grams, q62's gram
+    * convention) — the "how much new content does this snapshot add"
+    * signal. Spark joins on xxhash64 gram hashes, the oracle on gram
+    * strings (the q59 precedent — collisions would need ~2^32
+    * distinct grams).
+    */
+  def q126GramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val newSrc = (10 to 19).map(i => s"src$i")
+    Dedup.gramNoveltyScore(
+        docs.filter(col("source").isin(newSrc: _*)),
+        docs.filter(!col("source").isin(newSrc: _*)),
+        "doc_id", "text", "doc_id", "text", n = 5)
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("novelty"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** q64 — Gopher-rule quality filter: thresholds chosen to split the
     * corpus on three rules (token count 30–90, avg word length ≤ 4.5,
     * ≥ 1 English stopword hit) while the symbol/alpha rules pass
@@ -1071,6 +1115,8 @@ object QueriesLlm {
     "q122_hard_negatives" -> (q122HardNegatives _),
     "q123_cdc_chunks"    -> (q123CdcChunks _),
     "q124_cdc_shift_dedup" -> (q124CdcShiftDedup _),
+    "q125_lang_mix"      -> (q125LangMix _),
+    "q126_gram_novelty"  -> (q126GramNovelty _),
     "q64_quality_filter" -> (q64QualityFilter _),
     "q65_remove_spans"   -> (q65RemoveSpans _),
     "q66_contamination_bloom" -> (q66ContaminationBloom _),
@@ -1864,6 +1910,94 @@ object QueriesLlm {
                 CAST(n_dup AS BIGINT) AS n_dup_chunks,
                 round(n_dup * 1.0 / n_chunks, 6) AS dup_frac
          FROM per ORDER BY doc_id""",
+    // q125: per-line q37-style stopword argmax over the synthesized
+    // 3-line composites; entropy = ln N − Σ c·ln c / N; top tie-break
+    // (count, lang) struct-max == ORDER BY c DESC, lang DESC
+    "q125_lang_mix" ->
+      """WITH corpus AS (
+           SELECT a.doc_id,
+                  a.text || chr(10) || b.text || chr(10) || c.text
+                    AS text
+           FROM documents a
+           JOIN documents b ON b.doc_id = a.doc_id + 100
+           JOIN documents c ON c.doc_id = a.doc_id + 250
+           WHERE a.doc_id < 100),
+         ln_ AS (SELECT doc_id, unnest(string_split(text, chr(10)))
+                   AS line
+                 FROM corpus),
+         nb AS (SELECT doc_id, line FROM ln_ WHERE trim(line) <> ''),
+         sc AS (SELECT doc_id,
+                  string_split_regex(lower(line), '\s+') AS toks
+                FROM nb),
+         s AS (SELECT doc_id,
+           CAST(len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','in','is'], x))) AS BIGINT)
+             AS s_en,
+           CAST(len(list_filter(toks, x -> list_contains(
+             ['der','die','das','und','ist','von','mit'], x))) AS BIGINT)
+             AS s_de,
+           CAST(len(list_filter(toks, x -> list_contains(
+             ['el','la','de','y','en','que','los'], x))) AS BIGINT)
+             AS s_es,
+           CAST(len(list_filter(toks, x -> list_contains(
+             ['le','la','de','et','les','des','un'], x))) AS BIGINT)
+             AS s_fr
+           FROM sc),
+         p AS (SELECT doc_id,
+                 CASE
+                   WHEN s_en = greatest(s_en, s_de, s_es, s_fr)
+                     AND s_en > 0 THEN 'en'
+                   WHEN s_de = greatest(s_en, s_de, s_es, s_fr)
+                     AND s_de > 0 THEN 'de'
+                   WHEN s_es = greatest(s_en, s_de, s_es, s_fr)
+                     AND s_es > 0 THEN 'es'
+                   WHEN s_fr = greatest(s_en, s_de, s_es, s_fr)
+                     AND s_fr > 0 THEN 'fr'
+                   ELSE 'und' END AS lang
+               FROM s),
+         pl AS (SELECT doc_id, lang, count(*) AS c
+                FROM p GROUP BY 1, 2),
+         top AS (SELECT doc_id, lang, c,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY c DESC, lang DESC) AS rn
+                 FROM pl),
+         agg AS (SELECT doc_id, sum(c) AS n_lines,
+                   count(*) AS n_langs,
+                   sum(c * ln(c)) AS clc
+                 FROM pl GROUP BY 1)
+         SELECT a.doc_id, CAST(a.n_lines AS BIGINT) AS n_lines,
+                a.n_langs, t.lang AS top_lang,
+                round(t.c * 1.0 / a.n_lines, 6) AS top_share,
+                round(ln(a.n_lines) - a.clc / a.n_lines, 6)
+                  AS lang_entropy
+         FROM agg a JOIN top t ON t.doc_id = a.doc_id AND t.rn = 1
+         ORDER BY a.doc_id""",
+    // q126: q62's distinct word-5-gram construction on both sides;
+    // membership by gram STRING (Spark joins the xxhash64 image — the
+    // q59 precedent)
+    "q126_gram_novelty" ->
+      """WITH toksa AS (SELECT doc_id, source,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+         g AS (SELECT DISTINCT doc_id, source,
+                 array_to_string(t[i:i+4], ' ') AS gram
+               FROM (SELECT doc_id, source, t,
+                       unnest(generate_series(1,
+                         greatest(len(t) - 4, 1))) AS i
+                     FROM toksa)),
+         neu AS (SELECT doc_id, gram FROM g
+                 WHERE source IN ('src10','src11','src12','src13',
+                   'src14','src15','src16','src17','src18','src19')),
+         ref AS (SELECT DISTINCT gram FROM g
+                 WHERE source NOT IN ('src10','src11','src12','src13',
+                   'src14','src15','src16','src17','src18','src19')),
+         j AS (SELECT n.doc_id, n.gram,
+                 CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END AS novel
+               FROM neu n LEFT JOIN ref r USING (gram))
+         SELECT doc_id, count(*) AS n_grams,
+                CAST(sum(novel) AS BIGINT) AS n_novel,
+                round(sum(novel) * 1.0 / count(*), 6) AS novelty
+         FROM j GROUP BY 1 ORDER BY doc_id""",
     // q122: q33's cross join with the label-inequality + semi-hard
     // band filters applied before the per-anchor rank
     "q122_hard_negatives" ->

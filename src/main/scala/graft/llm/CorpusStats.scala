@@ -33,6 +33,75 @@ import graft.exceptions._
   */
 object CorpusStats {
 
+  /** Per-group KL divergence from the corpus-wide token distribution
+    * — the drift dashboard between sources / snapshots / ingest
+    * batches: KL(p_group ‖ p_corpus) over md5-hashed token buckets
+    * (the fixed DSIR-style feature space, so the per-group state is
+    * ≤ numBuckets rows at any corpus size), add-λ smoothed on both
+    * sides. 0 ⇒ the group looks like the corpus; large ⇒ a source
+    * whose vocabulary diverges (different language, template spam, a
+    * broken extractor) — the triage signal for which source to
+    * inspect with [[zipfSlope]] / [[heavyHitterTokens]].
+    *
+    * Exactness: the sum runs over the full bucket space — the
+    * ≤ numBuckets corpus-observed buckets explicitly (every group
+    * bucket is corpus-observed by construction), plus the closed-form
+    * constant for never-observed buckets, so the result is the exact
+    * KL of the smoothed distributions, not a truncation.
+    *
+    * Scale shape: one token explode → per-(group, bucket) counts with
+    * map-side combine (≤ groups × numBuckets rows), the corpus bucket
+    * table (≤ numBuckets rows, broadcast), one bounded join — nothing
+    * data-sized past the first aggregation.
+    *
+    * @return (group, n_tokens, kl_nats)
+    */
+  def sourceDivergence(df: DataFrame, groupCol: String,
+                       textCol: String, numBuckets: Int = 1000,
+                       smoothing: Double = 1.0): DataFrame = {
+    if (numBuckets < 2 || numBuckets > (1 << 24))
+      throw InvalidArgumentValue(
+        s"numBuckets must be in [2, 2^24], got $numBuckets")
+    if (smoothing <= 0 || smoothing.isNaN)
+      throw InvalidArgumentValue(
+        s"smoothing must be positive, got $smoothing")
+    val lam = smoothing
+    val lamB = smoothing * numBuckets
+    val toks = df.select(col(groupCol).as("grp"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .select(col("grp"),
+        pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("long"), lit(numBuckets.toLong)).as("b"))
+    val gb = toks.groupBy("grp", "b").agg(count(lit(1)).as("cg"))
+    val cb = toks.groupBy("b").agg(count(lit(1)).as("cc"))
+    val gTot = gb.groupBy("grp").agg(sum("cg").as("ng"))
+    val cTot = cb.agg(sum("cc").as("nc"),
+      count(lit(1)).as("nObserved"))
+    // full (group × corpus-observed bucket) grid — ≤ groups × B rows
+    val grid = gTot.crossJoin(broadcast(cb))
+      .join(gb, Seq("grp", "b"), "left")
+      .na.fill(0L, Seq("cg"))
+      .crossJoin(broadcast(cTot))
+    val pg = (col("cg") + lam) / (col("ng") + lamB)
+    val pc = (col("cc") + lam) / (col("nc") + lamB)
+    // min, not first: ng/nc/nObserved are functionally determined by
+    // grp, and min keeps the aggregate in partial-combining hash mode
+    val observedPart = grid.groupBy("grp")
+      .agg(min(col("ng")).as("n_tokens"),
+        min(col("nc")).as("__nc"),
+        min(col("nObserved")).as("__nb"),
+        sum(pg * log(pg / pc)).as("__klObs"))
+    // never-observed buckets: cg = cc = 0 for all of them — one
+    // closed-form term per group
+    val p0g = lit(lam) / (col("n_tokens") + lamB)
+    observedPart
+      .select(col("grp").as(groupCol), col("n_tokens"),
+        (col("__klObs") +
+          (lit(numBuckets.toLong) - col("__nb")) * p0g *
+            log(p0g / (lit(lam) / (col("__nc") + lamB))))
+          .as("kl_nats"))
+  }
+
   /** Cross-group character n-gram overlap matrix.
     *
     * For every unordered pair of groups (sources, splits, snapshot

@@ -1001,6 +1001,47 @@ object Dedup {
     * one-shot Bloom broadcast's executor copies can be released) —
     * `.unpersist()` the result when done.
     */
+  /** Cross-corpus n-gram NOVELTY: per scored document, the fraction
+    * of its distinct word n-grams absent from a reference corpus —
+    * "how much genuinely new content does this crawl snapshot /
+    * source add", the incremental-ingest complement of
+    * [[contaminationCheck]] (which asks the opposite question about
+    * an eval set). High novelty ⇒ fresh content worth keeping; near
+    * zero ⇒ the snapshot is re-crawling what the reference already
+    * holds.
+    *
+    * Scale shape: both sides reduce to fixed-width (id, gram-hash)
+    * rows (`wordGramRows` — hashed before the distinct, so every
+    * shuffle is a long); membership is one equi-join of scored grams
+    * against the reference's distinct gram set (AQE broadcasts
+    * whichever side fits), then a per-doc partial-aggregated count.
+    * For a reference far larger than memory, the same Bloom-prefilter
+    * trade as contaminationCheck applies in reverse — prefilter
+    * scored grams against a reference Bloom and count definite
+    * novelties exactly.
+    *
+    * @return (id, n_grams, n_novel, novelty) per scored document
+    */
+  def gramNoveltyScore(df: DataFrame, reference: DataFrame,
+                       idCol: String, textCol: String,
+                       refIdCol: String, refTextCol: String,
+                       n: Int = 5): DataFrame = {
+    if (n <= 0)
+      throw InvalidArgumentValue(s"n must be positive, got $n")
+    val grams = wordGramRows(df, idCol, textCol, n)
+    val refGrams = wordGramRows(reference, refIdCol, refTextCol, n)
+      .select(col("g")).distinct()
+      .withColumn("__seen", lit(1))
+    grams.join(refGrams, Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams"))
+          .as("novelty"))
+  }
+
   def contaminationCheck(corpus: DataFrame, corpusId: String,
                          corpusText: String, eval: DataFrame,
                          evalId: String, evalText: String,

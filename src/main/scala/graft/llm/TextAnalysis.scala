@@ -248,6 +248,61 @@ object TextAnalysis {
     scored.withColumn("predicted", predicted)
   }
 
+  /** Per-document language-MIX statistics — the code-switching /
+    * mixed-language detector that doc-level language ID ([[languageId]])
+    * cannot provide: a half-English half-German page argmaxes to one
+    * language and sails through a `lang == wanted` filter, yet is
+    * poison for monolingual training. Each non-blank LINE is
+    * language-ID'd with the same stopword-argmax rule, then the doc
+    * aggregates its line-language distribution:
+    *
+    *   - `n_lines` non-blank lines, `n_langs` distinct line verdicts
+    *     (incl. "und"),
+    *   - `top_lang` / `top_share` — the dominant verdict and its line
+    *     share (ties: larger count, then lexicographically LARGER
+    *     lang — the q99 convention),
+    *   - `lang_entropy` = ln N − (Σ c·ln c)/N over line verdicts —
+    *     0 for monolingual docs, ln k for a uniform k-language mix.
+    *
+    * Filter on `top_share < t` or `lang_entropy > t` to drop
+    * code-switched docs.
+    *
+    * Scale shape: one line explode (row-parallel, codegen'd stopword
+    * regexp_count per line), one per-(doc, lang) count with map-side
+    * combine, one ≤|langs|-wide per-doc rollup. No windows, no joins.
+    * Docs with NO non-blank lines have no language evidence and are
+    * absent from the output (the oracle mirrors the filter).
+    *
+    * @return (id, n_lines, n_langs, top_lang, top_share, lang_entropy)
+    */
+  def langMixStats(df: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val lines = df.select(col(idCol).cast("long").as("id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .filter(trim(col("line")) =!= "")
+    val scored = lines.select(
+      (col("id") +: langOrder.map(l =>
+        stopwordHits(col("line"), l).as(s"s_$l"))): _*)
+    val best = langOrder.map(l => col(s"s_$l"))
+      .reduce((a, b) => greatest(a, b))
+    val predicted = langOrder.foldRight(lit("und"): Column) { (l, els) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(els)
+    }
+    val perLang = scored.select(col("id"), predicted.as("lang"))
+      .groupBy("id", "lang").agg(count(lit(1)).as("c"))
+    perLang.groupBy("id")
+      .agg(sum("c").as("n_lines"),
+        count(lit(1)).as("n_langs"),
+        max(struct(col("c"), col("lang"))).as("__top"),
+        sum(col("c") * log(col("c"))).as("__clc"))
+      .select(col("id"), col("n_lines"), col("n_langs"),
+        col("__top.lang").as("top_lang"),
+        (col("__top.c").cast("double") / col("n_lines"))
+          .as("top_share"),
+        (log(col("n_lines")) - col("__clc") / col("n_lines"))
+          .as("lang_entropy"))
+  }
+
   /** Default scrub patterns: applied IN ORDER (URLs before emails, so
     * an address inside a URL never double-matches). Patterns are kept
     * to the regex subset shared by Java and RE2 so any engine can

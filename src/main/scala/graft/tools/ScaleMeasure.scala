@@ -49,6 +49,17 @@ object ScaleMeasure {
       graft.operators.Quantiles.exactQuantiles(
         graft.Tables.read(s, dir, "events"), Nil, "value",
         Seq(0.05, 0.5, 0.95))),
+    // langMixStats over the FULL corpus (q125 fixes 100 composite
+    // docs, so its decade row is constant by construction) — lines
+    // synthesized with the q74 " the " → newline convention
+    "lang_mix_full" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, regexp_replace}
+      graft.llm.TextAnalysis.langMixStats(
+        graft.Tables.read(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), " the ", "\n").as("text")),
+        "doc_id", "text")
+    }),
     // the sketch on its motivating vocabulary: the char-4-gram stream
     // (distinct grams ≫ tokens) — shuffle must stay summary-bounded
     "hh_grams" -> ((s, dir) => {

@@ -186,4 +186,79 @@ class CorpusStatsSpec extends SparkSpec {
     val expected = math.log((6.0 / 18.0) / ((6.0 / 24.0) * (6.0 / 24.0)))
     assert(math.abs(r.getDouble(5) - expected) < 1e-12)
   }
+
+  test("sourceDivergence: identical groups floor, disjoint diverge") {
+    import spark.implicits._
+    // two groups with IDENTICAL text ⇒ p_g == p_corpus up to the
+    // smoothing-mass mismatch (Ng = Nc/2), which λ = 0.01 keeps near
+    // the floor — while disjoint vocabularies diverge an order of
+    // magnitude harder. md5 buckets are fixed, so this is
+    // deterministic, not a statistical assertion.
+    val same = Seq(("a", "x y z x y"), ("b", "x y z x y"))
+      .toDF("g", "txt")
+    val kSame = graft.llm.CorpusStats
+      .sourceDivergence(same, "g", "txt", numBuckets = 100,
+        smoothing = 0.01)
+      .select("kl_nats").as[Double].collect()
+    assert(kSame.forall(k => k >= 0 && k < 0.05), kSame.toSeq.toString)
+    val split = Seq(("a", "x x y y z"), ("b", "q r s t u"))
+      .toDF("g", "txt")
+    val kSplit = graft.llm.CorpusStats
+      .sourceDivergence(split, "g", "txt", numBuckets = 100,
+        smoothing = 0.01)
+      .select("kl_nats").as[Double].collect()
+    assert(kSplit.forall(_ > 10 * kSame.max),
+      s"disjoint vocabularies must diverge: ${kSplit.toSeq} vs " +
+        s"${kSame.toSeq}")
+  }
+
+  test("sourceDivergence equals a hand-computed two-bucket replay") {
+    import spark.implicits._
+    // bucket positions derived from the same md5 rule the operator
+    // uses — recompute the exact smoothed KL in plain scala
+    def bucket(tok: String, nb: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % nb
+    }
+    val rows = Seq(("a", "cat dog cat"), ("b", "dog dog fish"))
+    val nb = 50
+    val toks = rows.flatMap { case (g, t) =>
+      t.split(" ").map(tok => (g, bucket(tok, nb))) }
+    val corpus = toks.groupBy(_._2).view.mapValues(_.size).toMap
+    val nc = toks.size.toDouble
+    val expected = rows.map(_._1).distinct.sorted.map { g =>
+      val mine = toks.filter(_._1 == g).groupBy(_._2)
+        .view.mapValues(_.size).toMap
+      val ng = mine.values.sum.toDouble
+      val obs = corpus.keys.toSeq.map { b =>
+        val pg = (mine.getOrElse(b, 0) + 1.0) / (ng + nb)
+        val pc = (corpus(b) + 1.0) / (nc + nb)
+        pg * math.log(pg / pc)
+      }.sum
+      val p0g = 1.0 / (ng + nb)
+      val p0c = 1.0 / (nc + nb)
+      g -> (obs + (nb - corpus.size) * p0g * math.log(p0g / p0c))
+    }.toMap
+    val got = graft.llm.CorpusStats
+      .sourceDivergence(rows.toDF("g", "txt"), "g", "txt",
+        numBuckets = nb)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    expected.foreach { case (g, k) =>
+      assert(math.abs(got(g) - k) < 1e-12, s"group $g: ${got(g)} vs $k")
+    }
+  }
+
+  test("sourceDivergence validates arguments") {
+    import spark.implicits._
+    val df = Seq(("a", "x")).toDF("g", "txt")
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      graft.llm.CorpusStats.sourceDivergence(df, "g", "txt",
+        numBuckets = 1)
+    }
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      graft.llm.CorpusStats.sourceDivergence(df, "g", "txt",
+        smoothing = 0.0)
+    }
+  }
 }

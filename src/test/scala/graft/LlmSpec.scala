@@ -1736,4 +1736,52 @@ class LlmSpec extends SparkSpec {
       ("src1", 4L, 3L, 0.75, "a", 0.5),
       ("src2", 4L, 2L, 0.5, "c", 0.5)))
   }
+
+  test("langMixStats aggregates per-line language verdicts") {
+    val df = Seq(
+      // 3 non-blank lines: en, de, und — plus a blank line skipped
+      (1L, "the a of words\n\nder und ist hier\nzzz qqq"),
+      // monolingual: two en lines => entropy exactly 0
+      (2L, "the a of\nthe is in"),
+      // only blank lines => no language evidence, absent from output
+      (3L, " \n\n  ")).toDF("id", "txt")
+    val got = TextAnalysis.langMixStats(df, "id", "txt")
+      .orderBy("id").collect()
+    assert(got.length === 2)
+    val r1 = got(0)
+    assert(r1.getLong(1) === 3L && r1.getLong(2) === 3L)
+    // all counts 1: struct-max tie-break picks the lexicographically
+    // largest lang
+    assert(r1.getString(3) === "und")
+    assert(math.abs(r1.getDouble(4) - 1.0 / 3) < 1e-12)
+    assert(math.abs(r1.getDouble(5) - math.log(3)) < 1e-12)
+    val r2 = got(1)
+    assert(r2.getLong(1) === 2L && r2.getLong(2) === 1L)
+    assert(r2.getString(3) === "en")
+    assert(r2.getDouble(4) === 1.0)
+    assert(math.abs(r2.getDouble(5)) < 1e-12)
+  }
+
+  test("gramNoveltyScore counts grams unseen in the reference") {
+    val scored = Seq((1L, "a b c d e f"), (2L, "x y z w v"))
+      .toDF("id", "txt")
+    val ref = Seq((10L, "a b c d e")).toDF("id", "txt")
+    val got = Dedup.gramNoveltyScore(scored, ref, "id", "txt",
+        "id", "txt", n = 5)
+      .orderBy("id").collect()
+    // doc 1: 5-grams {a b c d e, b c d e f} — first is in ref
+    assert(got(0).getLong(1) === 2L && got(0).getLong(2) === 1L)
+    assert(got(0).getDouble(3) === 0.5)
+    // doc 2: one gram, fully novel
+    assert(got(1).getLong(1) === 1L && got(1).getLong(2) === 1L)
+    assert(got(1).getDouble(3) === 1.0)
+    // scoring against itself => zero novelty everywhere
+    val self = Dedup.gramNoveltyScore(scored, scored, "id", "txt",
+      "id", "txt", n = 5)
+    assert(self.filter(col("n_novel") =!= 0L).count() === 0)
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Dedup.gramNoveltyScore(scored, ref, "id", "txt", "id", "txt",
+        n = 0)
+    }
+  }
 }
