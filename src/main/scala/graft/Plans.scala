@@ -174,7 +174,28 @@ object Plans {
       "q114_windowed_heavy_hitters" ->
         ("windowed heavy hitters, batch path: one window-keyed " +
           "exchange into flatMapGroupsWithState — per-window state " +
-          "is capacity-bounded, vocabulary never aggregates"))
+          "is capacity-bounded, vocabulary never aggregates"),
+      "q119_dsir_weights" ->
+        ("DSIR weights: the ≤numBuckets-row model reaches the " +
+          "scoring join as a BROADCAST (fixed hashed feature space); " +
+          "gram rows shuffle only into partial-aggregated counts"),
+      "q120_dsir_sample" ->
+        ("DSIR fraction selection: q119's plan + the exact-quantile " +
+          "threshold from the histogram-refinement selector — the " +
+          "selection itself is one filter scan, no new shuffle"),
+      "q122_hard_negatives" ->
+        ("hard negatives: anchor side broadcast (BNLJ), label + band " +
+          "filters BEFORE the two-phase spark_partition_id-local " +
+          "top-k — the corpus is scanned exactly once"),
+      "q123_cdc_chunks" ->
+        ("content-defined chunking: one row-parallel mapPartitions " +
+          "kernel — zero joins, zero aggregation; the only exchange " +
+          "is the presentation sort"),
+      "q127_source_divergence" ->
+        ("source KL divergence: per-(group, bucket) counts capped at " +
+          "groups × numBuckets rows, corpus bucket table broadcast — " +
+          "exchanged state is CONSTANT in corpus size (measured flat " +
+          "across both SCALING decades)"))
 
     val sb = new StringBuilder
     sb ++= s"# PLANS — formatted physical plans at $sfDir\n\n"

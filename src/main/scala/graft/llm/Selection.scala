@@ -175,7 +175,9 @@ object Selection {
       .select(col("id"), col("log_w"),
         (col("log_w") + gumbelKey(col("id"))).as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    keyed.count()
+    // empty in ⇒ empty out (there is no quantile of nothing — head()
+    // on the threshold row would throw)
+    if (keyed.count() == 0) return keyed
     val thr = graft.operators.Quantiles
       .exactQuantiles(keyed, Seq.empty, "key", Seq(1.0 - frac))
       .select(col("q")).head().getDouble(0)

@@ -172,4 +172,12 @@ class SelectionSpec extends SparkSpec {
         "embedding", "label", k = 5, simLo = 0.5, simHi = 0.5)
     }
   }
+
+  test("dsirSampleFraction on an empty corpus returns empty") {
+    val empty = docs.filter(col("doc_id") < 0)
+    val sel = Selection.dsirSampleFraction(empty, docs, "doc_id",
+      "text", frac = 0.5)
+    assert(sel.count() === 0)
+    sel.unpersist(blocking = false)
+  }
 }
