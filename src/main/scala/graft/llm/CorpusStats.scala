@@ -72,8 +72,16 @@ object CorpusStats {
       .select(col("grp"),
         pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10)
           .cast("long"), lit(numBuckets.toLong)).as("b"))
+    // the (group, bucket) count table is the ONLY thing derived from
+    // the corpus — ≤ groups × numBuckets rows — and feeds the corpus
+    // model, the grid, and the totals, so it is persisted (one
+    // tokenization pass total) and released before returning; the
+    // |groups|-row result is materialized eagerly
     val gb = toks.groupBy("grp", "b").agg(count(lit(1)).as("cg"))
-    val cb = toks.groupBy("b").agg(count(lit(1)).as("cc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus bucket counts derive from the group counts (Σ over
+    // groups is exact — same exploded tokens)
+    val cb = gb.groupBy("b").agg(sum("cg").as("cc"))
     val gTot = gb.groupBy("grp").agg(sum("cg").as("ng"))
     val cTot = cb.agg(sum("cc").as("nc"),
       count(lit(1)).as("nObserved"))
@@ -94,12 +102,16 @@ object CorpusStats {
     // never-observed buckets: cg = cc = 0 for all of them — one
     // closed-form term per group
     val p0g = lit(lam) / (col("n_tokens") + lamB)
-    observedPart
+    val out = observedPart
       .select(col("grp").as(groupCol), col("n_tokens"),
         (col("__klObs") +
           (lit(numBuckets.toLong) - col("__nb")) * p0g *
             log(p0g / (lit(lam) / (col("__nc") + lamB))))
           .as("kl_nats"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    gb.unpersist(blocking = false)
+    out
   }
 
   /** Cross-group character n-gram overlap matrix.

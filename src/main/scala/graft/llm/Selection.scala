@@ -27,23 +27,25 @@ object Selection {
 
   /** Bag-of-grams rows (id, bucket): unigrams plus bigrams of the
     * whitespace-split lowercase text, WITH multiplicity (DSIR features
-    * are counts, not sets), each hashed into `numBuckets`. Explode +
-    * slice + concat_ws — all inside whole-stage codegen, same shape as
-    * Dedup's word-gram rows.
+    * are counts, not sets), each hashed into `numBuckets`. ONE scan:
+    * a doc with L tokens explodes positions 1..2L−1 — 1..L are the
+    * unigrams, L+1..2L−1 the bigrams at start i−L — so the corpus is
+    * tokenized once, not once per gram order; everything stays inside
+    * whole-stage codegen.
     */
   private def gramBucketRows(df: DataFrame, idCol: String,
                              textCol: String,
                              numBuckets: Int): DataFrame = {
     val toks = df.select(col(idCol).cast("long").as("id"),
       split(trim(lower(col(textCol))), "\\s+").as("t"))
-    val uni = toks.select(col("id"), explode(col("t")).as("gram"))
-    val bi = toks.filter(size(col("t")) >= 2)
-      .select(col("id"), col("t"),
-        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
-      .select(col("id"),
-        concat_ws(" ", slice(col("t"), col("i"), lit(2))).as("gram"))
-    uni.unionByName(bi)
-      .select(col("id"), gramBucket(col("gram"), numBuckets).as("b"))
+    val L = size(col("t"))
+    val gram = when(col("i") <= L, element_at(col("t"), col("i")))
+      .otherwise(concat_ws(" ",
+        element_at(col("t"), col("i") - L),
+        element_at(col("t"), col("i") - L + 1)))
+    toks.select(col("id"), col("t"),
+        explode(sequence(lit(1), greatest(L * 2 - 1, lit(1)))).as("i"))
+      .select(col("id"), gramBucket(gram, numBuckets).as("b"))
   }
 
   private def checkArgs(numBuckets: Int, smoothing: Double): Unit = {
@@ -69,10 +71,15 @@ object Selection {
     * model is ≤ `numBuckets` rows no matter how large either corpus
     * is — it is broadcast by construction (capped at 2^24 buckets ≈
     * a few hundred MB; DSIR uses 10^4). Both corpora are scanned once
-    * into (id, bucket) gram rows; per-(doc, bucket) counts partial-
-    * aggregate map-side; the scoring join is gram-rows ⋈ broadcast
-    * model followed by one per-doc aggregation — no windows, no
-    * driver-side data, shuffles keyed on fixed-width longs only.
+    * into (id, bucket) gram rows; the raw gram frame feeds BOTH the
+    * model build and the scoring join, so it is persisted across the
+    * two uses (one corpus tokenization, not two — the unigramLogProb
+    * pattern) and released before returning; per-(doc, bucket) counts
+    * partial-aggregate map-side; the scoring join is gram-rows ⋈
+    * broadcast model followed by one per-doc aggregation — no
+    * windows, no driver-side data, shuffles keyed on fixed-width
+    * longs only. The small (one row per doc) result is persisted and
+    * materialized — `.unpersist()` it when done.
     *
     * @param raw    corpus to score (the selection pool)
     * @param target corpus defining the wanted distribution (only its
@@ -87,6 +94,7 @@ object Selection {
                      smoothing: Double = 1.0): DataFrame = {
     checkArgs(numBuckets, smoothing)
     val rawGrams = gramBucketRows(raw, idCol, textCol, numBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tgtCnt = gramBucketRows(target, idCol, textCol, numBuckets)
       .groupBy("b").agg(count(lit(1)).as("__ct"))
     // every scored bucket appears in the raw counts by construction
@@ -114,9 +122,13 @@ object Selection {
         (log((col("__ct") + lam) /
             (coalesce(col("__nt"), lit(0L)) + lamB)) -
           log((col("__cr") + lam) / (col("__nr") + lamB))).as("__lr"))
-    perBucket.groupBy("id")
+    val out = perBucket.groupBy("id")
       .agg(sum("__c").as("n_grams"),
         sum(col("__c") * col("__lr")).as("log_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    rawGrams.unpersist(blocking = false)
+    out
   }
 
   /** Hash-derived uniform in (0, 1) and its Gumbel transform — the
@@ -146,11 +158,16 @@ object Selection {
                        numBuckets: Int = 10000,
                        smoothing: Double = 1.0): DataFrame = {
     if (n <= 0) throw InvalidArgumentValue(s"n must be positive, got $n")
-    dsirLogWeights(raw, target, idCol, textCol, numBuckets, smoothing)
-      .select(col("id"), col("log_w"),
+    val w = dsirLogWeights(raw, target, idCol, textCol, numBuckets,
+      smoothing)
+    val out = w.select(col("id"), col("log_w"),
         (col("log_w") + gumbelKey(col("id"))).as("key"))
       .orderBy(col("key").desc, col("id").asc)
       .limit(n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    w.unpersist(blocking = false)
+    out
   }
 
   /** DSIR selection, fraction form — the 100 TB path: compute the
@@ -170,21 +187,22 @@ object Selection {
                          smoothing: Double = 1.0): DataFrame = {
     if (frac.isNaN || frac <= 0 || frac >= 1)
       throw InvalidArgumentValue(s"frac must be in (0,1), got $frac")
-    val keyed = dsirLogWeights(raw, target, idCol, textCol,
-        numBuckets, smoothing)
-      .select(col("id"), col("log_w"),
-        (col("log_w") + gumbelKey(col("id"))).as("key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = dsirLogWeights(raw, target, idCol, textCol, numBuckets,
+      smoothing)
+    // a narrow projection of the already-persisted weights — the
+    // quantile passes re-read w's cache, no second persist needed
+    val keyed = w.select(col("id"), col("log_w"),
+      (col("log_w") + gumbelKey(col("id"))).as("key"))
     // empty in ⇒ empty out (there is no quantile of nothing — head()
     // on the threshold row would throw)
-    if (keyed.count() == 0) return keyed
+    if (w.count() == 0) { w.unpersist(blocking = false); return keyed }
     val thr = graft.operators.Quantiles
       .exactQuantiles(keyed, Seq.empty, "key", Seq(1.0 - frac))
       .select(col("q")).head().getDouble(0)
     val out = keyed.filter(col("key") >= lit(thr))
     out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .count()
-    keyed.unpersist(blocking = false)
+    w.unpersist(blocking = false)
     out
   }
 
@@ -230,16 +248,21 @@ object Selection {
                            costCol: String, groupCol: String,
                            alpha: Double,
                            totalBudget: Long): DataFrame = {
-    // a zero-mass source (all-zero costs) gets weight 0 at α > 0 —
-    // budget 0 either way, so drop it before the positive-weights
-    // contract of sampleToBudget; null group keys likewise select
-    // nothing (the budget join never matches null)
+    // a zero-MASS source is dropped regardless of α: at α > 0 its
+    // weight is already 0, but at α = 0 pow(0, 0) = 1 would hand it a
+    // real budget (diluting every live source) and then "select" all
+    // its zero-cost docs — mass > 0 is the contract, not weight > 0
+    // alone; null group keys likewise select nothing
     val wrows = temperatureWeights(df, groupCol, costCol, alpha)
-      .filter(col(groupCol).isNotNull && col("weight") > 0)
+      .filter(col(groupCol).isNotNull && col("weight") > 0 &&
+        col("mass") > 0)
       .select(col(groupCol).cast("string"), col("weight"))
       .collect()
     val weights = wrows
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // empty corpus (or all sources mass-0/null) ⇒ empty selection,
+    // not sampleToBudget's require() blowing up
+    if (weights.isEmpty) return df.filter(lit(false))
     TextAnalysis.sampleToBudget(df, idCol, costCol, groupCol,
       weights, totalBudget)
   }

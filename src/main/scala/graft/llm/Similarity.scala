@@ -59,9 +59,11 @@ object Similarity {
   }
 
   private def asDoubleVec(df: DataFrame, idCol: String, vecCol: String,
-                          id: String, vec: String): DataFrame =
-    df.select(col(idCol).cast("long").as(id),
-      transform(col(vecCol), x => x.cast("double")).as(vec))
+                          id: String, vec: String,
+                          extra: Seq[(String, String)] = Nil): DataFrame =
+    df.select(col(idCol).cast("long").as(id) +:
+      transform(col(vecCol), x => x.cast("double")).as(vec) +:
+      extra.map { case (from, to) => col(from).as(to) }: _*)
 
   /** First-row dimensionality guard: a mismatch would otherwise
     * surface as an opaque ArrayIndexOutOfBounds inside the compiled
@@ -136,6 +138,12 @@ object Similarity {
     * + re-rank to the survivors — the filters commute with candidate
     * generation because they only ever DROP pairs.
     *
+    * The band's upper edge is EXCLUSIVE when finite (the semi-hard
+    * convention — sim = simHi means "too close, probably mislabeled");
+    * the default simHi = +∞ imposes no upper cut, so exact-duplicate
+    * vectors under a different label (cosine exactly 1.0) ARE
+    * returned unless the caller opts into a band.
+    *
     * @param anchors small DataFrame with (anchorId, vecCol, labelCol)
     * @return (qid, rnk, cid, sim, q_label, c_label), rnk 1..k by
     *         (sim desc, cid asc) within each anchor
@@ -144,18 +152,16 @@ object Similarity {
                     corpusId: String, anchorId: String, vecCol: String,
                     labelCol: String, k: Int,
                     simLo: Double = -1.0,
-                    simHi: Double = 1.0): DataFrame = {
+                    simHi: Double = Double.PositiveInfinity): DataFrame = {
     if (k <= 0) throw InvalidArgumentValue(s"k must be positive, got $k")
     if (simLo.isNaN || simHi.isNaN || simLo >= simHi)
       throw InvalidArgumentValue(
         s"need simLo < simHi, got [$simLo, $simHi)")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val q = anchors.select(col(anchorId).cast("long").as("qid"),
-      transform(col(vecCol), x => x.cast("double")).as("qv"),
-      col(labelCol).as("q_label"))
-    val c = corpus.select(col(corpusId).cast("long").as("cid"),
-      transform(col(vecCol), x => x.cast("double")).as("cv"),
-      col(labelCol).as("c_label"))
+    val q = asDoubleVec(anchors, anchorId, vecCol, "qid", "qv",
+      Seq(labelCol -> "q_label"))
+    val c = asDoubleVec(corpus, corpusId, vecCol, "cid", "cv",
+      Seq(labelCol -> "c_label"))
     requireSameDim(q.select("qid", "qv"), c.select("cid", "cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(!(col("c_label") <=> col("q_label")))

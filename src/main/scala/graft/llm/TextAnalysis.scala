@@ -744,8 +744,13 @@ object TextAnalysis {
     val dv = divisor.toLong
     val minT = minTokens
     val maxT = maxTokens
+    // null text / null or non-castable id ⇒ no chunks for that row
+    // (the sibling SQL operators' degrade-to-zero-rows convention) —
+    // without the filter the typed kernel would NPE decoding a null
+    // Seq and kill the stage
     df.select(col(idCol).cast("long").as("id"),
         split(trim(lower(col(textCol))), "\\s+").as("t"))
+      .filter(col("id").isNotNull && col("t").isNotNull)
       .as[(Long, Seq[String])]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")

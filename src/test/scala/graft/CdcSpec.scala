@@ -154,4 +154,14 @@ class CdcSpec extends SparkSpec {
       assert(cid === 0L && st === 1L && n === 1L)
     }
   }
+
+  test("null text or id degrades to zero chunks, not an NPE") {
+    val df = Seq((java.lang.Long.valueOf(1L), "some words here"),
+        (java.lang.Long.valueOf(2L), null),
+        (null.asInstanceOf[java.lang.Long], "orphan text"))
+      .toDF("id", "txt")
+    val c = TextAnalysis.cdcChunkDocuments(df, "id", "txt").collect()
+    assert(c.map(_.getLong(0)).toSet === Set(1L),
+      "only the well-formed row may produce chunks")
+  }
 }

@@ -128,10 +128,19 @@ class SelectionSpec extends SparkSpec {
     val withZero = docs.withColumn("n_chars",
       when(col("source") === "src0", lit(0L))
         .otherwise(col("n_chars")))
-    val sel = Selection.temperatureMixSample(withZero, "doc_id",
-      "n_chars", "source", alpha = 0.5, totalBudget = 10000L)
-    assert(sel.filter(col("source") === "src0").count() === 0)
-    assert(sel.count() > 0)
+    // at α > 0 the weight is 0; at α = 0 pow(0,0) = 1 would smuggle
+    // the dead source a budget — both must drop on mass, not weight
+    for (alpha <- Seq(0.5, 0.0)) {
+      val sel = Selection.temperatureMixSample(withZero, "doc_id",
+        "n_chars", "source", alpha = alpha, totalBudget = 10000L)
+      assert(sel.filter(col("source") === "src0").count() === 0,
+        s"alpha=$alpha kept zero-mass docs")
+      assert(sel.count() > 0)
+    }
+    // empty corpus => empty selection, not a require() blow-up
+    assert(Selection.temperatureMixSample(docs.filter(lit(false)),
+      "doc_id", "n_chars", "source", alpha = 0.5,
+      totalBudget = 10000L).count() === 0)
   }
 
   test("hardNegatives: labels always differ, band holds, rank is topK") {
@@ -171,6 +180,28 @@ class SelectionSpec extends SparkSpec {
       Similarity.hardNegatives(corpus, anchors, "vec_id", "vec_id",
         "embedding", "label", k = 5, simLo = 0.5, simHi = 0.5)
     }
+  }
+
+  test("hardNegatives default band keeps exact-duplicate negatives") {
+    // a scaled copy of the anchor under a DIFFERENT label has cosine
+    // exactly 1.0 — the hardest possible negative; the default
+    // (unbounded-above) band must return it at rank 1, while an
+    // explicit semi-hard band < 1.0 excludes it
+    val anchors = Seq((0L, Seq(1.0f, 0.0f), 0)).toDF(
+      "vec_id", "embedding", "label")
+    val corpus = Seq(
+      (1L, Seq(2.0f, 0.0f), 1),   // exact direction copy, sim = 1.0
+      (2L, Seq(1.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val dflt = Similarity.hardNegatives(corpus, anchors, "vec_id",
+      "vec_id", "embedding", "label", k = 2).collect()
+    assert(dflt.head.getLong(2) === 1L &&
+      dflt.head.getAs[Double]("sim") === 1.0,
+      s"sim=1.0 negative must rank first by default: ${dflt.toSeq}")
+    val banded = Similarity.hardNegatives(corpus, anchors, "vec_id",
+      "vec_id", "embedding", "label", k = 2, simLo = -1.0,
+      simHi = 1.0).collect()
+    assert(!banded.exists(_.getLong(2) == 1L),
+      "an explicit [lo, 1.0) band must exclude the exact duplicate")
   }
 
   test("dsirSampleFraction on an empty corpus returns empty") {
