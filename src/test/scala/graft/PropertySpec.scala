@@ -571,4 +571,76 @@ class PropertySpec extends SparkSpec {
       assert(counts == ((0L, 0L, 0L)))
     }
   }
+
+  test("cdcChunkDocuments equals the reference on random corpora") {
+    // random docs incl. empty, single-token, and repeated-token
+    // shapes; every doc's chunks must equal a straight-line replay of
+    // the boundary rule + greedy cut walk (independent code path)
+    val docGen = for {
+      n <- Gen.chooseNum(0, 60)
+      toks <- Gen.listOfN(n,
+        Gen.oneOf("a", "b", "cat", "dog", "xyz", "Qq", "zz9"))
+    } yield toks.mkString(" ")
+    def ref(text: String, w: Int, dv: Int, minT: Int,
+            maxT: Int): Seq[(Long, Long, String)] = {
+      val toks = text.trim.toLowerCase.split("\\s+", -1).toSeq
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bounds = (w to toks.length).filter { i =>
+        val hex = md.digest(toks.slice(i - w, i).mkString(" ")
+            .getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex.take(15), 16) % dv == dv - 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, String)]
+      var start = 1
+      while (start <= toks.length) {
+        val cut = bounds
+          .find(b => b >= start + minT - 1 && b <= start + maxT - 1)
+          .getOrElse(math.min(start + maxT - 1, toks.length))
+        val end = math.min(cut, toks.length)
+        out += ((start.toLong, (end - start + 1).toLong,
+          toks.slice(start - 1, end).mkString(" ")))
+        start = end + 1
+      }
+      out.toSeq
+    }
+    forAllSeeded(Gen.listOfN(6, docGen), cases = 12) { docsList =>
+      val df = docsList.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "txt")
+      // tight divisor + clamps so random docs hit boundary, min-clamp,
+      // and max-clamp paths
+      val got = graft.llm.TextAnalysis.cdcChunkDocuments(df, "id",
+          "txt", windowTokens = 2, divisor = 4, minTokens = 2,
+          maxTokens = 7)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getLong(1))
+          .map(r => (r.getLong(2), r.getLong(3), r.getString(4)))
+          .toSeq).toMap
+      docsList.zipWithIndex.foreach { case (t, i) =>
+        assert(got.getOrElse(i.toLong, Nil) === ref(t, 2, 4, 2, 7),
+          s"doc $i diverges: '$t'")
+      }
+    }
+  }
+
+  test("dsirLogWeights is invariant to partitioning and row order") {
+    val docs = Tables.read(spark, sf, "documents").limit(120)
+    val target = docs.filter(col("lang") === "en")
+    def weights(raw: org.apache.spark.sql.DataFrame): Map[Long, Double] = {
+      val w = graft.llm.Selection.dsirLogWeights(raw, target,
+        "doc_id", "text", numBuckets = 500)
+      val m = w.collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      w.unpersist(blocking = false)
+      m
+    }
+    val base = weights(docs)
+    val shuffled = weights(docs.repartition(13).orderBy(rand(7)))
+    assert(base.keySet === shuffled.keySet)
+    // identical gram multisets per doc ⇒ identical weights up to the
+    // aggregation's summation order (ulp-level)
+    base.foreach { case (id, v) =>
+      assert(math.abs(v - shuffled(id)) < 1e-9, s"doc $id: $v vs ${shuffled(id)}")
+    }
+  }
 }
