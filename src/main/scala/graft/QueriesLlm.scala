@@ -380,6 +380,41 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** q128 — winnowing fingerprints (MOSS): char-4-gram md5 hashes,
+    * window 8, rightmost-minimal selection. The oracle replays gram
+    * hashing, the per-window min, and the rightmost tie-break
+    * position-for-position.
+    */
+  def q128Winnow(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(t(spark, dir, "documents"),
+        "doc_id", "text", k = 4, w = 8)
+      .select(col("id").as("doc_id"), col("pos"), col("fp"))
+      .orderBy("doc_id", "pos", "fp")
+
+  /** q129 — winnowed overlap pairs on the first 50 docs ∪ extracted
+    * fragments (120-char substrings, re-keyed): a verbatim
+    * fragment's fingerprints are ALL in its source, so every planted
+    * pair sits at containment exactly 1.0 — the 0.8 threshold
+    * surfaces them (plus any genuine near-containments the synthetic
+    * corpus's shared phrasing creates, which the oracle reproduces
+    * identically). Full SQL replay of hashing, window minima, sizes,
+    * and the score.
+    */
+  def q129WinnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(col("doc_id") < 50).select("doc_id", "text")
+    val fragments = docs
+      .select((col("doc_id") + 20000).as("doc_id"),
+        substring(col("text"), 30, 120).as("text"))
+    val out = Dedup.winnowOverlapJoin(docs.unionByName(fragments),
+        "doc_id", "text", k = 4, w = 8, minShared = 3,
+        minContainment = 0.8)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("id_a", "id_b")
+    out
+  }
+
   /** q64 — Gopher-rule quality filter: thresholds chosen to split the
     * corpus on three rules (token count 30–90, avg word length ≤ 4.5,
     * ≥ 1 English stopword hit) while the symbol/alpha rules pass
@@ -1117,6 +1152,8 @@ object QueriesLlm {
     "q124_cdc_shift_dedup" -> (q124CdcShiftDedup _),
     "q125_lang_mix"      -> (q125LangMix _),
     "q126_gram_novelty"  -> (q126GramNovelty _),
+    "q128_winnow"        -> (q128Winnow _),
+    "q129_winnow_overlap" -> (q129WinnowOverlap _),
     "q64_quality_filter" -> (q64QualityFilter _),
     "q65_remove_spans"   -> (q65RemoveSpans _),
     "q66_contamination_bloom" -> (q66ContaminationBloom _),
@@ -1998,6 +2035,75 @@ object QueriesLlm {
                 CAST(sum(novel) AS BIGINT) AS n_novel,
                 round(sum(novel) * 1.0 / count(*), 6) AS novelty
          FROM j GROUP BY 1 ORDER BY doc_id""",
+    // q128/q129: winnowing — grams via the q110 shingle convention,
+    // hashes via the q47 md5 convention; per-window rightmost-minimal
+    // selection = max(j) among h = window min
+    "q128_winnow" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t,
+                           length(text) AS len
+                    FROM documents),
+         g AS (SELECT doc_id, i AS j,
+                 ('0x' || substr(md5(substr(t, i::INT, 4)), 1, 15))
+                   ::BIGINT AS h
+               FROM (SELECT doc_id, t,
+                       unnest(generate_series(1,
+                         greatest(len - 3, 1))) AS i
+                     FROM d)),
+         gn AS (SELECT doc_id, max(j) AS gmax FROM g GROUP BY 1),
+         win AS (SELECT doc_id, unnest(generate_series(1,
+                   greatest(gmax - 7, 1))) AS s
+                 FROM gn),
+         wj AS (SELECT w.doc_id, w.s, g.j, g.h
+                FROM win w JOIN g ON g.doc_id = w.doc_id
+                  AND g.j >= w.s AND g.j <= w.s + 7),
+         mn AS (SELECT doc_id, s, min(h) AS mh FROM wj GROUP BY 1, 2),
+         sel AS (SELECT wj.doc_id, mn.s, max(wj.j) AS pos,
+                        mn.mh AS fp
+                 FROM wj JOIN mn ON wj.doc_id = mn.doc_id
+                   AND wj.s = mn.s AND wj.h = mn.mh
+                 GROUP BY wj.doc_id, mn.s, mn.mh)
+         SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
+         FROM sel ORDER BY doc_id, pos, fp""",
+    "q129_winnow_overlap" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id < 50
+                    UNION ALL
+                    SELECT doc_id + 20000, substr(text, 30, 120)
+                    FROM documents WHERE doc_id < 50),
+         d AS (SELECT doc_id, lower(text) AS t,
+                      length(text) AS len
+               FROM corpus),
+         g AS (SELECT doc_id, i AS j,
+                 ('0x' || substr(md5(substr(t, i::INT, 4)), 1, 15))
+                   ::BIGINT AS h
+               FROM (SELECT doc_id, t,
+                       unnest(generate_series(1,
+                         greatest(len - 3, 1))) AS i
+                     FROM d)),
+         gn AS (SELECT doc_id, max(j) AS gmax FROM g GROUP BY 1),
+         win AS (SELECT doc_id, unnest(generate_series(1,
+                   greatest(gmax - 7, 1))) AS s
+                 FROM gn),
+         wj AS (SELECT w.doc_id, w.s, g.j, g.h
+                FROM win w JOIN g ON g.doc_id = w.doc_id
+                  AND g.j >= w.s AND g.j <= w.s + 7),
+         mn AS (SELECT doc_id, s, min(h) AS mh FROM wj GROUP BY 1, 2),
+         fps AS (SELECT DISTINCT doc_id, mh AS fp FROM mn),
+         sz AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_shared
+                   FROM fps a JOIN fps b
+                     ON a.fp = b.fp AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         sc AS (SELECT id_a, id_b, n_shared,
+                  n_shared * 1.0 / least(sa.n, sb.n) AS containment
+                FROM pairs
+                JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+                WHERE n_shared >= 3)
+         SELECT id_a, id_b, n_shared,
+                round(containment, 6) AS containment
+         FROM sc WHERE containment >= 0.8 ORDER BY id_a, id_b""",
     // q122: q33's cross join with the label-inequality + semi-hard
     // band filters applied before the per-anchor rank
     "q122_hard_negatives" ->

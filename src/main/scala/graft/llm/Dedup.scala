@@ -1001,6 +1001,155 @@ object Dedup {
     * one-shot Bloom broadcast's executor copies can be released) —
     * `.unpersist()` the result when done.
     */
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS algorithm): over the char k-gram hash stream,
+    * each w-window selects its RIGHTMOST minimal hash; the distinct
+    * selected (position, hash) pairs are the fingerprint set. The
+    * local guarantee: any shared substring of length ≥ w + k − 1
+    * yields at least one shared fingerprint HASH on both sides, at
+    * expected density 2/(w+1) — sub-document overlap detection with a
+    * ~4.5× smaller index than the full gram set, and positions for
+    * localization (which MinHash, a global sketch, cannot give).
+    *
+    * Hashes use the engine md5 convention (top 60 bits), grams the
+    * shingle convention (positions 1..max(len−k+1, 1), end-truncated),
+    * so the whole selection replays in SQL.
+    *
+    * Scale shape: a zero-shuffle row-parallel mapPartitions kernel —
+    * per doc one hash pass and one window sweep (O(G·w), w small;
+    * no cross-document state).
+    *
+    * @return (id, pos, fp) — pos is the 1-based gram position, fp the
+    *         60-bit hash; one row per distinct selected pair
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 8): DataFrame = {
+    if (k < 1) throw InvalidArgumentValue(s"k must be >= 1, got $k")
+    if (w < 1) throw InvalidArgumentValue(s"w must be >= 1, got $w")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        lower(col(textCol)).as("txt"))
+      .filter(col("id").isNotNull && col("txt").isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexDigits = "0123456789abcdef".toCharArray
+        def hash60(s: String): Long = {
+          md.reset()
+          val d = md.digest(s.getBytes("UTF-8"))
+          val sb = new java.lang.StringBuilder(15)
+          var bi = 0
+          while (sb.length < 15) {
+            val b = d(bi) & 0xff
+            sb.append(hexDigits(b >> 4))
+            if (sb.length < 15) sb.append(hexDigits(b & 0xf))
+            bi += 1
+          }
+          java.lang.Long.parseLong(sb.toString, 16)
+        }
+        rows.flatMap { case (id, txt) =>
+          val len = txt.length
+          val g = math.max(len - k + 1, 1)
+          val h = new Array[Long](g + 1) // 1-based
+          var j = 1
+          while (j <= g) {
+            h(j) = hash60(txt.substring(j - 1, math.min(j - 1 + k, len)))
+            j += 1
+          }
+          // rightmost-minimal selection per window; a position selected
+          // by several windows emits once
+          val sel = scala.collection.mutable.LinkedHashSet
+            .empty[(Long, Long)]
+          val nW = math.max(g - w + 1, 1)
+          var s = 1
+          while (s <= nW) {
+            val end = math.min(s + w - 1, g)
+            var best = s
+            var jj = s + 1
+            while (jj <= end) {
+              if (h(jj) <= h(best)) best = jj // <= keeps the rightmost
+              jj += 1
+            }
+            sel += ((best.toLong, h(best)))
+            s += 1
+          }
+          sel.iterator.map { case (pos, fp) => (id, pos, fp) }
+        }
+      }.toDF("id", "pos", "fp")
+  }
+
+  /** Fingerprint-overlap pair detection over winnowed sets: docs
+    * sharing ≥ `minShared` distinct fingerprint hashes — the
+    * sub-document plagiarism/overlap alarm the local guarantee backs
+    * (a shared substring ≥ w + k − 1 chars ⇒ ≥ 1 shared hash, so
+    * minShared = 1 has guaranteed recall for overlaps of that length;
+    * higher values trade recall for precision).
+    *
+    * `containment` = n_shared / min(|fps_a|, |fps_b|) — a verbatim
+    * substring's fingerprints are ALL in its source (the guarantee
+    * applied to every interior window), so extracted/quoted fragments
+    * sit at exactly 1.0 while topically-similar noise spreads low;
+    * threshold on it the way [[ngramContainmentJoin]] does on gram
+    * containment.
+    *
+    * Scale shape: the equi-join runs on the winnowed sets (density
+    * 2/(w+1) of the gram stream), keyed on fixed-width hashes.
+    * `maxDocFreq` drops hashes present in more than that many docs
+    * before the join — the standard boilerplate/flood guard (a
+    * corpus-wide header's fingerprint would otherwise join
+    * quadratically; same mechanism class as the banded-LSH cap). The
+    * set sizes for containment are counted BEFORE the guard, so the
+    * score's meaning does not depend on it.
+    *
+    * @return (id_a, id_b, n_shared, containment) with id_a < id_b
+    */
+  def winnowOverlapJoin(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 4, w: Int = 8, minShared: Int = 1,
+                        minContainment: Double = 0.0,
+                        maxDocFreq: Option[Int] = None): DataFrame = {
+    if (minShared < 1)
+      throw InvalidArgumentValue(
+        s"minShared must be >= 1, got $minShared")
+    if (minContainment.isNaN || minContainment < 0 || minContainment > 1)
+      throw InvalidArgumentValue(
+        s"minContainment must be in [0,1], got $minContainment")
+    maxDocFreq.foreach { m =>
+      if (m < 2) throw InvalidArgumentValue(
+        s"maxDocFreq must be >= 2, got $m")
+    }
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), col("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("__n"))
+    val filtered = maxDocFreq match {
+      case Some(m) =>
+        val freq = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= m).select("fp")
+        fps.join(freq, "fp")
+      case None => fps
+    }
+    val out = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("__n", "__na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("__n", "__nb"), "id_b")
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("__na"), col("__nb")))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("containment"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    fps.unpersist(blocking = false)
+    out
+  }
+
   /** Cross-corpus n-gram NOVELTY: per scored document, the fraction
     * of its distinct word n-grams absent from a reference corpus —
     * "how much genuinely new content does this crawl snapshot /
