@@ -200,6 +200,61 @@ class StreamingSpec extends SparkSpec {
     assert(landed == expected)
   }
 
+  test("novelty gate drops re-crawled mosaics the near-dup probe misses") {
+    import graft.llm.Dedup
+    import spark.implicits._
+    val docs = Tables.read(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val base = docs.filter(col("doc_id") >= 400)
+      .limit(20).select("doc_id", "text")
+    // a mosaic of two corpus docs' halves: almost every word 5-gram
+    // exists in the corpus (novelty ≈ 0) but it is a near-dup of
+    // NEITHER source, so the minhash probe alone would land it
+    val parts = corpus.filter(col("doc_id") < 2)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mosaic = parts(0L).take(150) + " " + parts(1L).take(150)
+    val batch = base.unionByName(Seq((9002L, mosaic)).toDF("doc_id", "text"))
+    val idx = tmpDir("stream-novel-idx")
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+
+    // the probe does NOT flag the mosaic — that is the gap the gate
+    // closes (assert it so the test stays honest if thresholds move)
+    val probed = Dedup.probeMinhashIndex(idx, corpus, batch,
+      "doc_id", "text", minBandMatches = 3)
+    val probedIds = probed.select("id_b").as[Long].collect().toSet
+    probed.unpersist()
+    assert(!probedIds.contains(9002L),
+      "the mosaic must evade the near-dup probe for this test to bite")
+
+    // gate: keep docs with >= 30% novel word-5-grams vs the corpus
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => {
+        val nov = Dedup.gramNoveltyScore(df, corpus, "doc_id", "text",
+          "doc_id", "text", n = 5)
+        df.join(nov.filter(col("novelty") >= 0.3)
+          .select(col("id").as("doc_id")), Seq("doc_id"))
+      }
+
+    val srcDir = tmpDir("stream-novel-src")
+    batch.write.mode("overwrite").parquet(srcDir + "/in")
+    val outDir = tmpDir("stream-novel-out") + "/clean"
+    val q = Streaming.dedupIngestStream(
+      Streaming.readParquetStream(spark, srcDir + "/in", batch,
+        maxFilesPerTrigger = 3),
+      "doc_id", "text", idx, corpus, outDir,
+      tmpDir("stream-novel-ckpt"), minBandMatches = 3,
+      qualityGate = Some(gate))
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!landed.contains(9002L),
+      "the low-novelty mosaic must be gated out")
+    // the fresh docs are novel against the corpus and must land
+    assert(landed.nonEmpty && landed.subsetOf(
+      base.select("doc_id").as[Long].collect().toSet))
+  }
+
   test("within-batch ingest dedup lands one survivor per internal near-dup pair") {
     import graft.llm.Dedup
     import spark.implicits._
