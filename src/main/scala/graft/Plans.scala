@@ -195,7 +195,30 @@ object Plans {
         ("source KL divergence: per-(group, bucket) counts capped at " +
           "groups × numBuckets rows, corpus bucket table broadcast — " +
           "exchanged state is CONSTANT in corpus size (measured flat " +
-          "across both SCALING decades)"))
+          "across both SCALING decades)"),
+      "q121_temperature_mix" ->
+        ("temperature mixing: √mass weights from one per-source " +
+          "aggregate (≤ sources rows, broadcast back), then the q61 " +
+          "bucketed running-sum prefix — windows keyed (source, " +
+          "bucket), never one whole source"),
+      "q124_cdc_shift_dedup" ->
+        ("shift-robust chunk dedup: the CDC kernel is a zero-shuffle " +
+          "mapPartitions (q123's plan), then q62's distinct + " +
+          "doc-frequency equi-join shape on chunk hashes — no " +
+          "windows over the corpus, no pair explosion"),
+      "q125_lang_mix" ->
+        ("per-line language mix: explode + codegen stopword argmax, " +
+          "one per-doc aggregation — a single corpus shuffle keyed " +
+          "by doc id; no joins in the stats path"),
+      "q126_gram_novelty" ->
+        ("cross-corpus novelty: fixed-width gram-hash membership " +
+          "join — reference side distinct + broadcast (PlanSpec-" +
+          "pinned post-AQE), corpus grams never shuffle before the " +
+          "join; per-doc count partial-aggregates"),
+      "q128_winnow" ->
+        ("winnow fingerprints: one zero-shuffle row-parallel " +
+          "mapPartitions kernel (PlanSpec-pinned) — the only " +
+          "exchange is the presentation sort"))
 
     val sb = new StringBuilder
     sb ++= s"# PLANS — formatted physical plans at $sfDir\n\n"
@@ -204,6 +227,28 @@ object Plans {
       val fn = SparkEntry.queries(name)
       sb ++= s"\n## $name\n\n$why\n\n```\n"
       sb ++= fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb ++= "```\n"
+      spark.catalog.clearCache()
+    }
+    // winnow overlap join (oracle-checked as q129; composed dedup as
+    // q130): the public entry point persists + materializes its
+    // result, so the structure is dumped from the lazy builder — the
+    // scale claims are the fp equi-join (never cartesian), the
+    // doc-freq guard pruning candidate KEYS only, and the exact
+    // verify joining only candidate-pruned fingerprint sets
+    locally {
+      val fps = graft.llm.Dedup.winnowFingerprints(
+          Tables.read(spark, sfDir, "documents"), "doc_id", "text")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("fp")).distinct()
+      val lazyOut = graft.llm.Dedup.winnowOverlapLazy(fps,
+        minShared = 3, minContainment = 0.8, maxDocFreq = Some(1000))
+      sb ++= "\n## winnow_overlap_join (guarded pair stage of q129/q130)\n\n" +
+        "fp equi-join candidates from doc-freq-pruned keys, exact " +
+        "n_shared recomputed on unfiltered sets for candidates only — " +
+        "no cartesian anywhere\n\n```\n"
+      sb ++= lazyOut.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       sb ++= "```\n"
       spark.catalog.clearCache()

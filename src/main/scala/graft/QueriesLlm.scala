@@ -415,6 +415,28 @@ object QueriesLlm {
     out
   }
 
+  /** q130 — the composed winnow-dedup pipeline (guard defaulted ON):
+    * q129's corpus through [[Dedup.dedupWinnowOverlaps]] — guarded
+    * overlap pairs → connected components → min-id survivor per
+    * cluster — with maxDocFreq = 20 so the flood guard is live on
+    * this corpus's shared-phrasing fingerprints. The oracle replays
+    * the doc-freq pruning, the EXACT n_shared recompute on unfiltered
+    * sets, the containment filter, and the components (recursive CTE,
+    * the q57 convention).
+    */
+  def q130WinnowDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(col("doc_id") < 50).select("doc_id", "text")
+    val fragments = docs
+      .select((col("doc_id") + 20000).as("doc_id"),
+        substring(col("text"), 30, 120).as("text"))
+    Dedup.dedupWinnowOverlaps(docs.unionByName(fragments),
+        "doc_id", "text", k = 4, w = 8, minShared = 3,
+        minContainment = 0.8, maxDocFreq = 20)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** q64 — Gopher-rule quality filter: thresholds chosen to split the
     * corpus on three rules (token count 30–90, avg word length ≤ 4.5,
     * ≥ 1 English stopword hit) while the symbol/alpha rules pass
@@ -1154,6 +1176,7 @@ object QueriesLlm {
     "q126_gram_novelty"  -> (q126GramNovelty _),
     "q128_winnow"        -> (q128Winnow _),
     "q129_winnow_overlap" -> (q129WinnowOverlap _),
+    "q130_winnow_dedup"  -> (q130WinnowDedup _),
     "q64_quality_filter" -> (q64QualityFilter _),
     "q65_remove_spans"   -> (q65RemoveSpans _),
     "q66_contamination_bloom" -> (q66ContaminationBloom _),
@@ -1775,7 +1798,9 @@ object QueriesLlm {
     // convention; smoothing add-1 over B=1000
     "q119_dsir_weights" ->
       """WITH toks AS (SELECT doc_id, lang,
-                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                list_filter(
+                  regexp_split_to_array(trim(lower(text)), '\s+'),
+                  w -> length(w) > 0) AS t
               FROM documents),
          g AS (SELECT doc_id, lang, unnest(t) AS gram FROM toks
                UNION ALL
@@ -1808,7 +1833,9 @@ object QueriesLlm {
     // interpolation bit-for-bit — the round-6 parity sweep)
     "q120_dsir_sample" ->
       """WITH toks AS (SELECT doc_id, lang,
-                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                list_filter(
+                  regexp_split_to_array(trim(lower(text)), '\s+'),
+                  w -> length(w) > 0) AS t
               FROM documents),
          g AS (SELECT doc_id, lang, unnest(t) AS gram FROM toks
                UNION ALL
@@ -2104,6 +2131,63 @@ object QueriesLlm {
          SELECT id_a, id_b, n_shared,
                 round(containment, 6) AS containment
          FROM sc WHERE containment >= 0.8 ORDER BY id_a, id_b""",
+    // q130: q129's fingerprints + the doc-freq guard on CANDIDATES
+    // only (exact n_shared recomputed on unfiltered sets), then
+    // components via the q57 recursive-CTE convention; survivors =
+    // min-id per cluster + unclustered
+    "q130_winnow_dedup" ->
+      """WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id < 50
+                    UNION ALL
+                    SELECT doc_id + 20000, substr(text, 30, 120)
+                    FROM documents WHERE doc_id < 50),
+         d AS (SELECT doc_id, lower(text) AS t,
+                      length(text) AS len
+               FROM corpus),
+         g AS (SELECT doc_id, i AS j,
+                 ('0x' || substr(md5(substr(t, i::INT, 4)), 1, 15))
+                   ::BIGINT AS h
+               FROM (SELECT doc_id, t,
+                       unnest(generate_series(1,
+                         greatest(len - 3, 1))) AS i
+                     FROM d)),
+         gn AS (SELECT doc_id, max(j) AS gmax FROM g GROUP BY 1),
+         win AS (SELECT doc_id, unnest(generate_series(1,
+                   greatest(gmax - 7, 1))) AS s
+                 FROM gn),
+         wj AS (SELECT w.doc_id, w.s, g.j, g.h
+                FROM win w JOIN g ON g.doc_id = w.doc_id
+                  AND g.j >= w.s AND g.j <= w.s + 7),
+         mn AS (SELECT doc_id, s, min(h) AS mh FROM wj GROUP BY 1, 2),
+         fps AS (SELECT DISTINCT doc_id, mh AS fp FROM mn),
+         sz AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
+         dfq AS (SELECT fp, count(*) AS dfc FROM fps GROUP BY 1),
+         filt AS (SELECT f.doc_id, f.fp FROM fps f
+                  JOIN dfq USING (fp) WHERE dfc <= 20),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM filt a JOIN filt b
+                    ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         ex AS (SELECT c.id_a, c.id_b, count(*) AS n_shared
+                FROM cand c
+                JOIN fps fa ON fa.doc_id = c.id_a
+                JOIN fps fb ON fb.doc_id = c.id_b AND fb.fp = fa.fp
+                GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM ex
+                   JOIN sz sa ON sa.doc_id = id_a
+                   JOIN sz sb ON sb.doc_id = id_b
+                   WHERE n_shared >= 3
+                     AND n_shared * 1.0 / least(sa.n, sb.n) >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach AS (SELECT a, b FROM edges
+                   UNION
+                   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         roots AS (SELECT a AS id, least(a, min(b)) AS root
+                   FROM reach GROUP BY a),
+         losers AS (SELECT id FROM roots WHERE root <> id)
+         SELECT CAST(c.doc_id AS BIGINT) AS doc_id FROM corpus c
+         WHERE c.doc_id NOT IN (SELECT id FROM losers)
+         ORDER BY doc_id""",
     // q122: q33's cross join with the label-inequality + semi-hard
     // band filters applied before the per-anchor rank
     "q122_hard_negatives" ->

@@ -183,6 +183,39 @@ object QueriesWrite {
       .orderBy("nationkey")
   }
 
+  /** q131 — schema evolution read back through the oracle: a v1
+    * batch (3 columns) and a widened v2 batch (+o_orderpriority)
+    * land as sibling partitions; `mergeSchema = true` must surface
+    * the union schema with v1's missing column as NULL (the
+    * reference's evolved-dataset read, s3/_read_parquet.py's
+    * pyarrow dataset semantics). The oracle replays the evolution
+    * with UNION ALL BY NAME over an explicit NULL column.
+    */
+  def q131WriteMergeSchema(spark: SparkSession, dir: String): DataFrame = {
+    val root = rt(dir, "q131")
+    val orders = t(spark, dir, "orders")
+    val v1 = orders.filter(year(col("o_orderdate")) < 1998)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        lit("v1").as("batch"))
+    val v2 = orders.filter(year(col("o_orderdate")) >= 1998)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"), lit("v2").as("batch"))
+    Writer.toParquet(spark, v1, root,
+      WriteOptions(dataset = true, partitionCols = Seq("batch"),
+        mode = "overwrite"))
+    Writer.toParquet(spark, v2, root,
+      WriteOptions(dataset = true, partitionCols = Seq("batch"),
+        mode = "append", schemaEvolution = true))
+    Reader.readParquet(spark, Seq(root),
+        ReadOptions(dataset = true, mergeSchema = true))
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        countDistinct("o_orderpriority").as("n_priorities"))
+      .orderBy("batch")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_write_dataset_roundtrip"   -> (q21WriteDatasetRoundtrip _),
     "q22_write_overwrite_partitions"-> (q22WriteOverwritePartitions _),
@@ -191,7 +224,8 @@ object QueriesWrite {
     "q25_write_json_roundtrip"      -> (q25WriteJsonRoundtrip _),
     "q26_catalog_table"             -> (q26CatalogTable _),
     "q40_jdbc_roundtrip"            -> (q40JdbcRoundtrip _),
-    "q49_merge_datasets"            -> (q49MergeDatasets _))
+    "q49_merge_datasets"            -> (q49MergeDatasets _),
+    "q131_write_merge_schema"       -> (q131WriteMergeSchema _))
 
   val oracles: Map[String, String] = Map(
     "q21_write_dataset_roundtrip" ->
@@ -233,5 +267,19 @@ object QueriesWrite {
     "q49_merge_datasets" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS n,
                 round(sum(s_acctbal), 2) AS total_bal
-         FROM supplier GROUP BY 1 ORDER BY 1""")
+         FROM supplier GROUP BY 1 ORDER BY 1""",
+    "q131_write_merge_schema" ->
+      """WITH v1 AS (SELECT o_orderkey, o_totalprice,
+                            CAST(NULL AS VARCHAR) AS o_orderpriority,
+                            'v1' AS batch
+                     FROM orders WHERE year(o_orderdate) < 1998),
+         v2 AS (SELECT o_orderkey, o_totalprice, o_orderpriority,
+                       'v2' AS batch
+                FROM orders WHERE year(o_orderdate) >= 1998),
+         u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+         SELECT batch, count(*) AS n,
+                round(sum(o_totalprice), 2) AS total,
+                count(o_orderpriority) AS n_with_priority,
+                count(DISTINCT o_orderpriority) AS n_priorities
+         FROM u GROUP BY 1 ORDER BY 1""")
 }

@@ -269,7 +269,7 @@ object Bpe {
                   else Iterator.empty
                 val r =
                   if (candSet((syms(i), syms(i + 1))))
-                    Iterator(((syms(i), syms(i + 1)), " " + syms(i + 2), cnt))
+                    Iterator(((syms(i), syms(i + 1)), "\u0000" + syms(i + 2), cnt))
                   else Iterator.empty
                 l ++ r
               }

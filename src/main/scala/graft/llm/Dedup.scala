@@ -537,6 +537,31 @@ object Dedup {
       .agg(count(lit(1)).as("mb"))
       .filter(col("mb") >= minBandMatches)
       .select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // the downstream joins broadcast candidates / the batch / candA
+    // STATICALLY (the no-corpus-shuffle-write plan), but candidates
+    // is DATA-DEPENDENT — bounded by band matches, which a
+    // contract-violating batch or a boilerplate band flood can
+    // inflate past what a static broadcast survives (8 GB hard limit
+    // / driver heap). Guard before committing: candidates is already
+    // persisted, so counting it is the price of one small scan; past
+    // the cap, fall back to shuffled joins with a warning (the same
+    // degrade-don't-die convention as gramSaturationGuard).
+    val bcastCap = spark.conf
+      .get("graft.dedup.maxBroadcastCandidates", "5000000").toLong
+    val nCand = candidates.count()
+    val nBatch = newSig.count()
+    val safeBcast = nCand <= bcastCap && nBatch <= bcastCap
+    if (!safeBcast)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"probeMinhashIndex: candidate set ($nCand pairs, batch " +
+          s"$nBatch docs) exceeds graft.dedup.maxBroadcastCandidates " +
+          s"($bcastCap) — falling back to shuffled joins (correct but " +
+          "corpus-shuffling); a flood this size usually means " +
+          "boilerplate bands — consider minBandMatches > 1")
+    def bcastIfSafe(df: DataFrame): DataFrame =
+      if (safeBcast) broadcast(df) else df
 
     // signature-estimate prefilter (6σ, see minhashNearDups)
     val slack = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
@@ -555,9 +580,9 @@ object Dedup {
     // broadcast statically for the same no-corpus-shuffle-write
     // reason as the band join above (candidates are bounded by the
     // batch's band matches, batch signatures by the batch itself)
-    val strong = broadcast(candidates)
+    val strong = bcastIfSafe(candidates)
       .join(aSide, "id_a")
-      .join(broadcast(bSide), "id_b")
+      .join(bcastIfSafe(bSide), "id_b")
       .filter(estMatches.cast("double") / numHashes >= threshold - slack)
       .select("id_a", "id_b")
       // a duplicate id in the index (a doc appended under two tags, in
@@ -575,7 +600,7 @@ object Dedup {
     // corpus side a scan that drops non-candidates in place
     val candA = strong.select(col("id_a").as("id")).distinct()
     val corpusShingles = shingleHashRows(corpus, idCol, textCol, shingleK)
-      .join(broadcast(candA), Seq("id"), "left_semi")
+      .join(bcastIfSafe(candA), Seq("id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizesA = corpusShingles.groupBy("id").agg(count(lit(1)).as("na"))
     val sizesB = newShingles.groupBy("id").agg(count(lit(1)).as("nb"))
@@ -599,6 +624,7 @@ object Dedup {
     result.count()
     newShingles.unpersist(blocking = false)
     newSig.unpersist(blocking = false)
+    candidates.unpersist(blocking = false)
     strong.unpersist(blocking = false)
     corpusShingles.unpersist(blocking = false)
     result
@@ -1096,11 +1122,17 @@ object Dedup {
     * Scale shape: the equi-join runs on the winnowed sets (density
     * 2/(w+1) of the gram stream), keyed on fixed-width hashes.
     * `maxDocFreq` drops hashes present in more than that many docs
-    * before the join — the standard boilerplate/flood guard (a
-    * corpus-wide header's fingerprint would otherwise join
-    * quadratically; same mechanism class as the banded-LSH cap). The
-    * set sizes for containment are counted BEFORE the guard, so the
-    * score's meaning does not depend on it.
+    * from CANDIDATE GENERATION only — the standard boilerplate/flood
+    * guard (a corpus-wide header's fingerprint would otherwise join
+    * quadratically; same mechanism class as the banded-LSH cap).
+    * `n_shared` and `containment` are then recomputed EXACTLY on the
+    * unfiltered fingerprint sets of the surviving candidate pairs
+    * (the guarded-candidates + exact-verify shape of
+    * [[probeMinhashIndex]]), so the guard never changes a reported
+    * score — a verbatim fragment whose fingerprints include
+    * corpus-wide hashes still scores containment 1.0. What the guard
+    * CAN do is drop a pair entirely when every one of its shared
+    * hashes is flood-frequent (that pruning is its purpose).
     *
     * @return (id_a, id_b, n_shared, containment) with id_a < id_b
     */
@@ -1121,6 +1153,24 @@ object Dedup {
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
       .select(col("id"), col("fp")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lazyOut = winnowOverlapLazy(fps, minShared, minContainment,
+      maxDocFreq)
+    val out = lazyOut
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    fps.unpersist(blocking = false)
+    out
+  }
+
+  /** The lazy (un-persisted) overlap-join plan over a prepared
+    * distinct (id, fp) frame — split out so the Plans tool and
+    * PlanSpec can inspect the full join/guard/verify structure, which
+    * the public entry point hides behind its result cache.
+    */
+  private[graft] def winnowOverlapLazy(fps: DataFrame, minShared: Int,
+                                       minContainment: Double,
+                                       maxDocFreq: Option[Int])
+      : DataFrame = {
     val sizes = fps.groupBy("id").agg(count(lit(1)).as("__n"))
     val filtered = maxDocFreq match {
       case Some(m) =>
@@ -1129,11 +1179,32 @@ object Dedup {
         fps.join(freq, "fp")
       case None => fps
     }
-    val out = filtered.as("a")
+    val pairCounts = filtered.as("a")
       .join(filtered.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
+    // with the flood guard on, the counts above are over PRUNED
+    // hashes — recompute n_shared exactly on the unfiltered sets for
+    // the surviving candidate pairs (bounded by candidates, not the
+    // corpus), so the guard prunes join keys without biasing scores.
+    // minShared applies to the EXACT count only: a pair whose pruned
+    // count is below the bar can still clear it exactly.
+    val exact = maxDocFreq match {
+      case None => pairCounts
+      case Some(_) =>
+        val cand = pairCounts.select("id_a", "id_b")
+        val candDocs = cand.select(col("id_a").as("id"))
+          .union(cand.select(col("id_b").as("id"))).distinct()
+        val fpsCand = fps.join(candDocs, Seq("id"), "left_semi")
+        cand
+          .join(fpsCand.select(col("id").as("id_a"), col("fp")), "id_a")
+          .join(fpsCand.select(col("id").as("id_b"), col("fp")),
+            Seq("id_b", "fp"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("n_shared"))
+    }
+    exact
       .filter(col("n_shared") >= minShared)
       .join(sizes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("__n", "__na"), "id_a")
@@ -1144,9 +1215,58 @@ object Dedup {
       .filter(col("containment") >= minContainment)
       .select(col("id_a"), col("id_b"), col("n_shared"),
         col("containment"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    fps.unpersist(blocking = false)
+  }
+
+  /** The safe-at-scale winnow pair entry point: [[winnowOverlapJoin]]
+    * with the doc-frequency flood guard ON BY DEFAULT (the
+    * `minhashNearDups`-in-composed-paths convention, cf. the q57
+    * pipeline): an unsupervised dedup run over whatever a 100 TB
+    * crawl contains WILL hit a corpus-wide boilerplate fingerprint,
+    * and the unguarded fp self-join is quadratic per flooded hash —
+    * the measured-unfinishable LSH flood failure mode (BENCHNOTES
+    * round 5; winnow slope table round 8). The guard only prunes
+    * candidate-join keys — surviving pairs' scores are exact
+    * (recomputed on unfiltered sets inside winnowOverlapJoin).
+    *
+    * `maxDocFreq <= 0` turns the guard off (the `maxBandBucket`
+    * convention). Choose the cap ≥ the largest legitimate
+    * near-duplicate family × a small factor: overlap pairs inside a
+    * flood bucket vanish only when EVERY shared hash is
+    * flood-frequent, i.e. pure-boilerplate pairs — which is what the
+    * guard is for.
+    */
+  def winnowNearDups(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 4, w: Int = 8, minShared: Int = 3,
+                     minContainment: Double = 0.8,
+                     maxDocFreq: Int = 1000): DataFrame =
+    winnowOverlapJoin(df, idCol, textCol, k, w, minShared,
+      minContainment,
+      if (maxDocFreq <= 0) None else Some(maxDocFreq))
+
+  /** End-to-end winnow dedup — the composed pipeline a training-data
+    * job actually runs: guarded overlap pairs ([[winnowNearDups]]) →
+    * connected components ([[dupClusters]]) → keep the min-id doc per
+    * overlap cluster plus every unclustered doc
+    * ([[dedupNearDups]]). Sub-document overlap (quotation,
+    * extraction, mosaic reuse ≥ w + k − 1 chars) collapses to one
+    * representative — the complement of `dedupNearDups`-over-minhash,
+    * which needs whole-document similarity.
+    *
+    * Scale shape: inherits each stage's — zero-shuffle fingerprint
+    * kernel, doc-freq-guarded fixed-width equi-join, candidate-bounded
+    * exact verify, pointer-jump components with checkpoint hygiene.
+    */
+  def dedupWinnowOverlaps(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 4, w: Int = 8, minShared: Int = 3,
+                          minContainment: Double = 0.8,
+                          maxDocFreq: Int = 1000): DataFrame = {
+    val pairs = winnowNearDups(df, idCol, textCol, k, w, minShared,
+      minContainment, maxDocFreq)
+    // dupClusters (inside dedupNearDups) is iterative and eager, so
+    // pairs is fully consumed once this returns; the surviving frame
+    // references only the checkpointed labels
+    val out = dedupNearDups(df, idCol, pairs)
+    pairs.unpersist(blocking = false)
     out
   }
 

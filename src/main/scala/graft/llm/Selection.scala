@@ -31,13 +31,20 @@ object Selection {
     * a doc with L tokens explodes positions 1..2L−1 — 1..L are the
     * unigrams, L+1..2L−1 the bigrams at start i−L — so the corpus is
     * tokenized once, not once per gram order; everything stays inside
-    * whole-stage codegen.
+    * whole-stage codegen. Zero-length tokens are dropped before
+    * hashing (an empty/whitespace-only doc would otherwise mint one
+    * spurious empty-string gram and every empty doc would share its
+    * bucket — the trainBpeMerges length(w) > 0 convention); empty
+    * docs therefore emit NO gram rows and are absent from DSIR
+    * scores rather than identically-weighted.
     */
   private def gramBucketRows(df: DataFrame, idCol: String,
                              textCol: String,
                              numBuckets: Int): DataFrame = {
     val toks = df.select(col(idCol).cast("long").as("id"),
-      split(trim(lower(col(textCol))), "\\s+").as("t"))
+        filter(split(trim(lower(col(textCol))), "\\s+"),
+          w => length(w) > 0).as("t"))
+      .filter(size(col("t")) > 0)
     val L = size(col("t"))
     val gram = when(col("i") <= L, element_at(col("t"), col("i")))
       .otherwise(concat_ws(" ",

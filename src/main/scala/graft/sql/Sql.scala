@@ -162,15 +162,19 @@ object Sql {
             // a still-live entry can be replaced here (stored-TTL live
             // but stale under THIS caller's window) — release its
             // persisted blocks or they stay pinned until session stop
-            cache.put(canon, Entry(started, ttlSec, df, queryId))
+            val inserted = Entry(started, ttlSec, df, queryId)
+            cache.put(canon, inserted)
               .foreach(prev => prev.df.unpersist(blocking = false))
             // double-check: an invalidation between the generation
             // read and the put must still win — remove what we just
             // inserted (invalidateCache bumps gen BEFORE clearing, so
-            // one of the two always sees the other's write)
-            if (sc.gen.get() != genAtStart)
-              cache.remove(canon).foreach(e =>
-                e.df.unpersist(blocking = false))
+            // one of the two always sees the other's write). The
+            // remove is scoped to OUR entry (conditional remove on the
+            // exact instance): a fresh entry inserted meanwhile by a
+            // query that started AFTER the invalidation must survive.
+            if (sc.gen.get() != genAtStart &&
+                cache.remove(canon, inserted))
+              inserted.df.unpersist(blocking = false)
           } else {
             // an invalidation raced this execution: the result may
             // predate whatever the invalidation accounted for — do

@@ -32,23 +32,54 @@ object GenDocs {
   private val Langs: Array[String] =
     Array("en", "en", "en", "de", "es", "fr", "zh")
 
+  /** Open-vocabulary mode: 50k word types drawn Zipf(s = 1.1) — the
+    * web-text shape, where new documents keep minting rare types, so
+    * gram/bucket spaces do NOT saturate with corpus size (the
+    * mechanism the round-7 closed-vocab decade conflated with corpus
+    * mass; SCALING.md round-8 separates them). Inverse-CDF over a
+    * precomputed cumulative table, deterministic per (seed, id).
+    */
+  private val OpenVocabTypes = 50000
+  private lazy val zipfCdf: Array[Double] = {
+    val w = Array.tabulate(OpenVocabTypes)(i => math.pow(i + 1.0, -1.1))
+    val total = w.sum
+    val cdf = new Array[Double](OpenVocabTypes)
+    var acc = 0.0
+    var i = 0
+    while (i < OpenVocabTypes) { acc += w(i) / total; cdf(i) = acc; i += 1 }
+    cdf
+  }
+
+  private def zipfWord(r: java.util.Random): String = {
+    val u = r.nextDouble()
+    var lo = 0
+    var hi = OpenVocabTypes - 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (zipfCdf(mid) < u) lo = mid + 1 else hi = mid
+    }
+    "w" + lo
+  }
+
   private def rngFor(seed: Long, id: Long): java.util.Random =
     new java.util.Random(seed ^ (id * 0x9E3779B97F4A7C15L))
 
-  private def baseText(id: Long): String = {
+  private def baseText(id: Long, open: Boolean): String = {
     val r = rngFor(42L, id)
     val n = 10 + r.nextInt(91)
     val sb = new StringBuilder
     var i = 0
     while (i < n) {
       if (i > 0) sb += ' '
-      sb ++= Vocab(r.nextInt(Vocab.length))
+      if (open) sb ++= zipfWord(r)
+      else sb ++= Vocab(r.nextInt(Vocab.length))
       i += 1
     }
     sb.toString
   }
 
-  def generate(spark: SparkSession, outDir: String, numDocs: Long): Unit = {
+  def generate(spark: SparkSession, outDir: String, numDocs: Long,
+               openVocab: Boolean = false): Unit = {
     import spark.implicits._
     val nPairs = (numDocs * 0.051).toLong
     // planted (src, dst, exact) triples — driver-sized (2.5k at sf1);
@@ -76,15 +107,16 @@ object GenDocs {
       .as[(Long, Option[Long], Option[Boolean])]
       .map { case (id, src, exact) =>
         val text = src match {
-          case None => baseText(id)
+          case None => baseText(id, openVocab)
           case Some(s) =>
-            val t = baseText(s)
+            val t = baseText(s, openVocab)
             if (exact.contains(true)) t
             else {
               // one appended word: kills ~2 of ~54 word grams, so
               // J ≈ 0.96 — the shipped near-dup profile
               val r = rngFor(46L, id)
-              t + " " + Vocab(r.nextInt(Vocab.length))
+              if (openVocab) t + " " + zipfWord(r)
+              else t + " " + Vocab(r.nextInt(Vocab.length))
             }
         }
         val r = rngFor(47L, id)
@@ -98,13 +130,15 @@ object GenDocs {
     println(s"wrote $outDir/documents.parquet ($numDocs docs)")
   }
 
+  /** Usage: runMain graft.tools.GenDocs <outDir> <numDocs> [closed|open] */
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/root/repo/target/graft-sf1")
     val n = args.lift(1).map(_.toLong).getOrElse(50000L)
+    val open = args.lift(2).contains("open")
     val spark = GraftSession.builder("graft-gendocs", "local[32]")
       .config("spark.sql.shuffle.partitions", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, outDir, n)
+    generate(spark, outDir, n, open)
     spark.stop()
   }
 }

@@ -23,7 +23,16 @@ import graft.streaming.Streaming
   * the measured window, so the listener sums ALL task metrics between
   * the start/stop marks.
   *
-  * Usage: runMain graft.tools.StreamIngestMeasure <docsParquet> <label>
+  * With the 3rd arg `novelty`, the per-batch gram-novelty gate
+  * (StreamingSpec's mosaic-catcher composition: keep docs with ≥ 30%
+  * novel word-5-grams vs the corpus) runs BEFORE the probe — the
+  * decade question is what the gate's reference-gram membership join
+  * adds per batch: the batch side is fixed, the reference distinct
+  * gram set is corpus-proportional, so the gate's cost should move
+  * linearly with the corpus (one gram scan + distinct per batch) and
+  * never quadratically.
+  *
+  * Usage: runMain graft.tools.StreamIngestMeasure <docsParquet> <label> [novelty]
   */
 object StreamIngestMeasure {
 
@@ -45,6 +54,7 @@ object StreamIngestMeasure {
   def main(args: Array[String]): Unit = {
     val docsPath = args(0)
     val label = args.lift(1).getOrElse("gen")
+    val noveltyGate = args.lift(2).contains("novelty")
     val spark = GraftSession.builder("graft-ingest-measure", "local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .getOrCreate()
@@ -91,17 +101,28 @@ object StreamIngestMeasure {
       val ckpt = s"$base/ckpt-$rep"
       if (rep == 1) { listener.reset(); listener.on.set(true) }
       val t1 = System.nanoTime()
+      val gate: Option[org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame] =
+        if (!noveltyGate) None
+        else Some { df =>
+          val nov = Dedup.gramNoveltyScore(df, corpus, "doc_id", "text",
+            "doc_id", "text", n = 5)
+          df.join(nov.filter(F.col("novelty") >= 0.3)
+            .select(F.col("id").as("doc_id")), Seq("doc_id"))
+        }
       val q = Streaming.dedupIngestStream(
         Streaming.readParquetStream(spark, srcDir, batch,
           maxFilesPerTrigger = 100),
-        "doc_id", "text", idx, corpus, out, ckpt, minBandMatches = 3)
+        "doc_id", "text", idx, corpus, out, ckpt, minBandMatches = 3,
+        qualityGate = gate)
       try q.processAllAvailable() finally q.stop()
       val wall = (System.nanoTime() - t1) / 1e9
       if (rep == 1) {
         listener.on.set(false)
         Thread.sleep(1500)
         val landed = spark.read.parquet(out).count()
-        println(f"[im] probe_batch | corpus=$nCorpus | wall=$wall%.2f s | " +
+        val tag = if (noveltyGate) "probe_batch_novelty" else "probe_batch"
+        println(f"[im] $tag | corpus=$nCorpus | wall=$wall%.2f s | " +
           f"task=${listener.taskMs.get() / 1e3}%.1f s | " +
           f"shuffle_mb=${listener.shuffle.get() / 1e6}%.2f | " +
           f"tasks=${listener.tasks.get()} | landed=$landed")

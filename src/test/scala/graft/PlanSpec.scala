@@ -324,6 +324,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"))
   }
 
+  test("q128 winnow fingerprint kernel plans with zero shuffle") {
+    val p = planOf(graft.llm.Dedup.winnowFingerprints(
+      Tables.read(spark, sf, "documents"), "doc_id", "text"))
+    // per-doc hash pass + window sweep is row-parallel mapPartitions —
+    // any Exchange means cross-document state crept into the kernel
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"unexpected join/window in:\n$p")
+  }
+
+  test("q126 novelty membership join broadcasts the reference side") {
+    val docs = Tables.read(spark, sf, "documents")
+    val out = graft.llm.Dedup.gramNoveltyScore(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") < 400),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 400)
+        .limit(50),
+      "doc_id", "text", "doc_id", "text", n = 5)
+    out.count() // materialize so AQE commits the final plan
+    val p = out.queryExecution.executedPlan.toString
+    // the reference's distinct gram set must reach the membership
+    // join as a broadcast — a sort-merge join here shuffles the
+    // CORPUS gram rows, the corpus-proportional cost the operator's
+    // scale shape forbids (the only corpus shuffle is the per-doc
+    // count AFTER the join)
+    assert(p.contains("BroadcastHashJoin"),
+      s"reference side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus grams shuffled into the membership join:\n$p")
+  }
+
   test("q114 windowed heavy hitters keep state per window key") {
     val p = planOf(graft.streaming.Streaming.windowedHeavyHitters(
       Tables.read(spark, sf, "events"), "ts", "event_type",

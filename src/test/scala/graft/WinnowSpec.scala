@@ -116,4 +116,33 @@ class WinnowSpec extends SparkSpec {
       Dedup.winnowOverlapJoin(df, "id", "txt", minContainment = 1.5)
     }
   }
+
+  test("the guard prunes candidates but never changes a score") {
+    // source doc = boilerplate + long unique body; fragment = a
+    // verbatim substring spanning boilerplate AND unique body; 5
+    // filler docs replicate the boilerplate so its fingerprints
+    // exceed maxDocFreq = 3. The (source, fragment) pair must
+    // survive the guard via the unique-body hashes AND still score
+    // containment EXACTLY 1.0 — every fragment fingerprint,
+    // including the flood-pruned boilerplate ones, is in the source
+    // (the exact-verify recompute; pre-fix the pruned numerator
+    // dragged it below 1.0).
+    val boiler = "standard license header included on every page"
+    val body = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen zebras quarrel about juxtaposed quilts near a " +
+      "vexingly cozy fjord bank under amber twilight skies"
+    val source = s"$boiler $body"
+    val frag = source.substring(20, 120) // spans header + body
+    val fillers = (10L until 15L).map(i =>
+      (i, s"$boiler filler tail number $i ${"z" * i.toInt}"))
+    val df = (Seq((0L, source), (1L, frag)) ++ fillers).toDF("id", "txt")
+    val guarded = Dedup.winnowOverlapJoin(df, "id", "txt",
+      minShared = 1, maxDocFreq = Some(3))
+    val pair = guarded.filter(col("id_a") === 0 && col("id_b") === 1)
+      .collect()
+    guarded.unpersist(blocking = false)
+    assert(pair.length == 1, "the fragment pair must survive the guard")
+    assert(pair(0).getAs[Double]("containment") == 1.0,
+      s"guard must not change the score: ${pair(0)}")
+  }
 }

@@ -161,6 +161,62 @@ class WriterSpec extends SparkSpec {
     } finally spark.conf.unset(GraftSession.confKeys.concurrentWrites)
   }
 
+  test("lifecycle matrix: concurrent {1,8} x partitioned/unpartitioned") {
+    // the reference runs its routine lifecycle across use_threads ×
+    // concurrent_partitioning (tests/test__routines.py:13-466); the
+    // engine analogue is the graft.write.concurrent fan-out × the
+    // partition layout — a commit bug that only shows under fan-out
+    // (e.g. per-file salting breaking overwrite_partitions' touched-
+    // partition discovery) surfaces here, not in the single-cell tests
+    val nAll = orders.count()
+    val fCount = orders.filter($"o_orderstatus" === "F").count()
+    val otherCount = orders.filter($"o_orderstatus" =!= "F").count()
+    assert(fCount > 1 && otherCount > 0)
+    for (conc <- Seq("1", "8"); parted <- Seq(true, false)) {
+      val cell = s"conc=$conc parted=$parted"
+      spark.conf.set(GraftSession.confKeys.concurrentWrites, conc)
+      try {
+        val root = tmpDir(s"writer-matrix-$conc-$parted")
+        val pcols = if (parted) Seq("o_orderstatus") else Nil
+        val opts = WriteOptions(dataset = true, partitionCols = pcols,
+          mode = "overwrite")
+        Writer.toParquet(spark, orders, root, opts)
+        assert(spark.read.parquet(root).count() == nAll,
+          s"$cell: overwrite")
+        Writer.toParquet(spark, orders, root, opts.copy(mode = "append"))
+        assert(spark.read.parquet(root).count() == 2 * nAll,
+          s"$cell: append")
+        // the evolution guard must hold in every cell
+        val e = intercept[InvalidArgumentValue] {
+          Writer.toParquet(spark, orders.withColumn("extra", lit(1)),
+            root, opts.copy(mode = "append", schemaEvolution = false))
+        }
+        assert(e.getMessage.contains("extra"), s"$cell: evolution")
+        if (parted) {
+          // replace partition F with one row; others stay intact
+          Writer.toParquet(spark,
+            orders.filter($"o_orderstatus" === "F").limit(1), root,
+            opts.copy(mode = "overwrite_partitions"))
+          val back = spark.read.parquet(root)
+          assert(back.filter($"o_orderstatus" === "F").count() == 1,
+            s"$cell: overwrite_partitions touched")
+          assert(back.filter($"o_orderstatus" =!= "F").count() ==
+            2 * otherCount, s"$cell: overwrite_partitions untouched")
+          // fan-out ceiling holds per leaf directory
+          val perDir = FsOps.listObjects(spark, root,
+              suffix = Seq(".parquet"))
+            .groupBy(_.path.split('/').takeRight(2).head)
+          assert(perDir.values.forall(_.size <= conc.toInt * 2),
+            s"$cell: fan-out runaway (append doubles files)")
+        }
+        // overwrite resets the dataset regardless of history
+        Writer.toParquet(spark, orders.limit(10), root,
+          opts.copy(mode = "overwrite"))
+        assert(spark.read.parquet(root).count() == 10, s"$cell: reset")
+      } finally spark.conf.unset(GraftSession.confKeys.concurrentWrites)
+    }
+  }
+
   test("fan-out salt survives dotted column names") {
     // col("price.usd") parses as struct access — the salt must quote
     val root = tmpDir("writer-dotcol")
