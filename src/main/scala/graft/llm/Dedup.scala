@@ -208,12 +208,34 @@ object Dedup {
     // self-join's two reads cost two cache scans, not two pipelines
     val banded = bandedOf(sig, numHashes, bands)
 
+    // The self-join's strategy is chosen EXPLICITLY from a measured
+    // count, never from planner estimates: the static planner — seeing
+    // only the NOT-YET-MATERIALIZED cache's near-zero stats — was
+    // measured (open-vocab decade, SCALING.md round 8) planning a
+    // BROADCAST of one corpus-proportional band side: 176 MB
+    // serialized / 1.0 GB in executor memory at a 50k-doc corpus,
+    // i.e. a hard 8 GB-limit failure two decades later. Counting sig
+    // (which materializes the persisted signatures the funnel needs
+    // anyway) costs one job and makes the decision exact: small
+    // corpora keep the fast broadcast build, anything past the cap is
+    // forced sort-merge — linear shuffle, AQE skew-split available.
+    val spark0 = df.sparkSession
+    val bcastCap = spark0.conf
+      .get("graft.dedup.maxBroadcastCandidates", "5000000").toLong
+    // band rows expand ~6× from serialized to in-executor-memory
+    // hashed-relation form (measured: 1.6M rows = 176 MB serialized
+    // → 1.0 GB in MemoryStore), so their broadcast cap is an eighth
+    // of the narrow-pair cap
+    val nBandRows = sig.count() * bands
+    def bandSide(c: DataFrame): DataFrame =
+      if (nBandRows <= bcastCap / 8) broadcast(c) else c.hint("merge")
+
     // one row per (pair, matching band); both enumeration modes feed
     // the same band-agreement count below
     val pairBands =
       if (maxBandBucket <= 0)
         banded.as("x")
-          .join(banded.as("y"),
+          .join(bandSide(banded.as("y")),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
               col("x.id") < col("y.id"))
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -229,7 +251,7 @@ object Dedup {
         val small = sized.filter(col("bsz") <= maxBandBucket)
           .select("id", "band", "bh")
         val allPairs = small.as("x")
-          .join(small.as("y"),
+          .join(bandSide(small.as("y")),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
               col("x.id") < col("y.id"))
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -244,6 +266,27 @@ object Dedup {
       .agg(count(lit(1)).as("mb"))
       .filter(col("mb") >= minBandMatches)
       .select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // the funnel's downstream joins pair the (small) candidate side
+    // with corpus-proportional tables (signatures, shingles). The
+    // planner cannot be trusted to orient them: un-materialized
+    // caches report near-zero stats, and the measured consequence
+    // (open-vocab decade, SCALING.md round 8) was the CORPUS shingle
+    // table broadcast at 1.0 GB. So the candidate side is broadcast
+    // EXPLICITLY — count-guarded, the probeMinhashIndex convention:
+    // past graft.dedup.maxBroadcastCandidates (a band flood), fall
+    // back to forced sort-merge so nothing corpus-sized is ever
+    // built into executor memory either way.
+    val safeBcast = candidates.count() <= bcastCap
+    if (!safeBcast)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"minhashNearDups: candidate pairs exceed $bcastCap — " +
+          "falling back to sort-merge verify joins (correct but " +
+          "corpus-shuffling); consider minBandMatches > 1 or " +
+          "maxBandBucket")
+    def small(c: DataFrame): DataFrame =
+      if (safeBcast) broadcast(c) else c.hint("merge")
 
     // signature-similarity prefilter: the fraction of matching minhash
     // components is an unbiased Jaccard estimate with
@@ -254,10 +297,10 @@ object Dedup {
     // module's <1e-7 budget). On a high-background corpus this is the
     // difference between exact-verifying tens of thousands of moderate
     // pairs and a few hundred (measured 75k → O(100) at sf0.1): the
-    // estimate is numHashes codegen'd comparisons per pair. No
-    // broadcast hint on the signature sides — at 5B docs the
-    // signature table is ~TB-scale and must hash-join; AQE broadcasts
-    // it by itself when it is actually small.
+    // estimate is numHashes codegen'd comparisons per pair. With the
+    // candidate side broadcast, each signature join is a pure scan of
+    // the persisted sig — at 5B docs the TB-scale signature table
+    // never shuffles and never builds.
     val slack = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
     val aSide = sig.select(
       col("id").as("id_a") +:
@@ -268,27 +311,49 @@ object Dedup {
     val estMatches = (0 until numHashes)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val strong = candidates
-      .join(aSide, "id_a")
-      .join(bSide, "id_b")
+    // join 1: broadcast candidates, STREAM the signature scan. Join 2
+    // pairs two candidate-bounded frames (the join-1 output is wide —
+    // numHashes columns — so it is NOT re-broadcast: bSide is pruned
+    // to candidate ids by a broadcast semi-join first, then forced
+    // sort-merge keeps both shuffles candidate-bounded).
+    val candB0 = candidates.select(col("id_b")).distinct()
+    val bPruned = bSide.join(small(candB0), Seq("id_b"), "left_semi")
+    val strong = small(candidates).join(aSide, "id_a")
+      .hint("merge")
+      .join(bPruned, "id_b")
       .filter(estMatches.cast("double") / numHashes >= threshold - slack)
       .select("id_a", "id_b")
+      // persisted (three consumers: candA, candB, inter) but not
+      // eagerly counted — the cache fills on first use inside the one
+      // result job, saving a whole extra pass over the estimate joins
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // exact verification, join-based: |A ∩ B| is a count over the
     // shingle rows of both candidate sides, |A ∪ B| = |A|+|B|−|A∩B| —
-    // set sizes come from one aggregation. No arrays are materialized
-    // or carried through shuffles, and every step is codegen'd. The
-    // tiny `strong` side broadcasts, so each join only streams the
-    // persisted shingle rows once.
-    val sizes = shingleRows.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = strong
-      .join(shingleRows.select(col("id").as("id_a"), col("s")), "id_a")
-      .join(shingleRows.select(col("id").as("id_b"), col("s")),
+    // set sizes come from one aggregation. The corpus shingle table
+    // is first PRUNED to candidate docs by a broadcast semi-join
+    // (scan-side filter, nothing corpus-sized moves), so the verify
+    // joins and the size aggregation run on candidate-bounded frames
+    // only — the probeMinhashIndex corpusShingles shape.
+    val candA = strong.select(col("id_a").as("id")).distinct()
+    val candB = strong.select(col("id_b").as("id")).distinct()
+    val shA = shingleRows.join(small(candA), Seq("id"), "left_semi")
+    val shB = shingleRows.join(small(candB), Seq("id"), "left_semi")
+    val sizesA = shA.groupBy("id").agg(count(lit(1)).as("n"))
+    val sizesB = shB.groupBy("id").agg(count(lit(1)).as("n"))
+    // join 1 broadcasts strong and streams the pruned shingle scan;
+    // join 2 pairs two candidate-shingle-bounded frames — forced
+    // sort-merge (the join-1 output is candidate × shingles wide,
+    // too big to re-broadcast under a flood)
+    val inter = small(strong)
+      .join(shA.select(col("id").as("id_a"), col("s")), "id_a")
+      .hint("merge")
+      .join(shB.select(col("id").as("id_b"), col("s")),
         Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("ix"))
     val result = inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .join(sizesA.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizesB.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
       .withColumn("jaccard",
         col("ix").cast("double") / (col("na") + col("nb") - col("ix"))
           .cast("double"))
@@ -297,10 +362,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the (tiny) pair result, then release the funnel's
     // intermediates — a library caller looping over corpora would
-    // otherwise accumulate two cached frames per call forever
+    // otherwise accumulate cached frames per call forever
     result.count()
     shingleRows.unpersist(blocking = false)
     sig.unpersist(blocking = false)
+    candidates.unpersist(blocking = false)
+    strong.unpersist(blocking = false)
     result
   }
 
@@ -769,23 +836,50 @@ object Dedup {
       .select(col("id"), col("g"), col("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // join strategies from measured counts, never planner estimates
+    // (un-materialized caches report near-zero stats — the measured
+    // q31 1 GB corpus-side broadcast, SCALING.md round 8): the prefix
+    // self-join broadcasts a side only while the counted prefix rows
+    // are small; the verify broadcasts only the counted candidate
+    // side, with pruned-scan corpus reads — past the caps everything
+    // falls back to forced sort-merge
+    val bcastCap = df.sparkSession.conf
+      .get("graft.dedup.maxBroadcastCandidates", "5000000").toLong
+    val nPrefix = prefix.count()
+    def prefixSide(c: DataFrame): DataFrame =
+      if (nPrefix <= bcastCap / 8) broadcast(c) else c.hint("merge")
+
     val candidates = prefix.as("x")
-      .join(prefix.as("y"),
+      .join(prefixSide(prefix.as("y")),
         col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
           col("y.sz") >= col("x.sz") * lit(threshold) - lit(1e-9) &&
           col("x.sz") >= col("y.sz") * lit(threshold) - lit(1e-9))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val safeBcast = candidates.count() <= bcastCap
+    def small(c: DataFrame): DataFrame =
+      if (safeBcast) broadcast(c) else c.hint("merge")
 
-    // exact verify: identical shape to minhashNearDups' final stage
-    val inter = candidates
-      .join(grams.select(col("id").as("id_a"), col("g")), "id_a")
-      .join(grams.select(col("id").as("id_b"), col("g")),
+    // exact verify: identical shape to minhashNearDups' final stage —
+    // corpus gram rows pruned to candidate docs by broadcast
+    // semi-joins, candidate side broadcast, second join forced
+    // sort-merge over candidate-bounded frames
+    val candA = candidates.select(col("id_a").as("id")).distinct()
+    val candB = candidates.select(col("id_b").as("id")).distinct()
+    val gA = grams.join(small(candA), Seq("id"), "left_semi")
+    val gB = grams.join(small(candB), Seq("id"), "left_semi")
+    val szA = gA.groupBy("id").agg(count(lit(1)).as("sz"))
+    val szB = gB.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = small(candidates)
+      .join(gA.select(col("id").as("id_a"), col("g")), "id_a")
+      .hint("merge")
+      .join(gB.select(col("id").as("id_b"), col("g")),
         Seq("id_b", "g"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("ix"))
     val result = inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("nb")), "id_b")
+      .join(szA.select(col("id").as("id_a"), col("sz").as("na")), "id_a")
+      .join(szB.select(col("id").as("id_b"), col("sz").as("nb")), "id_b")
       .withColumn("jaccard",
         col("ix").cast("double") / (col("na") + col("nb") - col("ix"))
           .cast("double"))
@@ -795,6 +889,7 @@ object Dedup {
     result.count()
     grams.unpersist(blocking = false)
     prefix.unpersist(blocking = false)
+    candidates.unpersist(blocking = false)
     result
   }
 
@@ -851,20 +946,40 @@ object Dedup {
         col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)) + 1)
       .select(col("id"), col("g"), col("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // strategy from measured counts (the q31 1 GB-broadcast lesson,
+    // SCALING.md round 8): the prefix side of the candidate join
+    // broadcasts only while counted-small; verify joins broadcast the
+    // counted candidate side over semi-pruned corpus scans, else
+    // forced sort-merge
+    val bcastCap = df.sparkSession.conf
+      .get("graft.dedup.maxBroadcastCandidates", "5000000").toLong
+    val nPrefix = prefix.count()
+    def prefixSide(c: DataFrame): DataFrame =
+      if (nPrefix <= bcastCap / 8) broadcast(c) else c.hint("merge")
     val allG = grams.join(sizes, "id")
-    val candidates = prefix.as("x")
+    val candidates = prefixSide(prefix.as("x"))
       .join(allG.as("y"),
         col("x.g") === col("y.g") && col("x.id") =!= col("y.id") &&
           col("y.sz") >= col("x.sz") * lit(threshold) - lit(1e-9))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val inter = candidates
-      .join(grams.select(col("id").as("id_a"), col("g")), "id_a")
-      .join(grams.select(col("id").as("id_b"), col("g")),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val safeBcast = candidates.count() <= bcastCap
+    def small(c: DataFrame): DataFrame =
+      if (safeBcast) broadcast(c) else c.hint("merge")
+    val candA = candidates.select(col("id_a").as("id")).distinct()
+    val candB = candidates.select(col("id_b").as("id")).distinct()
+    val gA = grams.join(small(candA), Seq("id"), "left_semi")
+    val gB = grams.join(small(candB), Seq("id"), "left_semi")
+    val szA = gA.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = small(candidates)
+      .join(gA.select(col("id").as("id_a"), col("g")), "id_a")
+      .hint("merge")
+      .join(gB.select(col("id").as("id_b"), col("g")),
         Seq("id_b", "g"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("ix"))
     val result = inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("na")),
+      .join(szA.select(col("id").as("id_a"), col("sz").as("na")),
         "id_a")
       .withColumn("containment",
         col("ix").cast("double") / col("na").cast("double"))
@@ -874,6 +989,7 @@ object Dedup {
     result.count()
     grams.unpersist(blocking = false)
     prefix.unpersist(blocking = false)
+    candidates.unpersist(blocking = false)
     result
   }
 
@@ -1153,8 +1269,11 @@ object Dedup {
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
       .select(col("id"), col("fp")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // counting fps materializes the kernel once (needed anyway) and
+    // lets the self-join's strategy come from a measured size instead
+    // of planner estimates — the q31 1 GB-broadcast lesson
     val lazyOut = winnowOverlapLazy(fps, minShared, minContainment,
-      maxDocFreq)
+      maxDocFreq, fpsRows = Some(fps.count()))
     val out = lazyOut
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
@@ -1166,11 +1285,26 @@ object Dedup {
     * distinct (id, fp) frame — split out so the Plans tool and
     * PlanSpec can inspect the full join/guard/verify structure, which
     * the public entry point hides behind its result cache.
+    *
+    * Join strategies never come from planner estimates (an
+    * un-materialized cache reports near-zero stats, and the measured
+    * consequence at the open-vocab decade was a 1 GB corpus-side
+    * broadcast — SCALING.md round 8): with `fpsRows` measured and
+    * small the self-join broadcasts one side, otherwise every
+    * corpus-proportional join is forced sort-merge; the verify joins
+    * are candidate-bounded and always sort-merge here (laziness
+    * forbids counting the candidate set).
     */
   private[graft] def winnowOverlapLazy(fps: DataFrame, minShared: Int,
                                        minContainment: Double,
-                                       maxDocFreq: Option[Int])
+                                       maxDocFreq: Option[Int],
+                                       fpsRows: Option[Long] = None)
       : DataFrame = {
+    val bcastCap = fps.sparkSession.conf
+      .get("graft.dedup.maxBroadcastCandidates", "5000000").toLong
+    def fpsSide(c: DataFrame): DataFrame =
+      if (fpsRows.exists(_ <= bcastCap / 8)) broadcast(c)
+      else c.hint("merge")
     val sizes = fps.groupBy("id").agg(count(lit(1)).as("__n"))
     val filtered = maxDocFreq match {
       case Some(m) =>
@@ -1180,7 +1314,7 @@ object Dedup {
       case None => fps
     }
     val pairCounts = filtered.as("a")
-      .join(filtered.as("b"),
+      .join(fpsSide(filtered.as("b")),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -1199,6 +1333,7 @@ object Dedup {
         val fpsCand = fps.join(candDocs, Seq("id"), "left_semi")
         cand
           .join(fpsCand.select(col("id").as("id_a"), col("fp")), "id_a")
+          .hint("merge")
           .join(fpsCand.select(col("id").as("id_b"), col("fp")),
             Seq("id_b", "fp"))
           .groupBy("id_a", "id_b")
