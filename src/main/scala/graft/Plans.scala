@@ -218,7 +218,22 @@ object Plans {
       "q128_winnow" ->
         ("winnow fingerprints: one zero-shuffle row-parallel " +
           "mapPartitions kernel (PlanSpec-pinned) — the only " +
-          "exchange is the presentation sort"))
+          "exchange is the presentation sort"),
+      "q132_bpe_fertility" ->
+        ("tokenizer fertility: memoized row-parallel segmentation " +
+          "(bpeTokenCount's kernel), then a |groups|-row aggregate " +
+          "of three longs — the only shuffle is group-keyed and " +
+          "dimension-sized"),
+      "q133_html_extract" ->
+        ("HTML extraction: the whole block/tag/entity regex chain is " +
+          "ONE zero-shuffle codegen projection (PlanSpec-pinned) — " +
+          "the only exchange is the presentation sort"),
+      "q134_data_card" ->
+        ("data card: every section a bounded aggregate over one " +
+          "shared cached projection; share windows run single-" +
+          "partition over |langs|/|sources| PRE-REDUCED rows " +
+          "(PlanSpec-pinned), quantiles via the O(buckets) exact-" +
+          "quantile path"))
 
     val sb = new StringBuilder
     sb ++= s"# PLANS — formatted physical plans at $sfDir\n\n"

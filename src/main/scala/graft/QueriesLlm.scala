@@ -437,6 +437,57 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** q132 — tokenizer fertility per source under q72's fixed merge
+    * list: word / in-word-char / BPE-token totals plus tokens-per-word
+    * and chars-per-token. The oracle replays q72's replace-chain
+    * segmentation per word (replace's left-to-right non-overlapping
+    * scan IS `applyMerge`'s) and aggregates per source.
+    */
+  def q132BpeFertility(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Bpe.bpeFertility(t(spark, dir, "documents"),
+        "source", "text", Seq(("e", "r"), ("t", "h"), ("th", "e")))
+      .orderBy("grp")
+
+  /** q133 — HTML-to-text extraction with link density. The corpus has
+    * no markup, so pages are built DETERMINISTICALLY on both sides:
+    * every doc is wrapped in a fixed skeleton (comment + script +
+    * style + h1 + p + one anchor), and ` and ` → ` &amp; ` plants
+    * entities in the prose. The oracle replays block stripping, tag
+    * removal, the entity chain (same order, `&amp;` last), whitespace
+    * collapse, and the anchor-chars numerator with the same regexes
+    * (DuckDB's RE2 and Java's regex agree on every pattern used:
+    * non-greedy, (?si), \b, char classes).
+    */
+  def q133HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val html = concat(
+      lit("<html><!-- generated --><head><script type=\"text/javascript\">var x = 1 < 2;</script><style>p { color: red; }</style></head><body><h1>"),
+      col("source"), lit("</h1><p>"),
+      regexp_replace(col("text"), " and ", " &amp; "),
+      lit("</p><a href=\"/doc/"), col("doc_id").cast("string"),
+      lit("\">more &gt; here</a></body></html>"))
+    TextAnalysis.extractHtmlText(
+        docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+      .select(col("id").as("doc_id"), col("text"), col("n_chars"),
+        col("link_density"))
+      .orderBy("doc_id")
+  }
+
+  /** q134 — the corpus data card: one long-format (section, metric,
+    * value) summary composing global counts, exact-dup rate, lang and
+    * source shares, exact length quantiles (`Quantiles.exactQuantiles`
+    * == `quantile_cont`) and the q64-rule quality pass rate. The
+    * oracle is a UNION ALL of each section's existing oracle shape.
+    */
+  def q134DataCard(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.DataCard.corpusDataCard(t(spark, dir, "documents"),
+        "doc_id", "text", "lang", "source",
+        TextAnalysis.QualityRules(minTokens = 30, maxTokens = 90,
+          minAvgTokenLen = 3.0, maxAvgTokenLen = 4.5,
+          maxSymbolFrac = 0.1, minAlphaTokenFrac = 0.8,
+          minStopwordHits = 1))
+      .orderBy("section", "metric")
+
   /** q64 — Gopher-rule quality filter: thresholds chosen to split the
     * corpus on three rules (token count 30–90, avg word length ≤ 4.5,
     * ≥ 1 English stopword hit) while the symbol/alpha rules pass
@@ -1177,6 +1228,9 @@ object QueriesLlm {
     "q128_winnow"        -> (q128Winnow _),
     "q129_winnow_overlap" -> (q129WinnowOverlap _),
     "q130_winnow_dedup"  -> (q130WinnowDedup _),
+    "q132_bpe_fertility" -> (q132BpeFertility _),
+    "q133_html_extract"  -> (q133HtmlExtract _),
+    "q134_data_card"     -> (q134DataCard _),
     "q64_quality_filter" -> (q64QualityFilter _),
     "q65_remove_spans"   -> (q65RemoveSpans _),
     "q66_contamination_bloom" -> (q66ContaminationBloom _),
@@ -2188,6 +2242,152 @@ object QueriesLlm {
          SELECT CAST(c.doc_id AS BIGINT) AS doc_id FROM corpus c
          WHERE c.doc_id NOT IN (SELECT id FROM losers)
          ORDER BY doc_id""",
+    // q132: q72's replace-chain segmentation per word (left-to-right
+    // non-overlapping scan == applyMerge), aggregated per source
+    "q132_bpe_fertility" ->
+      """WITH w AS (SELECT source,
+                unnest(string_split_regex(trim(lower(text)), '\s+'))
+                  AS wd
+              FROM documents),
+         f AS (SELECT source, wd,
+                 replace(replace(replace(wd, 'er', 'A'), 'th', 'B'),
+                   'Be', 'C') AS w2
+               FROM w WHERE wd <> ''),
+         a AS (SELECT source AS grp, count(*) AS nw,
+                      sum(length(wd)) AS nc, sum(length(w2)) AS nb
+               FROM f GROUP BY source)
+         SELECT grp, CAST(nw AS BIGINT) AS n_words,
+                CAST(nc AS BIGINT) AS n_chars,
+                CAST(nb AS BIGINT) AS n_bpe_tokens,
+                round(nb * 1.0 / nw, 6) AS tokens_per_word,
+                round(nc * 1.0 / nb, 6) AS chars_per_token
+         FROM a ORDER BY grp""",
+    // q133: same deterministic page skeleton, then the same regex
+    // chain — blocks, tags→space, entity decode (&amp; last),
+    // whitespace collapse; link chars from non-greedy anchor inner
+    // text put through the identical cleanup
+    "q133_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><!-- generated --><head><script type="text/javascript">var x = 1 < 2;</script><style>p { color: red; }</style></head><body><h1>'
+           || source || '</h1><p>'
+           || replace(text, ' and ', ' &amp; ')
+           || '</p><a href="/doc/' || doc_id
+           || '">more &gt; here</a></body></html>' AS html
+           FROM documents),
+         b AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(html,
+             '(?s)<!--.*?-->', ' ', 'g'),
+             '(?si)<script\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?si)<style\b[^>]*>.*?</style>', ' ', 'g') AS body
+           FROM h),
+         tx AS (SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(body, '<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS text
+           FROM b),
+         lc AS (SELECT doc_id,
+           coalesce(list_sum(list_transform(
+             regexp_extract_all(body,
+               '(?si)<a\b[^>]*>(.*?)</a>', 1),
+             x -> length(trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(x, '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '\s+', ' ', 'g'))))), 0) AS lchars
+           FROM b)
+         SELECT t.doc_id, t.text,
+                CAST(length(t.text) AS BIGINT) AS n_chars,
+                CASE WHEN length(t.text) = 0 THEN 0.0
+                     ELSE round(lchars * 1.0 / length(t.text), 6)
+                END AS link_density
+         FROM tx t JOIN lc USING (doc_id) ORDER BY doc_id""",
+    // q134: UNION ALL of each card section's existing oracle shape
+    // (q64's quality CTE, q70's quantile_cont, md5 dup groups)
+    "q134_data_card" ->
+      """WITH d AS (SELECT doc_id, text, lang, source,
+                length(text) AS n_chars,
+                len(list_filter(
+                  string_split_regex(trim(lower(text)), '\s+'),
+                  x -> x <> '')) AS n_toks
+              FROM documents),
+         gl AS (
+           SELECT 'corpus' AS section, 'n_docs' AS metric,
+                  round(count(*) * 1.0, 6) AS value FROM d
+           UNION ALL SELECT 'corpus', 'n_sources',
+                  round(count(DISTINCT source) * 1.0, 6) FROM d
+           UNION ALL SELECT 'corpus', 'n_langs',
+                  round(count(DISTINCT lang) * 1.0, 6) FROM d
+           UNION ALL SELECT 'corpus', 'n_tokens',
+                  round(sum(n_toks) * 1.0, 6) FROM d
+           UNION ALL SELECT 'corpus', 'n_chars',
+                  round(sum(n_chars) * 1.0, 6) FROM d),
+         dup AS (SELECT 'dedup' AS section,
+                        'exact_dup_rate' AS metric,
+                        round((count(*) - count(DISTINCT md5(text)))
+                          * 1.0 / count(*), 6) AS value
+                 FROM d),
+         ls AS (SELECT 'lang' AS section,
+                       'share:' || lang AS metric,
+                       round(count(*) * 1.0 /
+                         (SELECT count(*) FROM d), 6) AS value
+                FROM d GROUP BY lang),
+         ss AS (SELECT source, count(*) AS c, sum(n_toks) AS t
+                FROM d GROUP BY source),
+         s1 AS (SELECT 'source' AS section,
+                       'share:' || source AS metric,
+                       round(c * 1.0 / (SELECT sum(c) FROM ss), 6)
+                         AS value
+                FROM ss),
+         s2 AS (SELECT 'source' AS section,
+                       'token_share:' || source AS metric,
+                       round(t * 1.0 / (SELECT sum(t) FROM ss), 6)
+                         AS value
+                FROM ss),
+         lq AS (
+           SELECT 'length' AS section, 'p50' AS metric,
+                  round(quantile_cont(n_chars, 0.5), 6) AS value
+           FROM d
+           UNION ALL SELECT 'length', 'p90',
+                  round(quantile_cont(n_chars, 0.9), 6) FROM d
+           UNION ALL SELECT 'length', 'p99',
+                  round(quantile_cont(n_chars, 0.99), 6) FROM d),
+         qm AS (SELECT trim(lower(text)) AS t FROM documents),
+         qf AS (SELECT len(regexp_extract_all(t, '\S+')) AS n_toks,
+                  length(regexp_replace(t, '\s+', '', 'g')) AS non_ws,
+                  len(regexp_extract_all(t, '#|…|\.\.\.')) AS n_sym,
+                  len(list_filter(regexp_split_to_array(t, '\s+'),
+                      x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                  len(list_filter(regexp_split_to_array(t, '\s+'),
+                      x -> x IN ('the','a','of','and','to','in','is')))
+                    AS n_stop
+                FROM qm),
+         qk AS (SELECT
+                  (CASE WHEN n_toks BETWEEN 30 AND 90
+                        THEN 1 ELSE 0 END)
+                * (CASE WHEN n_toks > 0
+                         AND non_ws * 1.0 / n_toks BETWEEN 3.0 AND 4.5
+                        THEN 1 ELSE 0 END)
+                * (CASE WHEN n_toks > 0
+                         AND n_sym * 1.0 / n_toks <= 0.1
+                        THEN 1 ELSE 0 END)
+                * (CASE WHEN n_toks > 0
+                         AND n_alpha * 1.0 / n_toks >= 0.8
+                        THEN 1 ELSE 0 END)
+                * (CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END) AS keep
+                FROM qf),
+         qr AS (SELECT 'quality' AS section, 'pass_rate' AS metric,
+                       round(avg(keep * 1.0), 6) AS value
+                FROM qk)
+         SELECT section, metric, value FROM (
+           SELECT * FROM gl UNION ALL SELECT * FROM dup
+           UNION ALL SELECT * FROM ls
+           UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           UNION ALL SELECT * FROM lq UNION ALL SELECT * FROM qr)
+         ORDER BY section, metric""",
     // q122: q33's cross join with the label-inequality + semi-hard
     // band filters applied before the per-anchor rank
     "q122_hard_negatives" ->

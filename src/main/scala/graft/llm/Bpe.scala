@@ -460,4 +460,53 @@ object Bpe {
         }
       }.toDF("id", "n_bpe_tokens")
   }
+
+  /** Per-group tokenizer fertility under a fixed merge list: word,
+    * in-word character, and BPE token totals plus the two ratios a
+    * tokenizer evaluation reads — tokens/word (fertility) and
+    * chars/token (compression). The "does this vocabulary fit this
+    * corpus" dashboard row: a source whose fertility spikes is paying
+    * sequence length (and training cost) for being out-of-domain
+    * relative to the vocabulary's training corpus. LLM-pipeline
+    * extension — the reference has no tokenizer surface.
+    *
+    * Scale shape: segmentation is `bpeTokenCount`'s memoized
+    * row-parallel scan (the merge list rides the closure,
+    * vocabulary-sized); the only shuffle is the per-group partial
+    * aggregate of three longs — |groups| rows at any corpus size.
+    *
+    * @return (grp, n_words, n_chars, n_bpe_tokens, tokens_per_word,
+    *         chars_per_token), one row per group
+    */
+  def bpeFertility(df: DataFrame, groupCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("grp"),
+        split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      .as[(String, Seq[String])]
+      .mapPartitions { rows =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Int]
+        rows.map { case (grp, toks) =>
+          var words = 0L; var chars = 0L; var bpe = 0L
+          toks.foreach { w =>
+            if (w.nonEmpty) {
+              words += 1; chars += w.length
+              bpe += memo.getOrElseUpdate(w, segmentWord(w, merges).length)
+            }
+          }
+          (grp, words, chars, bpe)
+        }
+      }
+      .toDF("grp", "w", "c", "b")
+      .groupBy("grp")
+      .agg(sum("w").as("n_words"), sum("c").as("n_chars"),
+        sum("b").as("n_bpe_tokens"))
+      .select(col("grp"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+          .as("tokens_per_word"),
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
+          .as("chars_per_token"))
+  }
 }

@@ -1446,6 +1446,75 @@ object Dedup {
           .as("novelty"))
   }
 
+  /** The reference corpus's distinct hashed word-n-gram set as a
+    * standalone frame — the build-once half of the build/probe split
+    * for incremental-ingest novelty gating (the [[buildMinhashIndex]]
+    * convention). Rationale, measured: a streaming gate that calls
+    * [[gramNoveltyScore]] per micro-batch re-derives this distinct
+    * set every batch, so the recurring per-batch cost carries the
+    * whole reference's gram mass (8.4×/decade probe shuffle,
+    * SCALING.md round 8); building the set once moves that term into
+    * the one-time build, where it belongs. Persist the result (or
+    * write it to parquet next to the dedup index) and probe batches
+    * with [[gramNoveltyAgainst]].
+    *
+    * @return single-column (g) frame of distinct xxhash64 gram hashes
+    */
+  def buildGramSet(reference: DataFrame, refIdCol: String,
+                   refTextCol: String, n: Int = 5): DataFrame = {
+    if (n <= 0)
+      throw InvalidArgumentValue(s"n must be positive, got $n")
+    wordGramRows(reference, refIdCol, refTextCol, n)
+      .select(col("g")).distinct()
+  }
+
+  /** [[gramNoveltyScore]] against a PREPARED gram set (from
+    * [[buildGramSet]], typically persisted or read back from
+    * parquet). Identical result by construction — the set is distinct
+    * on `g`, so the inner seen-count preserves exactly the outer
+    * join's per-row match multiplicity — but the per-batch plan is
+    * the scale-correct one: the (contractually small) batch gram side
+    * is count-guard broadcast and the reference set is a pure
+    * streamed scan that never reshuffles; past the cap the join falls
+    * back to sort-merge with a logged warning rather than building a
+    * corpus-sized hash relation.
+    *
+    * @return (id, n_grams, n_novel, novelty) per scored document
+    */
+  def gramNoveltyAgainst(df: DataFrame, gramSet: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 5): DataFrame = {
+    if (n <= 0)
+      throw InvalidArgumentValue(s"n must be positive, got $n")
+    val spark = df.sparkSession
+    val bcastCap = spark.conf
+      .get("graft.dedup.maxBroadcastCandidates", "5000000").toLong
+    val grams = wordGramRows(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val safe = grams.count() <= bcastCap
+    if (!safe)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"gramNoveltyAgainst: batch gram rows exceed $bcastCap — " +
+          "falling back to sort-merge membership join")
+    def small(c: DataFrame): DataFrame =
+      if (safe) broadcast(c) else c.hint("merge")
+    val totals = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val seen = small(grams)
+      .join(gramSet.select(col("g")), Seq("g"))
+      .groupBy("id").agg(count(lit(1)).as("n_seen"))
+    val res = totals.join(seen, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        (col("n_grams") - coalesce(col("n_seen"), lit(0L)))
+          .as("n_novel"))
+      .select(col("id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams"))
+          .as("novelty"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    grams.unpersist(blocking = false)
+    res
+  }
+
   def contaminationCheck(corpus: DataFrame, corpusId: String,
                          corpusText: String, eval: DataFrame,
                          evalId: String, evalText: String,

@@ -1078,4 +1078,99 @@ object TextAnalysis {
         round(col("__top.__c").cast("double") / col("n_tokens"), 6)
           .as("top_token_share"))
   }
+
+  /** Comment/script/style block removal — the shared first stage of
+    * `stripHtml` and `linkDensity` (anchors must be read from the
+    * block-stripped markup so a link inside a dead script doesn't
+    * count). Non-greedy block patterns with (?s) so blocks spanning
+    * newlines die whole; unclosed blocks are left for the generic tag
+    * strip (fail-soft on truncated crawls).
+    */
+  private def stripHtmlBlocks(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript =
+      regexp_replace(noComment, "(?si)<script\\b[^>]*>.*?</script>", " ")
+    regexp_replace(noScript, "(?si)<style\\b[^>]*>.*?</style>", " ")
+  }
+
+  /** Entity decode for the five entities that matter in crawled text,
+    * applied as sequential global replaces with `&amp;` LAST — a
+    * double-escaped `&amp;lt;` therefore decodes exactly one level
+    * (to `&lt;`), the standard single-pass convention. Not a full
+    * HTML5 entity table by design: numeric references beyond `&#39;`
+    * pass through untouched (documented divergence; they are rare in
+    * text runs and a full table is a lookup, not a pipeline
+    * operator).
+    */
+  private def decodeHtmlEntities(c: Column): Column = {
+    val e1 = regexp_replace(c, "&lt;", "<")
+    val e2 = regexp_replace(e1, "&gt;", ">")
+    val e3 = regexp_replace(e2, "&quot;", "\"")
+    val e4 = regexp_replace(e3, "&#39;", "'")
+    val e5 = regexp_replace(e4, "&nbsp;", " ")
+    regexp_replace(e5, "&amp;", "&")
+  }
+
+  /** HTML → text extraction column: comment/script/style blocks
+    * removed whole, remaining tags replaced by spaces (so adjacent
+    * text runs never weld into one word), entities decoded, whitespace
+    * collapsed, trimmed. The WARC→WET step of a crawl-ingestion
+    * pipeline as a pure codegen'd projection — zero shuffle,
+    * row-parallel, oracle-replayable (every stage is a regex both
+    * engines run identically).
+    */
+  def stripHtml(html: Column): Column =
+    trim(regexp_replace(
+      decodeHtmlEntities(
+        regexp_replace(stripHtmlBlocks(html), "<[^>]*>", " ")),
+      "\\s+", " "))
+
+  /** Anchor-text character count of the markup: the numerator of link
+    * density. Anchor inner text is extracted non-greedily from the
+    * block-stripped markup, then each fragment is itself tag-stripped,
+    * entity-decoded and whitespace-collapsed with exactly `stripHtml`'s
+    * rules, so `<a>` wrapping the whole body yields density 1.0 by
+    * construction. Nested/unclosed anchors count up to the first
+    * `</a>` (non-greedy; the boilerplate signal, not a DOM parse).
+    */
+  private def linkChars(html: Column): Column = {
+    val inner = regexp_extract_all(stripHtmlBlocks(html),
+      lit("(?si)<a\\b[^>]*>(.*?)</a>"), lit(1))
+    coalesce(
+      aggregate(
+        transform(inner, x =>
+          length(trim(regexp_replace(
+            decodeHtmlEntities(regexp_replace(x, "<[^>]*>", " ")),
+            "\\s+", " "))).cast("long")),
+        lit(0L), (acc, x) => acc + x),
+      lit(0L))
+  }
+
+  /** HTML-to-text extraction with link density — the crawl-ingestion
+    * front door (C4/RefinedWeb start from exactly this step) plus the
+    * classic nav/boilerplate signal: pages whose visible text is
+    * mostly anchor text are link farms and menus, not prose, and get
+    * filtered before any tokenizer sees them.
+    *
+    * Scale shape: one pure codegen'd projection — no shuffle, no UDF,
+    * no parse tree; every row is independent so the operator is
+    * embarrassingly parallel at any corpus size.
+    *
+    * @return (id, text, n_chars, link_density) — link_density =
+    *         anchor-text chars / text chars, 0.0 for pages with no
+    *         extractable text
+    */
+  def extractHtmlText(df: DataFrame, idCol: String,
+                      htmlCol: String): DataFrame = {
+    val text = stripHtml(col(htmlCol))
+    df.select(col(idCol).cast("long").as("id"), text.as("text"),
+        linkChars(col(htmlCol)).as("__lc"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("link_density",
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(round(
+            col("__lc").cast("double") / col("n_chars").cast("double"),
+            6)))
+      .drop("__lc")
+  }
 }

@@ -24,7 +24,7 @@ object ScaleMeasure {
     * the gram-space-saturation explanation for q55's sf1 ratio (31³
     * possible 3-grams saturate at 50k docs; 31⁵ does not).
     */
-  private val Extras: Map[String,
+  private[tools] val Extras: Map[String,
       (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame] = Map(
     "q55_n5" -> ((s, dir) =>
@@ -60,6 +60,18 @@ object ScaleMeasure {
             regexp_replace(col("text"), " the ", "\n").as("text")),
         "doc_id", "text")
     }),
+    // q31 with the band-bucket cap engaged: the open-vocab sf3 point
+    // showed the N² term is the band-pair ENUMERATION from flooded
+    // common-shingle buckets (before minBandMatches filters them) —
+    // the cap skips those buckets at the source. Recall contract: a
+    // 0.8-Jaccard pair still collides in its rare-content bands, and
+    // every surviving candidate is exact-verified, so capped output
+    // is a verified subset (compare pair counts across the runs).
+    "q31_bucketcap" -> ((s, dir) =>
+      graft.llm.Dedup.minhashNearDups(
+        graft.Tables.read(s, dir, "documents"), "doc_id", "text",
+        shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8,
+        minBandMatches = 3, maxBandBucket = 2000)),
     // the sketch on its motivating vocabulary: the char-4-gram stream
     // (distinct grams ≫ tokens) — shuffle must stay summary-bounded
     "hh_grams" -> ((s, dir) => {

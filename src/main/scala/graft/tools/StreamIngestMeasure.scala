@@ -23,16 +23,22 @@ import graft.streaming.Streaming
   * the measured window, so the listener sums ALL task metrics between
   * the start/stop marks.
   *
-  * With the 3rd arg `novelty`, the per-batch gram-novelty gate
+  * With the 3rd arg `novelty`/`noveltynaive`, the gram-novelty gate
   * (StreamingSpec's mosaic-catcher composition: keep docs with ≥ 30%
-  * novel word-5-grams vs the corpus) runs BEFORE the probe — the
-  * decade question is what the gate's reference-gram membership join
-  * adds per batch: the batch side is fixed, the reference distinct
-  * gram set is corpus-proportional, so the gate's cost should move
-  * linearly with the corpus (one gram scan + distinct per batch) and
-  * never quadratically.
+  * novel word-5-grams vs the corpus) runs BEFORE the probe. The
+  * decade question is where the reference-gram term lands:
+  * `noveltynaive` calls gramNoveltyScore per batch, so every batch
+  * re-derives the reference's distinct gram set (measured
+  * 8.4×/decade probe shuffle — the whole corpus gram mass recurs);
+  * `novelty` builds the gram set ONCE (`Dedup.buildGramSet`, timed
+  * as gramset_build) and probes batches against it
+  * (`gramNoveltyAgainst`), so the recurring per-batch cost is
+  * batch-bounded and the linear term is one-time.
   *
-  * Usage: runMain graft.tools.StreamIngestMeasure <docsParquet> <label> [novelty]
+  * Usage: runMain graft.tools.StreamIngestMeasure <docsParquet> <label> [novelty|noveltynaive]
+  *   novelty      — prepared gram set built once, probed per batch
+  *   noveltynaive — gramNoveltyScore recomputes the reference's
+  *                  distinct grams every batch (the decade comparison)
   */
 object StreamIngestMeasure {
 
@@ -54,7 +60,9 @@ object StreamIngestMeasure {
   def main(args: Array[String]): Unit = {
     val docsPath = args(0)
     val label = args.lift(1).getOrElse("gen")
-    val noveltyGate = args.lift(2).contains("novelty")
+    val mode = args.lift(2).getOrElse("")
+    val noveltyGate = mode.startsWith("novelty")
+    val noveltyNaive = mode == "noveltynaive"
     val spark = GraftSession.builder("graft-ingest-measure", "local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .getOrCreate()
@@ -92,6 +100,21 @@ object StreamIngestMeasure {
     val buildWall = (System.nanoTime() - t0) / 1e9
     println(f"[im] index_build | corpus=$nCorpus | wall=$buildWall%.2f s")
 
+    // prepared novelty gate: the reference gram set is built ONCE
+    // (its linear-in-corpus cost lands here, with the index build)
+    // and probed per batch — `noveltynaive` keeps the per-batch
+    // recompute for the decade comparison
+    val gramSet =
+      if (noveltyGate && !noveltyNaive) {
+        val tg = System.nanoTime()
+        val gs = Dedup.buildGramSet(corpus, "doc_id", "text", n = 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nG = gs.count()
+        println(f"[im] gramset_build | corpus=$nCorpus | " +
+          f"wall=${(System.nanoTime() - tg) / 1e9}%.2f s | grams=$nG")
+        Some(gs)
+      } else None
+
     val srcDir = s"$base/in"
     batch.write.mode("overwrite").parquet(srcDir)
 
@@ -105,8 +128,13 @@ object StreamIngestMeasure {
           org.apache.spark.sql.DataFrame] =
         if (!noveltyGate) None
         else Some { df =>
-          val nov = Dedup.gramNoveltyScore(df, corpus, "doc_id", "text",
-            "doc_id", "text", n = 5)
+          val nov = gramSet match {
+            case Some(gs) =>
+              Dedup.gramNoveltyAgainst(df, gs, "doc_id", "text", n = 5)
+            case None =>
+              Dedup.gramNoveltyScore(df, corpus, "doc_id", "text",
+                "doc_id", "text", n = 5)
+          }
           df.join(nov.filter(F.col("novelty") >= 0.3)
             .select(F.col("id").as("doc_id")), Seq("doc_id"))
         }
@@ -121,7 +149,10 @@ object StreamIngestMeasure {
         listener.on.set(false)
         Thread.sleep(1500)
         val landed = spark.read.parquet(out).count()
-        val tag = if (noveltyGate) "probe_batch_novelty" else "probe_batch"
+        val tag =
+          if (noveltyNaive) "probe_batch_noveltynaive"
+          else if (noveltyGate) "probe_batch_novelty"
+          else "probe_batch"
         println(f"[im] $tag | corpus=$nCorpus | wall=$wall%.2f s | " +
           f"task=${listener.taskMs.get() / 1e3}%.1f s | " +
           f"shuffle_mb=${listener.shuffle.get() / 1e6}%.2f | " +

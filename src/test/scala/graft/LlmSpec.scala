@@ -1784,4 +1784,92 @@ class LlmSpec extends SparkSpec {
         n = 0)
     }
   }
+
+  test("gramNoveltyAgainst equals gramNoveltyScore on a prepared gram set") {
+    val ref = docs.filter($"doc_id" < 300)
+    val scored = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
+      .unionByName(ref.limit(20)) // overlap rows => novelty 0 present
+    val direct = Dedup.gramNoveltyScore(scored, ref, "doc_id", "text",
+        "doc_id", "text", n = 5)
+      .orderBy("id").collect().toSeq
+    val gs = Dedup.buildGramSet(ref, "doc_id", "text", n = 5)
+    val prepared = Dedup.gramNoveltyAgainst(scored, gs, "doc_id",
+        "text", n = 5)
+      .orderBy("id").collect().toSeq
+    assert(direct == prepared)
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Dedup.gramNoveltyAgainst(scored, gs, "doc_id", "text", n = 0)
+    }
+  }
+
+  test("bpeFertility: hand-traced totals and ratios; sums match bpeTokenCount") {
+    // merges (a,b)->"ab": "abab" -> [ab, ab] (2 toks), "ba" -> [b, a]
+    val rows = Seq(("s1", "abab ba"), ("s1", "abab"), ("s2", "ba"))
+      .toDF("src", "txt")
+    val fert = graft.llm.Bpe.bpeFertility(rows, "src", "txt",
+        Seq(("a", "b")))
+      .orderBy("grp").collect()
+    // s1: words 3 (abab, ba, abab), chars 4+2+4=10, bpe 2+2+2=6
+    assert(fert(0).getString(0) == "s1")
+    assert(fert(0).getLong(1) == 3L && fert(0).getLong(2) == 10L &&
+      fert(0).getLong(3) == 6L)
+    assert(fert(0).getDouble(4) == 2.0) // tokens/word
+    assert(math.abs(fert(0).getDouble(5) - 10.0 / 6) < 1e-6)
+    // s2: 1 word, 2 chars, 2 bpe tokens (no adjacency merged in "ba")
+    assert(fert(1).getString(0) == "s2")
+    assert(fert(1).getLong(3) == 2L)
+    // group sums equal the per-doc counts on the real corpus
+    val m = Seq(("e", "r"), ("t", "h"), ("th", "e"))
+    val perDoc = graft.llm.Bpe.bpeTokenCount(docs, "doc_id", "text", m)
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    val perSrc = graft.llm.Bpe.bpeFertility(docs, "source", "text", m)
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    assert(perDoc == perSrc)
+  }
+
+  test("extractHtmlText strips blocks/tags, decodes entities once, scores links") {
+    val page = "<html><!-- c --><head><script>if (1 < 2) x();</script>" +
+      "<style>p{}</style></head><body><h1>Hi</h1><p>a &amp;lt; b " +
+      "&nbsp;&#39;q&#39;</p><a href=\"/x\"><b>go</b> now</a></body></html>"
+    val out = TextAnalysis.extractHtmlText(
+      Seq((1L, page), (2L, "<a href=\"/y\">only link</a>"),
+        (3L, "<p></p>")).toDF("id", "html"), "id", "html")
+      .orderBy("id").collect()
+    // blocks die whole (the 1 < 2 never leaks), tags become spaces,
+    // &amp;lt; decodes exactly one level to &lt;
+    assert(out(0).getString(1) == "Hi a &lt; b 'q' go now")
+    // anchor text "go now" = 6 chars of the full text
+    val full = out(0).getString(1).length
+    assert(math.abs(out(0).getDouble(3) - math.rint(6.0 / full * 1e6) / 1e6)
+      < 1e-9)
+    // all-anchor page: density exactly 1.0; empty page: 0.0 not NaN
+    assert(out(1).getString(1) == "only link" && out(1).getDouble(3) == 1.0)
+    assert(out(2).getString(1) == "" && out(2).getDouble(3) == 0.0)
+  }
+
+  test("corpusDataCard: hand-checked sections on a tiny corpus") {
+    val tiny = Seq(
+      (1L, "the cat sat", "en", "web"),
+      (2L, "the cat sat", "en", "web"),
+      (3L, "le chat", "fr", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    val card = graft.llm.DataCard.corpusDataCard(tiny, "doc_id",
+        "text", "lang", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(2)).toMap
+    assert(card(("corpus", "n_docs")) == 3.0)
+    assert(card(("corpus", "n_tokens")) == 8.0)
+    assert(card(("dedup", "exact_dup_rate")) ==
+      math.rint(1.0 / 3 * 1e6) / 1e6)
+    assert(card(("lang", "share:fr")) == math.rint(1.0 / 3 * 1e6) / 1e6)
+    assert(card(("source", "share:web")) ==
+      math.rint(2.0 / 3 * 1e6) / 1e6)
+    assert(card(("source", "token_share:books")) == 0.25)
+    assert(card(("length", "p50")) == 11.0)
+    // nothing passes the default 50-token minimum
+    assert(card(("quality", "pass_rate")) == 0.0)
+    // schema is stable: every row belongs to a known section
+    assert(card.keys.map(_._1).toSet ==
+      Set("corpus", "dedup", "lang", "source", "length", "quality"))
+  }
 }

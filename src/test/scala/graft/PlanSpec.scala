@@ -366,4 +366,32 @@ class PlanSpec extends SparkSpec {
     // the aggregation key
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q133 HTML extraction plans as one zero-shuffle codegen projection") {
+    val docs = Tables.read(spark, sf, "documents")
+    val p = planOf(graft.llm.TextAnalysis.extractHtmlText(
+      docs.selectExpr("doc_id", "text as html"), "doc_id", "html"))
+    // the whole regex chain is a row-parallel projection — an
+    // Exchange or Join here means cross-row state crept in
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    // executedPlan.toString marks codegen stages with "*(n)" — the
+    // regex chain stays codegen'd; only the higher-order link-chars
+    // lambda projection is interpreted
+    assert(p.contains("*("), s"expected codegen stages in:\n$p")
+  }
+
+  test("q134 data card: every aggregate is pre-reduced before its window/share step") {
+    val p = planOf(QueriesLlm.q134DataCard(spark, sf))
+    // the single-partition share windows must run over the |langs|/
+    // |sources| aggregate outputs, never over data rows: every
+    // Window in the plan sits above a HashAggregate
+    assert(!p.contains("CartesianProduct"))
+    val lines = p.linesIterator.toList
+    lines.zipWithIndex.filter(_._1.contains("Window")).foreach {
+      case (_, i) =>
+        assert(lines.drop(i).exists(_.contains("HashAggregate")),
+          s"window not above an aggregate in:\n$p")
+    }
+  }
 }
