@@ -233,7 +233,22 @@ object Plans {
           "shared cached projection; share windows run single-" +
           "partition over |langs|/|sources| PRE-REDUCED rows " +
           "(PlanSpec-pinned), quantiles via the O(buckets) exact-" +
-          "quantile path"))
+          "quantile path"),
+      "q131_write_merge_schema" ->
+        ("schema-evolution read-back: v1 + widened-v2 sibling " +
+          "partitions surface as ONE scan with the union ReadSchema " +
+          "(mergeSchema) — NULL backfill happens in the scan, no " +
+          "union operator, no per-partition re-read"),
+      "q135_data_card_diff" ->
+        ("data-card diff: both cards are dimension-sized, so the " +
+          "full-outer diff join runs on |card| rows — the corpus-" +
+          "sized work lives in each card's one shared projection, " +
+          "never in the diff"),
+      "q136_decontaminate_spans" ->
+        ("surgical decontamination: the eval gram-hash side is " +
+          "eval-sized and reaches the match join as a broadcast — " +
+          "positioned corpus gram rows never shuffle for the match; " +
+          "reassembly is the q65 span-surgery shape"))
 
     val sb = new StringBuilder
     sb ++= s"# PLANS — formatted physical plans at $sfDir\n\n"

@@ -488,6 +488,46 @@ object QueriesLlm {
           minStopwordHits = 1))
       .orderBy("section", "metric")
 
+  /** q135 — data-card DIFF between two snapshots: the first 400 docs
+    * ("old") vs the full corpus ("new"), q134's rules on both sides.
+    * The oracle computes both cards in ONE pass by tagging each doc
+    * with the scopes it belongs to (old ⊆ new), grouping every card
+    * section by scope, then full-outer-joining old vs new on
+    * (section, metric) — the exact join `dataCardDiff` runs.
+    */
+  def q135DataCardDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val rules = TextAnalysis.QualityRules(minTokens = 30,
+      maxTokens = 90, minAvgTokenLen = 3.0, maxAvgTokenLen = 4.5,
+      maxSymbolFrac = 0.1, minAlphaTokenFrac = 0.8,
+      minStopwordHits = 1)
+    val oldCard = graft.llm.DataCard.corpusDataCard(
+      docs.filter(col("doc_id") < 400), "doc_id", "text", "lang",
+      "source", rules)
+    val newCard = graft.llm.DataCard.corpusDataCard(
+      docs, "doc_id", "text", "lang", "source", rules)
+    graft.llm.DataCard.dataCardDiff(oldCard, newCard)
+      .orderBy("section", "metric")
+  }
+
+  /** q136 — surgical decontamination: q59/q66's corpus/eval split
+    * (docs < 450 vs ≥ 450, 8-grams), but instead of flagging the
+    * contaminated docs, the covered spans are DELETED and the rest of
+    * each doc survives. The oracle replays q65's span-surgery CTE
+    * with the duplicated-gram set swapped for the eval set's distinct
+    * full-width grams.
+    */
+  def q136DecontaminateSpans(spark: SparkSession,
+                             dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.removeContaminatedSpans(
+        docs.filter(col("doc_id") < 450), "doc_id", "text",
+        docs.filter(col("doc_id") >= 450), "doc_id", "text", n = 8)
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        col("n_removed"), col("text_clean"))
+      .orderBy("doc_id")
+  }
+
   /** q64 — Gopher-rule quality filter: thresholds chosen to split the
     * corpus on three rules (token count 30–90, avg word length ≤ 4.5,
     * ≥ 1 English stopword hit) while the symbol/alpha rules pass
@@ -1231,6 +1271,8 @@ object QueriesLlm {
     "q132_bpe_fertility" -> (q132BpeFertility _),
     "q133_html_extract"  -> (q133HtmlExtract _),
     "q134_data_card"     -> (q134DataCard _),
+    "q135_data_card_diff" -> (q135DataCardDiff _),
+    "q136_decontaminate_spans" -> (q136DecontaminateSpans _),
     "q64_quality_filter" -> (q64QualityFilter _),
     "q65_remove_spans"   -> (q65RemoveSpans _),
     "q66_contamination_bloom" -> (q66ContaminationBloom _),
@@ -2388,6 +2430,148 @@ object QueriesLlm {
            UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
            UNION ALL SELECT * FROM lq UNION ALL SELECT * FROM qr)
          ORDER BY section, metric""",
+    // q135: q134's card computed per scope tag (old = doc_id < 400 ⊆
+    // new = all) in one pass, then the full-outer diff join
+    "q135_data_card_diff" ->
+      """WITH sc AS (SELECT 'old' AS s UNION ALL SELECT 'new'),
+         d AS (SELECT sc.s, doc_id, text, lang, source,
+                length(text) AS n_chars,
+                len(list_filter(
+                  string_split_regex(trim(lower(text)), '\s+'),
+                  x -> x <> '')) AS n_toks,
+                trim(lower(text)) AS t
+              FROM documents, sc
+              WHERE sc.s = 'new' OR doc_id < 400),
+         gl AS (
+           SELECT s, 'corpus' AS section, 'n_docs' AS metric,
+                  round(count(*) * 1.0, 6) AS value FROM d GROUP BY s
+           UNION ALL SELECT s, 'corpus', 'n_sources',
+                  round(count(DISTINCT source) * 1.0, 6)
+                  FROM d GROUP BY s
+           UNION ALL SELECT s, 'corpus', 'n_langs',
+                  round(count(DISTINCT lang) * 1.0, 6)
+                  FROM d GROUP BY s
+           UNION ALL SELECT s, 'corpus', 'n_tokens',
+                  round(sum(n_toks) * 1.0, 6) FROM d GROUP BY s
+           UNION ALL SELECT s, 'corpus', 'n_chars',
+                  round(sum(n_chars) * 1.0, 6) FROM d GROUP BY s),
+         dup AS (SELECT s, 'dedup' AS section,
+                        'exact_dup_rate' AS metric,
+                        round((count(*) - count(DISTINCT md5(text)))
+                          * 1.0 / count(*), 6) AS value
+                 FROM d GROUP BY s),
+         ls AS (SELECT s, 'lang' AS section,
+                       'share:' || lang AS metric,
+                       round(count(*) * 1.0 /
+                         sum(count(*)) OVER (PARTITION BY s), 6)
+                         AS value
+                FROM d GROUP BY s, lang),
+         ss AS (SELECT s, source, count(*) AS c, sum(n_toks) AS t
+                FROM d GROUP BY s, source),
+         s1 AS (SELECT s, 'source' AS section,
+                       'share:' || source AS metric,
+                       round(c * 1.0 /
+                         sum(c) OVER (PARTITION BY s), 6) AS value
+                FROM ss),
+         s2 AS (SELECT s, 'source' AS section,
+                       'token_share:' || source AS metric,
+                       round(t * 1.0 /
+                         sum(t) OVER (PARTITION BY s), 6) AS value
+                FROM ss),
+         lq AS (
+           SELECT s, 'length' AS section, 'p50' AS metric,
+                  round(quantile_cont(n_chars, 0.5), 6) AS value
+           FROM d GROUP BY s
+           UNION ALL SELECT s, 'length', 'p90',
+                  round(quantile_cont(n_chars, 0.9), 6)
+                  FROM d GROUP BY s
+           UNION ALL SELECT s, 'length', 'p99',
+                  round(quantile_cont(n_chars, 0.99), 6)
+                  FROM d GROUP BY s),
+         qf AS (SELECT s,
+                  len(regexp_extract_all(t, '\S+')) AS n_toks,
+                  length(regexp_replace(t, '\s+', '', 'g')) AS non_ws,
+                  len(regexp_extract_all(t, '#|…|\.\.\.')) AS n_sym,
+                  len(list_filter(regexp_split_to_array(t, '\s+'),
+                      x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                  len(list_filter(regexp_split_to_array(t, '\s+'),
+                      x -> x IN ('the','a','of','and','to','in','is')))
+                    AS n_stop
+                FROM d),
+         qk AS (SELECT s,
+                  (CASE WHEN n_toks BETWEEN 30 AND 90
+                        THEN 1 ELSE 0 END)
+                * (CASE WHEN n_toks > 0
+                         AND non_ws * 1.0 / n_toks BETWEEN 3.0 AND 4.5
+                        THEN 1 ELSE 0 END)
+                * (CASE WHEN n_toks > 0
+                         AND n_sym * 1.0 / n_toks <= 0.1
+                        THEN 1 ELSE 0 END)
+                * (CASE WHEN n_toks > 0
+                         AND n_alpha * 1.0 / n_toks >= 0.8
+                        THEN 1 ELSE 0 END)
+                * (CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END) AS keep
+                FROM qf),
+         qr AS (SELECT s, 'quality' AS section,
+                       'pass_rate' AS metric,
+                       round(avg(keep * 1.0), 6) AS value
+                FROM qk GROUP BY s),
+         card AS (
+           SELECT * FROM gl UNION ALL SELECT * FROM dup
+           UNION ALL SELECT * FROM ls
+           UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           UNION ALL SELECT * FROM lq UNION ALL SELECT * FROM qr),
+         o AS (SELECT section, metric, value AS value_old
+               FROM card WHERE s = 'old'),
+         n AS (SELECT section, metric, value AS value_new
+               FROM card WHERE s = 'new')
+         SELECT coalesce(o.section, n.section) AS section,
+                coalesce(o.metric, n.metric) AS metric,
+                value_old, value_new,
+                round(value_new - value_old, 6) AS delta
+         FROM o FULL OUTER JOIN n
+           ON o.section = n.section AND o.metric = n.metric
+         WHERE value_old IS NULL OR value_new IS NULL
+            OR value_old <> value_new
+         ORDER BY section, metric""",
+    // q136: q65's span-surgery CTE with the duplicated-gram set
+    // replaced by the eval side's distinct full-width 8-grams (short
+    // eval docs can't match a full-width corpus gram either way)
+    "q136_decontaminate_spans" ->
+      """WITH ca AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents WHERE doc_id < 450),
+         tk AS (SELECT doc_id, i AS p, t[i] AS tok
+                FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t))) AS i
+                      FROM ca)),
+         g AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS gram
+               FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 7)) AS i
+                     FROM ca WHERE len(t) >= 8)),
+         ea AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+')
+                  AS t
+                FROM documents WHERE doc_id >= 450),
+         eg AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS gram
+                FROM (SELECT t,
+                        unnest(generate_series(1, len(t) - 7)) AS i
+                      FROM ea WHERE len(t) >= 8)),
+         cov AS (SELECT DISTINCT g.doc_id, g.i + k.k AS p
+                 FROM g JOIN eg USING (gram)
+                 CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k)
+                   AS k),
+         kept AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk
+                  ANTI JOIN cov
+                    ON tk.doc_id = cov.doc_id AND tk.p = cov.p),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY p) AS text_clean
+                 FROM kept GROUP BY 1)
+         SELECT c.doc_id, CAST(len(c.t) AS BIGINT) AS n_tokens,
+                CAST(len(c.t) - coalesce(a.n_kept, 0) AS BIGINT)
+                  AS n_removed,
+                coalesce(a.text_clean, '') AS text_clean
+         FROM ca c LEFT JOIN agg a USING (doc_id)
+         ORDER BY c.doc_id""",
     // q122: q33's cross join with the label-inequality + semi-hard
     // band filters applied before the per-anchor rank
     "q122_hard_negatives" ->

@@ -90,8 +90,9 @@ object DataCard {
         .as(Seq("metric", "value")))
       .select(lit("source").as("section"), col("metric"), col("value"))
 
-    val lenQ = graft.operators.Quantiles
+    val lenRaw = graft.operators.Quantiles
       .exactQuantiles(base, Nil, "n_chars", Seq(0.5, 0.9, 0.99))
+    val lenQ = lenRaw
       .select(lit("length").as("section"),
         when(col("p") === 0.5, "p50")
           .when(col("p") === 0.9, "p90")
@@ -108,7 +109,35 @@ object DataCard {
       .orderBy("section", "metric")
       .persist(StorageLevel.MEMORY_AND_DISK)
     card.count()
+    // the quantile frame's persisted blocks are pinned only until the
+    // card has them cached; release synchronously so a card call
+    // leaves exactly one persisted frame behind (the card itself)
+    lenRaw.unpersist(blocking = true)
     base.unpersist(blocking = false)
     card
   }
+
+  /** Row-by-row diff of two data cards (same long format — from
+    * [[corpusDataCard]], possibly read back from parquet): what
+    * changed between two corpus snapshots, with NULL-safe handling of
+    * metrics present on only one side (a language that appeared, a
+    * source that vanished). `delta` is new − old (NULL when either
+    * side is absent — a share that went missing is a different signal
+    * than one that went to zero). Both cards are dimension-sized, so
+    * the full-outer join is trivially cheap at any corpus scale —
+    * the cost of a diff lives in producing the cards, not here.
+    *
+    * @return (section, metric, value_old, value_new, delta) for every
+    *         row where the two cards differ (or one side is absent)
+    */
+  def dataCardDiff(oldCard: DataFrame, newCard: DataFrame): DataFrame =
+    oldCard.select(col("section"), col("metric"),
+        col("value").as("value_old"))
+      .join(newCard.select(col("section"), col("metric"),
+          col("value").as("value_new")),
+        Seq("section", "metric"), "full_outer")
+      .filter(col("value_old").isNull || col("value_new").isNull ||
+        col("value_old") =!= col("value_new"))
+      .withColumn("delta",
+        round(col("value_new") - col("value_old"), 6))
 }

@@ -1483,14 +1483,24 @@ object Dedup {
     */
   def gramNoveltyAgainst(df: DataFrame, gramSet: DataFrame,
                          idCol: String, textCol: String,
-                         n: Int = 5): DataFrame = {
+                         n: Int = 5,
+                         materialize: Boolean = true): DataFrame = {
     if (n <= 0)
       throw InvalidArgumentValue(s"n must be positive, got $n")
     val spark = df.sparkSession
     val bcastCap = spark.conf
       .get("graft.dedup.maxBroadcastCandidates", "5000000").toLong
-    val grams = wordGramRows(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize=false is the REPEATED-CALL form (the streaming gate
+    // calls this once per micro-batch): nothing is persisted, so no
+    // cached frame can accumulate across batches — the price is the
+    // batch-bounded gram projection computing up to three times
+    // inside the one downstream action, which is the right trade when
+    // the batch ≪ the reference
+    val grams0 = wordGramRows(df, idCol, textCol, n)
+    val grams =
+      if (materialize)
+        grams0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else grams0
     val safe = grams.count() <= bcastCap
     if (!safe)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -1509,10 +1519,14 @@ object Dedup {
       .select(col("id"), col("n_grams"), col("n_novel"),
         (col("n_novel").cast("double") / col("n_grams"))
           .as("novelty"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    res.count()
-    grams.unpersist(blocking = false)
-    res
+    if (!materialize) res
+    else {
+      val r = res
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      grams.unpersist(blocking = false)
+      r
+    }
   }
 
   def contaminationCheck(corpus: DataFrame, corpusId: String,
@@ -1662,6 +1676,25 @@ object Dedup {
       throw InvalidArgumentValue(
         s"minDocs must be >= 2 (a gram always appears in its own " +
           s"document), got $minDocs")
+    removeSpansMatching(df, idCol, textCol, n,
+      grams => grams.select("id", "g").distinct()
+        .groupBy("g").agg(count(lit(1)).as("__nd"))
+        .filter(col("__nd") >= minDocs)
+        .select("g"))
+  }
+
+  /** Shared span-surgery kernel: delete every word whose position is
+    * covered by a full-width n-gram whose hash lands in
+    * `matchGrams(positioned corpus grams)`, then rejoin survivors.
+    * The two public faces differ only in where the match set comes
+    * from: the corpus's own duplicated mass
+    * ([[removeDuplicatedSpans]]) or an external eval set
+    * ([[removeContaminatedSpans]]).
+    */
+  private def removeSpansMatching(df: DataFrame, idCol: String,
+                                  textCol: String, n: Int,
+                                  matchGrams: DataFrame => DataFrame)
+      : DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"),
       split(trim(lower(col(textCol))), "\\s+").as("t"))
     // (id, pos, tok), pos 1-based over the normalized token sequence
@@ -1675,11 +1708,8 @@ object Dedup {
       .select(col("id"), col("i"),
         xxhash64(concat_ws(" ", slice(col("t"), col("i"), lit(n))))
           .as("g"))
-    val dupGrams = grams.select("id", "g").distinct()
-      .groupBy("g").agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select("g")
-    val covered = grams.join(dupGrams, "g")
+    val hitGrams = matchGrams(grams)
+    val covered = grams.join(hitGrams, "g")
       .select(col("id"),
         explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
       .distinct()
@@ -1698,6 +1728,39 @@ object Dedup {
         (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
           .as("n_removed"),
         coalesce(col("__text"), lit("")).as("text_clean"))
+  }
+
+  /** Surgical decontamination — the span-level complement of
+    * [[contaminationCheck]]: instead of FLAGGING documents that share
+    * word n-grams with an evaluation set, delete the covered words
+    * themselves and keep the rest of the document (the
+    * "remove-the-leak, keep-the-page" policy benchmark-decontamination
+    * pipelines actually ship). Same normalization/reassembly contract
+    * and scale shape as [[removeDuplicatedSpans]]; the match side is
+    * the eval set's distinct gram hashes — eval-sized by contract, so
+    * AQE broadcasts it and the corpus gram rows never shuffle for the
+    * match. Gram definition (split/trim/lower + xxhash64 of the
+    * space-joined slice) is identical to [[contaminationCheck]]'s, so
+    * a doc it flags loses exactly its flagged grams' spans here —
+    * with one documented edge: corpus documents SHORTER than n tokens
+    * have no full-width gram and always pass through unmodified
+    * (contaminationCheck hashes their whole text as a short gram and
+    * can still flag them; span surgery on a sub-gram doc would mean
+    * deleting it entirely, which is a drop policy, not surgery).
+    *
+    * @return (id, n_tokens, n_removed, text_clean) — one row per
+    *   corpus document
+    */
+  def removeContaminatedSpans(df: DataFrame, idCol: String,
+                              textCol: String, eval: DataFrame,
+                              evalId: String, evalText: String,
+                              n: Int = 8): DataFrame = {
+    if (n <= 0)
+      throw InvalidArgumentValue(s"n must be positive, got $n")
+    val evalGrams = wordGramRows(eval, evalId, evalText, n)
+      .select("g").distinct()
+    removeSpansMatching(df, idCol, textCol, n,
+      _ => evalGrams)
   }
 
   /** Cross-document duplicated-LINE removal — the RefinedWeb /

@@ -60,8 +60,10 @@ import graft.exceptions._
   *
   * The iterative driver loop materializes per-round state with eager
   * `localCheckpoint` and releases superseded blocks immediately (the
-  * `dupClusters` pattern — plan growth stays bounded and no blocks
-  * leak past the call).
+  * `dupClusters` pattern — plan growth stays bounded). The RESULT is
+  * persisted and materialized (groups × ps rows) so internal state
+  * can be released before return — `.unpersist()` the result when
+  * done.
   */
 object Quantiles {
 
@@ -293,8 +295,12 @@ object Quantiles {
       val out = spine.join(interpolated, groupKey :+ "p", "left")
         .select((groupCols.map(col) :+ col("p") :+ col("q")): _*)
       // the iterative loop already ran actions; materialize the final
-      // join so the persisted inputs can be released before return
-      val (finalDf, _) = checkpointTracked(out)
+      // join so the persisted inputs can be released before return.
+      // persist (not localCheckpoint) so the RESULT is releasable by
+      // the caller via .unpersist() — composing operators (the data
+      // card) count on that for their own cache hygiene
+      val finalDf = out.persist(StorageLevel.MEMORY_AND_DISK)
+      finalDf.count()
       targetRdds.foreach(_.unpersist(blocking = false))
       posMap.unpersist(blocking = false)
       finalDf

@@ -365,6 +365,31 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** The scale-correct novelty gate for [[dedupIngestStream]]'s
+    * `qualityGate` seam: keep only batch docs whose word-n-gram
+    * novelty against a PREPARED reference gram set
+    * ([[graft.llm.Dedup.buildGramSet]], built once — persisted or
+    * read back from parquet) is at least `minNovelty`. Composing the
+    * gate from `gramNoveltyScore(batch, corpus)` instead re-derives
+    * the reference's distinct gram table every micro-batch — measured
+    * 8.4×/decade recurring probe shuffle (SCALING.md round 8); this
+    * form keeps the per-batch cost batch-bounded (the reference set
+    * is a pure streamed scan against the count-guard-broadcast batch
+    * grams) while the linear build cost lands once, with the index.
+    */
+  def noveltyGate(gramSet: DataFrame, idCol: String, textCol: String,
+                  n: Int = 5, minNovelty: Double = 0.3)
+      : DataFrame => DataFrame = { df =>
+    // materialize=false: the gate runs once per micro-batch and must
+    // not leave a persisted frame behind per call
+    val nov = graft.llm.Dedup.gramNoveltyAgainst(df, gramSet,
+      idCol, textCol, n, materialize = false)
+    df.join(nov.filter(col("novelty") >= minNovelty)
+      .select(col("id").as("__novel_id")),
+      df(idCol).cast("long") === col("__novel_id"))
+      .drop("__novel_id")
+  }
+
   /** Drain a (bounded) stream into an in-memory table and return the
     * result — the test/verify harness for stream-vs-batch equivalence.
     * `outputMode` defaults to "complete" (full-aggregation streams);

@@ -127,16 +127,15 @@ object StreamIngestMeasure {
       val gate: Option[org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame] =
         if (!noveltyGate) None
-        else Some { df =>
-          val nov = gramSet match {
-            case Some(gs) =>
-              Dedup.gramNoveltyAgainst(df, gs, "doc_id", "text", n = 5)
-            case None =>
-              Dedup.gramNoveltyScore(df, corpus, "doc_id", "text",
-                "doc_id", "text", n = 5)
+        else gramSet match {
+          case Some(gs) =>
+            Some(Streaming.noveltyGate(gs, "doc_id", "text", n = 5))
+          case None => Some { df =>
+            val nov = Dedup.gramNoveltyScore(df, corpus, "doc_id",
+              "text", "doc_id", "text", n = 5)
+            df.join(nov.filter(F.col("novelty") >= 0.3)
+              .select(F.col("id").as("doc_id")), Seq("doc_id"))
           }
-          df.join(nov.filter(F.col("novelty") >= 0.3)
-            .select(F.col("id").as("doc_id")), Seq("doc_id"))
         }
       val q = Streaming.dedupIngestStream(
         Streaming.readParquetStream(spark, srcDir, batch,

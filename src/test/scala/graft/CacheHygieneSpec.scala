@@ -164,4 +164,32 @@ class CacheHygieneSpec extends SparkSpec {
         "embedding", k = 3, nprobe = 4, shortlist = 10))
     assert(n == 6)
   }
+
+  test("corpusDataCard releases its base projection") {
+    val n = assertReleasesAll(graft.llm.DataCard.corpusDataCard(
+      docs, "doc_id", "text", "lang", "source"))
+    assert(n > 0)
+  }
+
+  test("gramNoveltyAgainst releases its batch gram cache; lazy form persists nothing") {
+    val sc = spark.sparkContext
+    val gs = Dedup.buildGramSet(docs.filter(col("doc_id") < 300),
+      "doc_id", "text", n = 5).persist()
+    gs.count()
+    try {
+      val n = assertReleasesAll(Dedup.gramNoveltyAgainst(
+        docs.filter(col("doc_id") >= 300), gs, "doc_id", "text",
+        n = 5))
+      assert(n > 0)
+      // the per-micro-batch form must not cache at all — a streaming
+      // gate calls it once per batch forever
+      val before = sc.getPersistentRDDs.keySet
+      val lazyRes = Dedup.gramNoveltyAgainst(
+        docs.filter(col("doc_id") >= 300), gs, "doc_id", "text",
+        n = 5, materialize = false)
+      assert(lazyRes.count() == n)
+      assert(sc.getPersistentRDDs.keySet.diff(before).isEmpty,
+        "lazy gramNoveltyAgainst must persist nothing")
+    } finally { gs.unpersist(blocking = true); () }
+  }
 }

@@ -1872,4 +1872,47 @@ class LlmSpec extends SparkSpec {
     assert(card.keys.map(_._1).toSet ==
       Set("corpus", "dedup", "lang", "source", "length", "quality"))
   }
+
+  test("removeContaminatedSpans deletes exactly the eval-covered spans") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "totally clean document with no overlap at all here now"),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeContaminatedSpans(corpus, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 8)
+      .orderBy("id").collect()
+    // doc 1: only the i=1 8-gram matches → positions 1..8 covered
+    assert(out(0).getLong(1) == 10L && out(0).getLong(2) == 8L)
+    assert(out(0).getString(3) == "iota kappa")
+    // doc 2: no overlap → untouched (post-normalization)
+    assert(out(1).getLong(2) == 0L && out(1).getString(3) ==
+      "totally clean document with no overlap at all here now")
+    // doc 3: shorter than n → documented pass-through
+    assert(out(2).getLong(2) == 0L && out(2).getString(3) == "short doc")
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Dedup.removeContaminatedSpans(corpus, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 0)
+    }
+  }
+
+  test("dataCardDiff: changed metrics get deltas, appeared/vanished get NULLs") {
+    val a = Seq(("corpus", "n_docs", 2.0), ("lang", "share:en", 0.5),
+      ("quality", "pass_rate", 0.25)).toDF("section", "metric", "value")
+    val b = Seq(("corpus", "n_docs", 3.0), ("lang", "share:fr", 1.0),
+      ("quality", "pass_rate", 0.25)).toDF("section", "metric", "value")
+    val d = graft.llm.DataCard.dataCardDiff(a, b).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // unchanged rows are absent from the diff
+    assert(!d.contains(("quality", "pass_rate")))
+    assert(d(("corpus", "n_docs")).getDouble(4) == 1.0)
+    // vanished: NULL new side and NULL delta (distinct from zero)
+    assert(d(("lang", "share:en")).isNullAt(3) &&
+      d(("lang", "share:en")).isNullAt(4))
+    // appeared: NULL old side and NULL delta
+    assert(d(("lang", "share:fr")).isNullAt(2) &&
+      d(("lang", "share:fr")).isNullAt(4))
+  }
 }

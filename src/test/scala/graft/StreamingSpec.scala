@@ -227,14 +227,24 @@ class StreamingSpec extends SparkSpec {
     assert(!probedIds.contains(9002L),
       "the mosaic must evade the near-dup probe for this test to bite")
 
-    // gate: keep docs with >= 30% novel word-5-grams vs the corpus
-    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-      df => {
-        val nov = Dedup.gramNoveltyScore(df, corpus, "doc_id", "text",
-          "doc_id", "text", n = 5)
-        df.join(nov.filter(col("novelty") >= 0.3)
-          .select(col("id").as("doc_id")), Seq("doc_id"))
-      }
+    // gate: keep docs with >= 30% novel word-5-grams vs the corpus —
+    // the shipped PREPARED form (gram set built once, the scale-
+    // correct composition; Streaming.noveltyGate)
+    val gramSet = Dedup.buildGramSet(corpus, "doc_id", "text", n = 5)
+      .persist()
+    val gate = Streaming.noveltyGate(gramSet, "doc_id", "text",
+      n = 5, minNovelty = 0.3)
+    // prepared gate decisions == the naive per-batch composition
+    val naiveKept = {
+      val nov = Dedup.gramNoveltyScore(batch, corpus, "doc_id", "text",
+        "doc_id", "text", n = 5)
+      nov.filter(col("novelty") >= 0.3).select("id").as[Long]
+        .collect().toSet
+    }
+    val preparedKept = gate(batch).select("doc_id").as[Long]
+      .collect().toSet
+    assert(preparedKept == naiveKept,
+      "prepared and naive novelty gates must agree doc-for-doc")
 
     val srcDir = tmpDir("stream-novel-src")
     batch.write.mode("overwrite").parquet(srcDir + "/in")
@@ -245,7 +255,9 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text", idx, corpus, outDir,
       tmpDir("stream-novel-ckpt"), minBandMatches = 3,
       qualityGate = Some(gate))
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop(); gramSet.unpersist(blocking = true); ()
+    }
     val landed = spark.read.parquet(outDir)
       .select("doc_id").as[Long].collect().toSet
     assert(!landed.contains(9002L),
