@@ -35,6 +35,15 @@ object GraftSession {
       // ns timestamps — read as long, converted in Tables.read.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Plan-STRING memory guard: every cached frame's explain output
+      // re-prints its cached plan at every reference, so a composed
+      // pipeline whose persisted frames nest N deep renders an
+      // exponentially large string — and AQE builds that string for
+      // the UI on every stage update. The default limit is ~2 GB;
+      // 8 MB keeps any single plan description bounded without
+      // touching execution (SPARK-26103's truncation marker appears
+      // instead).
+      .config("spark.sql.maxPlanStringLength", (8 << 20).toString)
 
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()

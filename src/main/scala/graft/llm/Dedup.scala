@@ -89,6 +89,36 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Eager, TRACKED lineage cut (the dupClusters pattern): returns
+    * the checkpointed frame plus the RDD blocks backing it, for
+    * explicit release once the caller's result is materialized.
+    *
+    * Why the dedup funnels need it: a persisted frame's plan is
+    * re-printed IN FULL at every reference (InMemoryRelation renders
+    * its cached child), so a funnel whose caches NEST — candidates
+    * cached over signatures cached over shingles cached over a
+    * complex input — renders an explain tree that grows
+    * multiplicatively with nesting depth, and AQE builds that string
+    * on every stage update for the UI event. Measured: the
+    * within-batch ingest composition (probe + funnel under
+    * foreachBatch) OOM'd an 8 GB driver heap on a ~100-doc batch
+    * purely in `explainString`, and stayed minutes-slow per batch
+    * with the string capped because the tree WALK is O(printed
+    * nodes). A localCheckpoint leaf (LogicalRDD) prints in O(1).
+    * Planner stats are erased by the cut, which is harmless here:
+    * every downstream join strategy in these funnels is chosen
+    * explicitly from measured counts.
+    */
+  private def checkpointTracked(df: DataFrame)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(true)
+    val added = sc.getPersistentRDDs
+      .collect { case (id, r) if !before.contains(id) => r }.toSeq
+    (out, added)
+  }
+
   /** Distinct (id, 64-bit shingle hash) rows via explode + dynamic
     * substring — stays inside whole-stage codegen, unlike
     * transform()-built arrays. Shingles are hashed BEFORE the distinct
@@ -199,10 +229,14 @@ object Dedup {
     val shingleRows = shingleHashRows(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // persisted: read by the band projection (twice, via the
-    // self-join) and the similarity estimate below
-    val sig = signaturesOf(shingleRows, numHashes, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized with a TRACKED lineage cut (not a bare persist):
+    // read by the band projection (twice, via the self-join) and the
+    // similarity estimate below, so it anchors the funnel's cache
+    // NESTING — a flat LogicalRDD leaf keeps every downstream explain
+    // bounded (see checkpointTracked). The checkpoint job also fills
+    // the shingleRows cache (its input), so no extra pass runs.
+    val (sig, sigRdds) =
+      checkpointTracked(signaturesOf(shingleRows, numHashes, seed))
 
     // band signatures: a cheap projection of the persisted sig, so the
     // self-join's two reads cost two cache scans, not two pipelines
@@ -216,9 +250,10 @@ object Dedup {
     // serialized / 1.0 GB in executor memory at a 50k-doc corpus,
     // i.e. a hard 8 GB-limit failure two decades later. Counting sig
     // (which materializes the persisted signatures the funnel needs
-    // anyway) costs one job and makes the decision exact: small
-    // corpora keep the fast broadcast build, anything past the cap is
-    // forced sort-merge — linear shuffle, AQE skew-split available.
+    // anyway) costs nothing extra (sig is already checkpoint-
+    // materialized) and makes the decision exact: small corpora keep
+    // the fast broadcast build, anything past the cap is forced
+    // sort-merge — linear shuffle, AQE skew-split available.
     val spark0 = df.sparkSession
     val bcastCap = spark0.conf
       .get("graft.dedup.maxBroadcastCandidates", "5000000").toLong
@@ -261,12 +296,15 @@ object Dedup {
           .select(col("mn").as("id_a"), col("id").as("id_b"))
         allPairs.unionByName(starred)
       }
-    val candidates = pairBands
+    // tracked lineage cut, like sig: candidates feed four downstream
+    // references (the estimate join, candB0, candA, candB), so a bare
+    // persist here would stack a second cache level onto sig's and
+    // double the explain tree per reference
+    val (candidates, candRdds) = checkpointTracked(pairBands
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("mb"))
       .filter(col("mb") >= minBandMatches)
-      .select("id_a", "id_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select("id_a", "id_b"))
 
     // the funnel's downstream joins pair the (small) candidate side
     // with corpus-proportional tables (signatures, shingles). The
@@ -365,8 +403,8 @@ object Dedup {
     // otherwise accumulate cached frames per call forever
     result.count()
     shingleRows.unpersist(blocking = false)
-    sig.unpersist(blocking = false)
-    candidates.unpersist(blocking = false)
+    sigRdds.foreach(_.unpersist(blocking = false))
+    candRdds.foreach(_.unpersist(blocking = false))
     strong.unpersist(blocking = false)
     result
   }

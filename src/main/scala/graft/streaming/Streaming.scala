@@ -343,16 +343,37 @@ object Streaming {
           if (!dedupWithinBatch)
             survivors.write.mode("overwrite").parquet(dest)
           else {
-            val pairs = graft.llm.Dedup.minhashNearDups(
-              survivors, idCol, textCol,
-              threshold = threshold, minBandMatches = minBandMatches,
-              maxBandBucket = maxBandBucket)
-            // dedupNearDups' cluster labels materialize eagerly
-            // (dupClusters is iterative), so pairs is only read
-            // during the call; released right after the write
-            try graft.llm.Dedup.dedupNearDups(survivors, idCol, pairs)
-              .write.mode("overwrite").parquet(dest)
-            finally pairs.unpersist(blocking = false)
+            // Sever the micro-batch lineage BEFORE the self-dedup
+            // funnel: survivors' plan embeds the probe's whole verify
+            // funnel plus the streaming source, and minhashNearDups /
+            // dedupNearDups reference their cached intermediates many
+            // times in the final plan, so the nested tree — and the
+            // plan STRING AQE renders on every count — grows
+            // multiplicatively (measured: explainString OOMs an 8 GB
+            // driver heap on a ~100-doc batch). An eager
+            // localCheckpoint turns every downstream leaf into a flat
+            // scan of materialized batch-sized blocks; the blocks are
+            // tracked and released as soon as the batch lands (the
+            // dupClusters pattern — localCheckpoint blocks live
+            // outside the CacheManager).
+            val sc = spark.sparkContext
+            val before = sc.getPersistentRDDs.keySet
+            val snap = survivors.localCheckpoint(true)
+            val snapRdds = sc.getPersistentRDDs
+              .collect { case (id, r) if !before.contains(id) => r }
+              .toSeq
+            try {
+              val pairs = graft.llm.Dedup.minhashNearDups(
+                snap, idCol, textCol,
+                threshold = threshold, minBandMatches = minBandMatches,
+                maxBandBucket = maxBandBucket)
+              // dedupNearDups' cluster labels materialize eagerly
+              // (dupClusters is iterative), so pairs is only read
+              // during the call; released right after the write
+              try graft.llm.Dedup.dedupNearDups(snap, idCol, pairs)
+                .write.mode("overwrite").parquet(dest)
+              finally pairs.unpersist(blocking = false)
+            } finally snapRdds.foreach(_.unpersist(blocking = false))
           }
           if (updateIndex)
             // sign exactly what landed (re-read: cheap, and immune to
