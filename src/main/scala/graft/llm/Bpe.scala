@@ -182,20 +182,15 @@ object Bpe {
       lastTrainRounds = 0
       return trainInMemory(wordFreq.collect(), numMerges)
     }
-    // tracked-checkpoint machinery (the dupClusters pattern,
-    // Dedup.scala): capture the RDD blocks each eager localCheckpoint
-    // creates by diffing getPersistentRDDs, so superseded checkpoints
-    // can be freed the moment the next one lands
-    val sc = spark.sparkContext
+    // tracked-checkpoint machinery (graft.operators.Lineage): each
+    // eager localCheckpoint hands back its own backing RDD blocks so
+    // superseded checkpoints can be freed the moment the next one
+    // lands — taken from the frame itself, never a getPersistentRDDs
+    // diff (which captures concurrent queries' blocks)
     def checkpointTracked[T](ds: org.apache.spark.sql.Dataset[T])
         : (org.apache.spark.sql.Dataset[T],
-           Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = ds.localCheckpoint(true)
-      val added = sc.getPersistentRDDs
-        .collect { case (id, r) if !before.contains(id) => r }.toSeq
-      (out, added)
-    }
+           Seq[org.apache.spark.rdd.RDD[_]]) =
+      graft.operators.Lineage.checkpointTracked(ds)
     var (words, ckptRdds) = checkpointTracked(wordFreq
       .map { case (w, cnt) => (w.map(_.toString).toArray, cnt) })
 

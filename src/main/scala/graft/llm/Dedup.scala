@@ -110,14 +110,8 @@ object Dedup {
     * explicitly from measured counts.
     */
   private def checkpointTracked(df: DataFrame)
-      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint(true)
-    val added = sc.getPersistentRDDs
-      .collect { case (id, r) if !before.contains(id) => r }.toSeq
-    (out, added)
-  }
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
+    graft.operators.Lineage.checkpointTracked(df)
 
   /** Distinct (id, 64-bit shingle hash) rows via explode + dynamic
     * substring — stays inside whole-stage codegen, unlike
@@ -199,7 +193,9 @@ object Dedup {
     * @return (idA, idB, jaccard) with idA < idB. The returned pairs
     *   are already materialized (persisted; the funnel's intermediates
     *   are released before returning) — `.unpersist()` the result when
-    *   done
+    *   done. The funnel's internals are lineage-cut checkpoints, so
+    *   the result CANNOT be recomputed once released: materialize
+    *   anything derived from it before unpersisting
     *
     * Candidate funnel, widest to narrowest: band-bucket self-join →
     * `minBandMatches` band-agreement count → signature-similarity
@@ -590,7 +586,10 @@ object Dedup {
     *
     * The returned pairs are already materialized (persisted; the
     * probe's intermediates are released before returning) —
-    * `.unpersist()` the result when done.
+    * `.unpersist()` the result when done. The probe's internals are
+    * lineage-cut checkpoints, so the result CANNOT be recomputed once
+    * released: materialize anything derived from it before
+    * unpersisting.
     */
   def probeMinhashIndex(indexPath: String, corpus: DataFrame,
                         newDf: DataFrame, idCol: String, textCol: String,
@@ -625,8 +624,13 @@ object Dedup {
 
     val newShingles = shingleHashRows(newDf, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newSig = signaturesOf(newShingles, numHashes, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tracked lineage cut (see checkpointTracked): the probe runs
+    // once per micro-batch on a possibly deep batch plan (gates,
+    // anti-joins, the stream source), and its cache chain would
+    // otherwise nest five levels; the checkpoint job also fills the
+    // newShingles cache
+    val (newSig, newSigRdds) =
+      checkpointTracked(signaturesOf(newShingles, numHashes, seed))
 
     // candidate pairs: index bands vs batch bands. The batch side is
     // small by the ingest contract, so it is broadcast STATICALLY —
@@ -634,15 +638,15 @@ object Dedup {
     // side's banded shuffle WRITE (the corpus-proportional cost the
     // decade measurement in SCALING.md flagged) before deciding;
     // the explicit hint keeps the index side a pure scan
-    val candidates = bandedOf(idxSig, numHashes, bands).as("x")
-      .join(broadcast(bandedOf(newSig, numHashes, bands)).as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") =!= col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("mb"))
-      .filter(col("mb") >= minBandMatches)
-      .select("id_a", "id_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (candidates, candRdds) = checkpointTracked(
+      bandedOf(idxSig, numHashes, bands).as("x")
+        .join(broadcast(bandedOf(newSig, numHashes, bands)).as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.id") =!= col("y.id"))
+        .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .agg(count(lit(1)).as("mb"))
+        .filter(col("mb") >= minBandMatches)
+        .select("id_a", "id_b"))
 
     // the downstream joins broadcast candidates / the batch / candA
     // STATICALLY (the no-corpus-shuffle-write plan), but candidates
@@ -728,8 +732,8 @@ object Dedup {
     // would otherwise accumulate four cached frames per batch forever
     result.count()
     newShingles.unpersist(blocking = false)
-    newSig.unpersist(blocking = false)
-    candidates.unpersist(blocking = false)
+    newSigRdds.foreach(_.unpersist(blocking = false))
+    candRdds.foreach(_.unpersist(blocking = false))
     strong.unpersist(blocking = false)
     corpusShingles.unpersist(blocking = false)
     result
@@ -865,6 +869,11 @@ object Dedup {
     // rarest-first total order; row_number is one shuffle+sort per doc
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("g").asc)
+    // persisted (not lineage-cut): this funnel is batch-only — never
+    // composed per micro-batch — so its bounded two-level nesting is
+    // safe under the session's plan-string cap, and keeping the plan
+    // intact leaves the rank window / prefix equi-join inspectable
+    // (PlanSpec q55, PLANS.md)
     val prefix = grams
       .join(freq, "g")
       .withColumn("rn", row_number().over(rankW))
@@ -976,6 +985,9 @@ object Dedup {
       grams.unpersist(blocking = false); throw e }
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("g").asc)
+    // persisted (not lineage-cut): batch-only funnel, same rationale
+    // as ngramJaccardNearDups — bounded nesting under the plan-string
+    // cap, and the prefix/candidate structure stays inspectable
     val prefix = grams
       .join(freq, "g")
       .withColumn("rn", row_number().over(rankW))
@@ -1065,26 +1077,19 @@ object Dedup {
     // OOMs during analysis after ~15 rounds — persist caches data but
     // does not shrink the plan. localCheckpoint blocks live OUTSIDE
     // the CacheManager (Dataset.unpersist/clearCache can't free
-    // them), so each round's new checkpoint RDDs are captured by
-    // diffing sparkContext.getPersistentRDDs and explicitly
-    // unpersisted as soon as they are superseded — only the final
-    // round's blocks (backing the returned frame) remain, freed by
-    // ContextCleaner when the frame is GC'd.
-    // materialize edges BEFORE the first tracked checkpoint: any
-    // upstream persist (edges itself, or caches inside the pairs
-    // pipeline) that first materializes DURING a checkpoint job would
-    // land in that round's RDD diff and get force-unpersisted after
-    // round 1 — silently recomputing the pair pipeline every round
+    // them), so each round's checkpoint RDDs are taken from the
+    // checkpointed frame itself (graft.operators.Lineage — never a
+    // getPersistentRDDs diff, which under a concurrent driver
+    // captures OTHER queries' blocks) and explicitly unpersisted as
+    // soon as they are superseded — only the final round's blocks
+    // (backing the returned frame) remain, freed by ContextCleaner
+    // when the frame is GC'd.
+    // materialize edges before the first checkpoint so the rounds
+    // never pay the pair pipeline again
     edges.count()
-    val sc = pairs.sparkSession.sparkContext
     def checkpointTracked(df: DataFrame)
-        : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
-      val added = sc.getPersistentRDDs
-        .collect { case (id, r) if !before.contains(id) => r }.toSeq
-      (out, added)
-    }
+        : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
+      graft.operators.Lineage.checkpointTracked(df)
     var (labels, labelRdds) = checkpointTracked(
       edges.select(col("src").as("id")).distinct()
         .withColumn("root", col("id")))

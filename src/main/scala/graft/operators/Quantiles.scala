@@ -157,15 +157,13 @@ object Quantiles {
           :+ when(col("__gmin") === col("__gmax"), col("__gmin"))
             .cast("double").as("__ans")): _*)
 
-      val sc = spark.sparkContext
+      // round-state checkpoints tracked via the frame's own backing
+      // RDDs (Lineage.checkpointTracked) — a getPersistentRDDs diff
+      // would capture concurrent queries' blocks under a shared
+      // SparkContext
       def checkpointTracked(d: DataFrame)
-          : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-        val before = sc.getPersistentRDDs.keySet
-        val out = d.localCheckpoint(true)
-        val added = sc.getPersistentRDDs
-          .collect { case (id, r) if !before.contains(id) => r }.toSeq
-        (out, added)
-      }
+          : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
+        Lineage.checkpointTracked(d)
 
       var (targets, targetRdds) = checkpointTracked(targets0)
       val isActive = col("__ans").isNull && col("__cnt") > threshold

@@ -353,15 +353,11 @@ object Streaming {
             // driver heap on a ~100-doc batch). An eager
             // localCheckpoint turns every downstream leaf into a flat
             // scan of materialized batch-sized blocks; the blocks are
-            // tracked and released as soon as the batch lands (the
-            // dupClusters pattern — localCheckpoint blocks live
-            // outside the CacheManager).
-            val sc = spark.sparkContext
-            val before = sc.getPersistentRDDs.keySet
-            val snap = survivors.localCheckpoint(true)
-            val snapRdds = sc.getPersistentRDDs
-              .collect { case (id, r) if !before.contains(id) => r }
-              .toSeq
+            // tracked and released as soon as the batch lands
+            // (Lineage.checkpointTracked — localCheckpoint blocks
+            // live outside the CacheManager).
+            val (snap, snapRdds) =
+              graft.operators.Lineage.checkpointTracked(survivors)
             try {
               val pairs = graft.llm.Dedup.minhashNearDups(
                 snap, idCol, textCol,

@@ -304,17 +304,20 @@ class StreamingSpec extends SparkSpec {
     val landed = spark.read.parquet(outDir)
       .select("doc_id").as[Long].collect().toSet
 
-    // batch-mode oracle: corpus-dup removal, then one-per-cluster
+    // batch-mode oracle: corpus-dup removal, then one-per-cluster.
+    // dups stays cached until everything derived from survivors is
+    // collected — probe results cannot be recomputed once released
+    // (their funnel internals are lineage-cut checkpoints)
     val dups = Dedup.probeMinhashIndex(idx, corpus, batch,
       "doc_id", "text", minBandMatches = 3)
     val survivors = batch.join(
       dups.select(col("id_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
-    dups.unpersist()
     val pairs = Dedup.minhashNearDups(survivors, "doc_id", "text",
       minBandMatches = 3)
     val expected = Dedup.dedupNearDups(survivors, "doc_id", pairs)
       .select("doc_id").as[Long].collect().toSet
+    dups.unpersist()
     pairs.unpersist()
     assert(landed == expected)
     // the planted pair resolved to its min-id winner
