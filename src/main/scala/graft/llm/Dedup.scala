@@ -225,48 +225,39 @@ object Dedup {
     val shingleRows = shingleHashRows(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // materialized with a TRACKED lineage cut (not a bare persist):
-    // read by the band projection (twice, via the self-join) and the
-    // similarity estimate below, so it anchors the funnel's cache
-    // NESTING — a flat LogicalRDD leaf keeps every downstream explain
-    // bounded (see checkpointTracked). The checkpoint job also fills
-    // the shingleRows cache (its input), so no extra pass runs.
-    val (sig, sigRdds) =
-      checkpointTracked(signaturesOf(shingleRows, numHashes, seed))
+    // persisted COLUMNAR: sig is the funnel's scan-hot frame — the
+    // band projection reads it twice and the 128-column estimate
+    // joins twice more (a lineage-cut checkpoint was tried here and
+    // measured ~3× slower per scan: row blocks vs columnar batches)
+    val sig = signaturesOf(shingleRows, numHashes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band signatures: a cheap projection of the persisted sig, so the
     // self-join's two reads cost two cache scans, not two pipelines
     val banded = bandedOf(sig, numHashes, bands)
 
-    // The self-join's strategy is chosen EXPLICITLY from a measured
-    // count, never from planner estimates: the static planner — seeing
-    // only the NOT-YET-MATERIALIZED cache's near-zero stats — was
-    // measured (open-vocab decade, SCALING.md round 8) planning a
-    // BROADCAST of one corpus-proportional band side: 176 MB
-    // serialized / 1.0 GB in executor memory at a 50k-doc corpus,
-    // i.e. a hard 8 GB-limit failure two decades later. Counting sig
-    // (which materializes the persisted signatures the funnel needs
-    // anyway) costs nothing extra (sig is already checkpoint-
-    // materialized) and makes the decision exact: small corpora keep
-    // the fast broadcast build, anything past the cap is forced
-    // sort-merge — linear shuffle, AQE skew-split available.
-    val spark0 = df.sparkSession
-    val bcastCap = spark0.conf
-      .get("graft.dedup.maxBroadcastCandidates", "5000000").toLong
-    // band rows expand ~6× from serialized to in-executor-memory
-    // hashed-relation form (measured: 1.6M rows = 176 MB serialized
-    // → 1.0 GB in MemoryStore), so their broadcast cap is an eighth
-    // of the narrow-pair cap
-    val nBandRows = sig.count() * bands
-    def bandSide(c: DataFrame): DataFrame =
-      if (nBandRows <= bcastCap / 8) broadcast(c) else c.hint("merge")
+    // Materialize the caches BEFORE anything downstream is planned —
+    // this one count is the funnel's whole join-strategy mechanism.
+    // The measured open-vocab failure (SCALING.md round 8: a 176 MB /
+    // 1.0 GB-in-memory band side statically BROADCAST at a 50k-doc
+    // corpus) was the static planner reading a NOT-YET-MATERIALIZED
+    // cache's near-zero stats. A materialized InMemoryRelation
+    // reports its real byte size, so the planner never broadcasts a
+    // corpus-proportional cache projection; and every join side that
+    // sits behind a shuffle (the band-agreement aggregate, the
+    // estimate output) gets re-planned by AQE from its ACTUAL stage
+    // size — small sides broadcast, floods demote to sort-merge.
+    // Explicit hint/count machinery was tried and measured SLOWER at
+    // every scale (BENCHNOTES round 8) than priming the stats and
+    // letting AQE pick per stage.
+    sig.count()
 
     // one row per (pair, matching band); both enumeration modes feed
     // the same band-agreement count below
     val pairBands =
       if (maxBandBucket <= 0)
         banded.as("x")
-          .join(bandSide(banded.as("y")),
+          .join(banded.as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
               col("x.id") < col("y.id"))
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -282,7 +273,7 @@ object Dedup {
         val small = sized.filter(col("bsz") <= maxBandBucket)
           .select("id", "band", "bh")
         val allPairs = small.as("x")
-          .join(bandSide(small.as("y")),
+          .join(small.as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
               col("x.id") < col("y.id"))
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -292,35 +283,11 @@ object Dedup {
           .select(col("mn").as("id_a"), col("id").as("id_b"))
         allPairs.unionByName(starred)
       }
-    // tracked lineage cut, like sig: candidates feed four downstream
-    // references (the estimate join, candB0, candA, candB), so a bare
-    // persist here would stack a second cache level onto sig's and
-    // double the explain tree per reference
-    val (candidates, candRdds) = checkpointTracked(pairBands
+    val candidates = pairBands
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("mb"))
       .filter(col("mb") >= minBandMatches)
-      .select("id_a", "id_b"))
-
-    // the funnel's downstream joins pair the (small) candidate side
-    // with corpus-proportional tables (signatures, shingles). The
-    // planner cannot be trusted to orient them: un-materialized
-    // caches report near-zero stats, and the measured consequence
-    // (open-vocab decade, SCALING.md round 8) was the CORPUS shingle
-    // table broadcast at 1.0 GB. So the candidate side is broadcast
-    // EXPLICITLY — count-guarded, the probeMinhashIndex convention:
-    // past graft.dedup.maxBroadcastCandidates (a band flood), fall
-    // back to forced sort-merge so nothing corpus-sized is ever
-    // built into executor memory either way.
-    val safeBcast = candidates.count() <= bcastCap
-    if (!safeBcast)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"minhashNearDups: candidate pairs exceed $bcastCap — " +
-          "falling back to sort-merge verify joins (correct but " +
-          "corpus-shuffling); consider minBandMatches > 1 or " +
-          "maxBandBucket")
-    def small(c: DataFrame): DataFrame =
-      if (safeBcast) broadcast(c) else c.hint("merge")
+      .select("id_a", "id_b")
 
     // signature-similarity prefilter: the fraction of matching minhash
     // components is an unbiased Jaccard estimate with
@@ -345,49 +312,33 @@ object Dedup {
     val estMatches = (0 until numHashes)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _)
-    // join 1: broadcast candidates, STREAM the signature scan. Join 2
-    // pairs two candidate-bounded frames (the join-1 output is wide —
-    // numHashes columns — so it is NOT re-broadcast: bSide is pruned
-    // to candidate ids by a broadcast semi-join first, then forced
-    // sort-merge keeps both shuffles candidate-bounded).
-    val candB0 = candidates.select(col("id_b")).distinct()
-    val bPruned = bSide.join(small(candB0), Seq("id_b"), "left_semi")
-    val strong = small(candidates).join(aSide, "id_a")
-      .hint("merge")
-      .join(bPruned, "id_b")
+    // candidates and strong sit behind shuffles (the band-agreement
+    // aggregate), so AQE re-plans their joins from ACTUAL stage
+    // sizes: small sides broadcast, floods demote to sort-merge — no
+    // hints, no extra counting passes
+    val strong = candidates
+      .join(aSide, "id_a")
+      .join(bSide, "id_b")
       .filter(estMatches.cast("double") / numHashes >= threshold - slack)
       .select("id_a", "id_b")
-      // persisted (three consumers: candA, candB, inter) but not
-      // eagerly counted — the cache fills on first use inside the one
-      // result job, saving a whole extra pass over the estimate joins
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // exact verification, join-based: |A ∩ B| is a count over the
     // shingle rows of both candidate sides, |A ∪ B| = |A|+|B|−|A∩B| —
-    // set sizes come from one aggregation. The corpus shingle table
-    // is first PRUNED to candidate docs by a broadcast semi-join
-    // (scan-side filter, nothing corpus-sized moves), so the verify
-    // joins and the size aggregation run on candidate-bounded frames
-    // only — the probeMinhashIndex corpusShingles shape.
-    val candA = strong.select(col("id_a").as("id")).distinct()
-    val candB = strong.select(col("id_b").as("id")).distinct()
-    val shA = shingleRows.join(small(candA), Seq("id"), "left_semi")
-    val shB = shingleRows.join(small(candB), Seq("id"), "left_semi")
-    val sizesA = shA.groupBy("id").agg(count(lit(1)).as("n"))
-    val sizesB = shB.groupBy("id").agg(count(lit(1)).as("n"))
-    // join 1 broadcasts strong and streams the pruned shingle scan;
-    // join 2 pairs two candidate-shingle-bounded frames — forced
-    // sort-merge (the join-1 output is candidate × shingles wide,
-    // too big to re-broadcast under a flood)
-    val inter = small(strong)
-      .join(shA.select(col("id").as("id_a"), col("s")), "id_a")
-      .hint("merge")
-      .join(shB.select(col("id").as("id_b"), col("s")),
+    // set sizes come from one aggregation. No arrays are materialized
+    // or carried through shuffles, and every step is codegen'd. The
+    // tiny `strong` side broadcasts (AQE, from its actual stage
+    // size), so each verify join streams the persisted shingle rows
+    // once — the broadcast join IS the candidate prune, applied in
+    // place during the scan; nothing corpus-sized moves.
+    val sizes = shingleRows.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = strong
+      .join(shingleRows.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(shingleRows.select(col("id").as("id_b"), col("s")),
         Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("ix"))
     val result = inter
-      .join(sizesA.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizesB.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
       .withColumn("jaccard",
         col("ix").cast("double") / (col("na") + col("nb") - col("ix"))
           .cast("double"))
@@ -399,9 +350,7 @@ object Dedup {
     // otherwise accumulate cached frames per call forever
     result.count()
     shingleRows.unpersist(blocking = false)
-    sigRdds.foreach(_.unpersist(blocking = false))
-    candRdds.foreach(_.unpersist(blocking = false))
-    strong.unpersist(blocking = false)
+    sig.unpersist(blocking = false)
     result
   }
 
@@ -624,13 +573,12 @@ object Dedup {
 
     val newShingles = shingleHashRows(newDf, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // tracked lineage cut (see checkpointTracked): the probe runs
-    // once per micro-batch on a possibly deep batch plan (gates,
-    // anti-joins, the stream source), and its cache chain would
-    // otherwise nest five levels; the checkpoint job also fills the
-    // newShingles cache
-    val (newSig, newSigRdds) =
-      checkpointTracked(signaturesOf(newShingles, numHashes, seed))
+    // persisted COLUMNAR (the minhashNearDups sig rationale): the
+    // 128-column signature frame is scan-hot (banding + the estimate
+    // join), so it keeps the fast columnar cache; the probe's
+    // explain-nesting cut lives in the narrow `candidates` below
+    val newSig = signaturesOf(newShingles, numHashes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidate pairs: index bands vs batch bands. The batch side is
     // small by the ingest contract, so it is broadcast STATICALLY —
@@ -732,7 +680,7 @@ object Dedup {
     // would otherwise accumulate four cached frames per batch forever
     result.count()
     newShingles.unpersist(blocking = false)
-    newSigRdds.foreach(_.unpersist(blocking = false))
+    newSig.unpersist(blocking = false)
     candRdds.foreach(_.unpersist(blocking = false))
     strong.unpersist(blocking = false)
     corpusShingles.unpersist(blocking = false)
@@ -869,11 +817,6 @@ object Dedup {
     // rarest-first total order; row_number is one shuffle+sort per doc
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("g").asc)
-    // persisted (not lineage-cut): this funnel is batch-only — never
-    // composed per micro-batch — so its bounded two-level nesting is
-    // safe under the session's plan-string cap, and keeping the plan
-    // intact leaves the rank window / prefix equi-join inspectable
-    // (PlanSpec q55, PLANS.md)
     val prefix = grams
       .join(freq, "g")
       .withColumn("rn", row_number().over(rankW))
@@ -883,50 +826,38 @@ object Dedup {
       .select(col("id"), col("g"), col("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // join strategies from measured counts, never planner estimates
-    // (un-materialized caches report near-zero stats — the measured
-    // q31 1 GB corpus-side broadcast, SCALING.md round 8): the prefix
-    // self-join broadcasts a side only while the counted prefix rows
-    // are small; the verify broadcasts only the counted candidate
-    // side, with pruned-scan corpus reads — past the caps everything
-    // falls back to forced sort-merge
-    val bcastCap = df.sparkSession.conf
-      .get("graft.dedup.maxBroadcastCandidates", "5000000").toLong
-    val nPrefix = prefix.count()
-    def prefixSide(c: DataFrame): DataFrame =
-      if (nPrefix <= bcastCap / 8) broadcast(c) else c.hint("merge")
-
+    // Join strategies come from REAL sizes, not estimates: both
+    // caches are materialized before anything downstream is planned
+    // (the saturation guard's frequency pass fills grams; this count
+    // fills prefix — the work runs once either way), so the planner
+    // sees true cache bytes and will never broadcast a corpus-
+    // proportional side (the measured q31-class 1 GB-broadcast
+    // failure, SCALING.md round 8); every side behind a shuffle (the
+    // candidate distinct) is re-planned by AQE from its actual stage
+    // size — small sides broadcast, floods demote to sort-merge.
+    // Explicit hint/count machinery was tried and measured strictly
+    // slower (BENCHNOTES round 8).
+    prefix.count()
     val candidates = prefix.as("x")
-      .join(prefixSide(prefix.as("y")),
+      .join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
           col("y.sz") >= col("x.sz") * lit(threshold) - lit(1e-9) &&
           col("x.sz") >= col("y.sz") * lit(threshold) - lit(1e-9))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val safeBcast = candidates.count() <= bcastCap
-    def small(c: DataFrame): DataFrame =
-      if (safeBcast) broadcast(c) else c.hint("merge")
 
     // exact verify: identical shape to minhashNearDups' final stage —
-    // corpus gram rows pruned to candidate docs by broadcast
-    // semi-joins, candidate side broadcast, second join forced
-    // sort-merge over candidate-bounded frames
-    val candA = candidates.select(col("id_a").as("id")).distinct()
-    val candB = candidates.select(col("id_b").as("id")).distinct()
-    val gA = grams.join(small(candA), Seq("id"), "left_semi")
-    val gB = grams.join(small(candB), Seq("id"), "left_semi")
-    val szA = gA.groupBy("id").agg(count(lit(1)).as("sz"))
-    val szB = gB.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = small(candidates)
-      .join(gA.select(col("id").as("id_a"), col("g")), "id_a")
-      .hint("merge")
-      .join(gB.select(col("id").as("id_b"), col("g")),
+    // the candidate side broadcasts (AQE, actual size), so each join
+    // streams the persisted gram rows once; the broadcast join IS the
+    // candidate prune, applied in place during the scan
+    val inter = candidates
+      .join(grams.select(col("id").as("id_a"), col("g")), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("g")),
         Seq("id_b", "g"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("ix"))
     val result = inter
-      .join(szA.select(col("id").as("id_a"), col("sz").as("na")), "id_a")
-      .join(szB.select(col("id").as("id_b"), col("sz").as("nb")), "id_b")
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("nb")), "id_b")
       .withColumn("jaccard",
         col("ix").cast("double") / (col("na") + col("nb") - col("ix"))
           .cast("double"))
@@ -936,7 +867,6 @@ object Dedup {
     result.count()
     grams.unpersist(blocking = false)
     prefix.unpersist(blocking = false)
-    candidates.unpersist(blocking = false)
     result
   }
 
@@ -985,9 +915,6 @@ object Dedup {
       grams.unpersist(blocking = false); throw e }
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("g").asc)
-    // persisted (not lineage-cut): batch-only funnel, same rationale
-    // as ngramJaccardNearDups — bounded nesting under the plan-string
-    // cap, and the prefix/candidate structure stays inspectable
     val prefix = grams
       .join(freq, "g")
       .withColumn("rn", row_number().over(rankW))
@@ -996,40 +923,26 @@ object Dedup {
         col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)) + 1)
       .select(col("id"), col("g"), col("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // strategy from measured counts (the q31 1 GB-broadcast lesson,
-    // SCALING.md round 8): the prefix side of the candidate join
-    // broadcasts only while counted-small; verify joins broadcast the
-    // counted candidate side over semi-pruned corpus scans, else
-    // forced sort-merge
-    val bcastCap = df.sparkSession.conf
-      .get("graft.dedup.maxBroadcastCandidates", "5000000").toLong
-    val nPrefix = prefix.count()
-    def prefixSide(c: DataFrame): DataFrame =
-      if (nPrefix <= bcastCap / 8) broadcast(c) else c.hint("merge")
+    // real stats before planning (the ngramJaccardNearDups
+    // rationale): grams filled by the guard's pass, prefix by this
+    // count — the planner never broadcasts a corpus-proportional
+    // cache, and AQE picks the shuffle-backed sides' strategies from
+    // actual stage sizes
+    prefix.count()
     val allG = grams.join(sizes, "id")
-    val candidates = prefixSide(prefix.as("x"))
+    val candidates = prefix.as("x")
       .join(allG.as("y"),
         col("x.g") === col("y.g") && col("x.id") =!= col("y.id") &&
           col("y.sz") >= col("x.sz") * lit(threshold) - lit(1e-9))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val safeBcast = candidates.count() <= bcastCap
-    def small(c: DataFrame): DataFrame =
-      if (safeBcast) broadcast(c) else c.hint("merge")
-    val candA = candidates.select(col("id_a").as("id")).distinct()
-    val candB = candidates.select(col("id_b").as("id")).distinct()
-    val gA = grams.join(small(candA), Seq("id"), "left_semi")
-    val gB = grams.join(small(candB), Seq("id"), "left_semi")
-    val szA = gA.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = small(candidates)
-      .join(gA.select(col("id").as("id_a"), col("g")), "id_a")
-      .hint("merge")
-      .join(gB.select(col("id").as("id_b"), col("g")),
+    val inter = candidates
+      .join(grams.select(col("id").as("id_a"), col("g")), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("g")),
         Seq("id_b", "g"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("ix"))
     val result = inter
-      .join(szA.select(col("id").as("id_a"), col("sz").as("na")),
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("na")),
         "id_a")
       .withColumn("containment",
         col("ix").cast("double") / col("na").cast("double"))
@@ -1039,7 +952,6 @@ object Dedup {
     result.count()
     grams.unpersist(blocking = false)
     prefix.unpersist(blocking = false)
-    candidates.unpersist(blocking = false)
     result
   }
 

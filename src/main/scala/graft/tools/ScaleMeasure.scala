@@ -116,6 +116,12 @@ object ScaleMeasure {
       .config("spark.sql.shuffle.partitions", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.applyEngineConf(spark)
+    // ad-hoc conf overrides for lever experiments, e.g.
+    // GRAFT_CONF="graft.dedup.maxBroadcastCandidates=1"
+    sys.env.get("GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     val sc = spark.sparkContext
     val listener = new Listener
     sc.addSparkListener(listener)

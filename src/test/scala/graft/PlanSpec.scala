@@ -381,6 +381,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), s"expected codegen stages in:\n$p")
   }
 
+  test("composed probe+funnel plans stay bounded (lineage cuts hold)") {
+    // the within-batch ingest shape in batch mode: probe the index,
+    // anti-join survivors, self-dedup them. Without the lineage cuts
+    // in probeMinhashIndex/minhashNearDups this composition's explain
+    // tree grows multiplicatively with cache nesting (measured: OOM
+    // at 8 GB heap rendering it — BENCHNOTES round 8). The pin is the
+    // rendered SIZE: regressions reintroduce megabyte-to-gigabyte
+    // plan strings long before they OOM.
+    import graft.llm.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.read(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") < 400)
+      .select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") >= 400)
+      .select("doc_id", "text")
+    val idx = tmpDir("planspec-idx")
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+    val dups = Dedup.probeMinhashIndex(idx, corpus, batch,
+      "doc_id", "text", minBandMatches = 3)
+    val survivors = batch.join(
+      dups.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val pairs = Dedup.minhashNearDups(survivors, "doc_id", "text",
+      minBandMatches = 3)
+    try {
+      val p = formattedPlanOf(pairs)
+      // flat LogicalRDD leaves from the probe's candidate cut must be
+      // present (the per-micro-batch operator always cuts)...
+      assert(p.contains("ExistingRDD"),
+        s"expected lineage-cut leaves in the funnel plan:\n${p.take(4000)}")
+      // ...and the session's plan-string cap must bound the render:
+      // the batch funnels deliberately keep inspectable nested cache
+      // plans (columnar scans beat checkpoint row blocks ~3×), so a
+      // composed explain is allowed to reach the 8 MB cap — but NEVER
+      // past it (uncapped, this composition rendered beyond an 8 GB
+      // heap)
+      assert(p.length <= (8 << 20) + 1024,
+        s"plan render escaped the maxPlanStringLength cap: ${p.length}")
+    } finally {
+      pairs.unpersist(); dups.unpersist()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q134 data card: every aggregate is pre-reduced before its window/share step") {
     val p = planOf(QueriesLlm.q134DataCard(spark, sf))
     // the single-partition share windows must run over the |langs|/
