@@ -243,8 +243,15 @@ object Bench {
         } catch { case _: Exception => ("null", "null") }
       } else ("null", "null")
     }
+    // key order: the driver's BENCH_r{N}.json records a TRUNCATED
+    // tail of this line, and two rounds running the tail landed on
+    // cleanTaskSec (task-seconds misread as wall regressions — the
+    // round-7/-8 verdicts both needed a do-not-misread footnote). A
+    // JSON parser is order-blind, so put the per-query WALL medians
+    // map ("queries") last: whatever the tail captures is wall
+    // seconds.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errs,"stageMetrics":$sm,"cleanMedians":$clean,"cleanTaskSec":$cleanTaskSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,"stageMetrics":$sm,"cleanMedians":$clean,"cleanTaskSec":$cleanTaskSec,"sf":"$sfDir","queries":$qs}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     println(line)

@@ -248,11 +248,57 @@ object Plans {
         ("surgical decontamination: the eval gram-hash side is " +
           "eval-sized and reaches the match join as a broadcast — " +
           "positioned corpus gram rows never shuffle for the match; " +
-          "reassembly is the q65 span-surgery shape"))
+          "reassembly is the q65 span-surgery shape"),
+      "q104_skew_report" ->
+        ("partition-skew diagnosis: per-key mass from one partial-" +
+          "aggregated groupBy, top-K via TakeOrdered — no window " +
+          "over data rows, summary-bounded output"),
+      "q105_inter_arrival" ->
+        ("per-entity cadence: ONE keyed lag window (partitioned by " +
+          "user, never global) feeding a per-entity aggregate"),
+      "q107_compression_noracle" ->
+        ("per-doc deflate compression ratio: a row-parallel codec " +
+          "kernel, zero shuffle before the presentation sort " +
+          "(rows-only by the library-dependence convention; " +
+          "LlmSpec pins the ordering properties)"),
+      "q108_distinct_exact" ->
+        ("exact distinct profile (q102's oracle-checkable twin): " +
+          "melt + two-level partial-aggregated count(DISTINCT) — " +
+          "the same shape at 1000 executors, no single-point " +
+          "distinct"),
+      "q112_zipf_slope" ->
+        ("zipf slope: token frequencies partial-aggregate to " +
+          "|vocab| rows; rank window and the log-log regression " +
+          "run over that summary, never over token rows"),
+      "q115_dup_rate_by_source" ->
+        ("per-group exact-dup rate: text-hash groupBy with map-side " +
+          "combine, then a |groups|-row summary aggregate"),
+      "q116_freq_of_freqs" ->
+        ("frequency-of-frequencies: two chained partial aggregates " +
+          "(token→count, count→count) — output bounded by distinct " +
+          "multiplicities, not corpus size"),
+      "q117_quantile_tiers" ->
+        ("tier bounds from the O(buckets)-state exact-quantile " +
+          "selector (no Percentile buffer), tier assignment via a " +
+          "broadcast of the |tiers|-row bounds table"),
+      "q118_ann_pq_fixed" ->
+        ("fixed-codebook PQ replay (q63's oracle-checkable twin): " +
+          "ADC distance over codes only — the raw vector column " +
+          "never reaches the distance scan"),
+      "q129_winnow_overlap" ->
+        ("registered winnow overlap entry (eager; the lazy builder's " +
+          "join/guard/verify structure is dumped below as " +
+          "winnow_overlap_join)"))
 
     val sb = new StringBuilder
     sb ++= s"# PLANS — formatted physical plans at $sfDir\n\n"
-    sb ++= "Regenerate: `sbt \"runMain graft.Plans <sfDir> PLANS.md\"`\n"
+    sb ++= "Regenerate: `sbt \"runMain graft.Plans <sfDir> PLANS.md\"`\n\n"
+    sb ++= ("Mapping policy: every CORRECTNESS query has a `## qNN_…` " +
+      "section under its registered name. Operators whose public " +
+      "entry point hides the plan behind an eager result cache " +
+      "additionally get an operator-titled dump (`## winnow_overlap_" +
+      "join …`, `## ivf_index_probe …`) showing the lazy structure; " +
+      "those headings name the covered qNN inline.\n")
     showcase.foreach { case (name, why) =>
       val fn = SparkEntry.queries(name)
       sb ++= s"\n## $name\n\n$why\n\n```\n"

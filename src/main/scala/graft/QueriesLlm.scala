@@ -38,7 +38,10 @@ object QueriesLlm {
   }
 
   /** q31 — MinHash-LSH near-dup pairs (banded candidates, exact
-    * Jaccard verify) finding the planted near-duplicates.
+    * Jaccard verify) finding the planted near-duplicates. Runs the
+    * DEFAULT path — which since round 9 includes the band-bucket
+    * flood guard (maxBandBucket = 2000) — so the oracle hash pins
+    * that the guard changes nothing on a non-flooded corpus.
     */
   def q31DedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(t(spark, dir, "documents"), "doc_id", "text",

@@ -91,7 +91,8 @@ object DataCard {
       .select(lit("source").as("section"), col("metric"), col("value"))
 
     val lenRaw = graft.operators.Quantiles
-      .exactQuantiles(base, Nil, "n_chars", Seq(0.5, 0.9, 0.99))
+      .exactQuantiles(base, Nil, "n_chars", Seq(0.5, 0.9, 0.99),
+        persistResult = true)
     val lenQ = lenRaw
       .select(lit("length").as("section"),
         when(col("p") === 0.5, "p50")

@@ -170,7 +170,13 @@ object Dedup {
     *   matches at Jaccard J is bands·J^r — 13 at J=0.8 vs 0.2 at
     *   J=0.27 with b=32, r=4 — so m=3 costs ~1e-5 recall at the
     *   threshold while cutting the exact-verify set by ~100×)
-    * @param maxBandBucket degenerate-bucket guard, 0 (default) = off.
+    * @param maxBandBucket degenerate-bucket guard, ON BY DEFAULT
+    *   (2000, the measured-exact value from SCALING.md round 8's
+    *   open-vocabulary decade, where the UNguarded Σ|bucket|² band
+    *   enumeration grew 4.4× in shuffle for 3× data — the corpus
+    *   shape a web crawl actually has — while the cap produced the
+    *   IDENTICAL pair set at every scale); `<= 0` opts out (the
+    *   `winnowNearDups` `maxDocFreq` convention).
     *   The band-bucket self-join is quadratic PER BUCKET: a corpus
     *   with a mass-duplicated boilerplate doc (the common case at
     *   web scale) puts millions of ids in one bucket and the join
@@ -215,7 +221,7 @@ object Dedup {
                       shingleK: Int = 4, numHashes: Int = 128,
                       bands: Int = 32, threshold: Double = 0.8,
                       minBandMatches: Int = 1,
-                      maxBandBucket: Int = 0,
+                      maxBandBucket: Int = 2000,
                       seed: Long = 42L): DataFrame = {
     if (numHashes % bands != 0)
       throw InvalidArgumentValue(
@@ -580,15 +586,42 @@ object Dedup {
     val newSig = signaturesOf(newShingles, numHashes, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Every static broadcast in the probe is DATA-DEPENDENT — the
+    // batch by the ingest contract, candidates by band matches — and
+    // a contract-violating batch or a boilerplate band flood can
+    // inflate either past what a static broadcast survives (8 GB
+    // hard limit / driver heap). Guard BEFORE committing each
+    // broadcast; past the cap, fall back to shuffled joins with a
+    // warning (the degrade-don't-die convention, gramSaturationGuard).
+    val bcastCap = spark.conf
+      .get("graft.dedup.maxBroadcastCandidates", "5000000").toLong
+    // the batch count comes FIRST — before the band join below is
+    // even planned — because that join's batch side is the probe's
+    // first static broadcast: gating only the downstream joins would
+    // still die at the band join on an oversized batch (the round-8
+    // advice finding). The count doubles as the cache-priming action
+    // for newSig, so it costs one small scan that was needed anyway.
+    val nBatch = newSig.count()
+    val batchSafe = nBatch <= bcastCap
+    if (!batchSafe)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"probeMinhashIndex: batch ($nBatch docs) exceeds " +
+          s"graft.dedup.maxBroadcastCandidates ($bcastCap) — falling " +
+          "back to shuffled joins (correct but corpus-shuffling); " +
+          "the ingest contract expects batches far smaller than the " +
+          "indexed corpus")
+
     // candidate pairs: index bands vs batch bands. The batch side is
     // small by the ingest contract, so it is broadcast STATICALLY —
     // an AQE runtime conversion would still materialize the index
     // side's banded shuffle WRITE (the corpus-proportional cost the
     // decade measurement in SCALING.md flagged) before deciding;
-    // the explicit hint keeps the index side a pure scan
+    // the explicit hint keeps the index side a pure scan. An
+    // over-cap batch degrades to a shuffled band join instead.
+    val newBanded = bandedOf(newSig, numHashes, bands)
     val (candidates, candRdds) = checkpointTracked(
       bandedOf(idxSig, numHashes, bands).as("x")
-        .join(broadcast(bandedOf(newSig, numHashes, bands)).as("y"),
+        .join((if (batchSafe) broadcast(newBanded) else newBanded).as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.id") =!= col("y.id"))
         .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -596,27 +629,18 @@ object Dedup {
         .filter(col("mb") >= minBandMatches)
         .select("id_a", "id_b"))
 
-    // the downstream joins broadcast candidates / the batch / candA
-    // STATICALLY (the no-corpus-shuffle-write plan), but candidates
-    // is DATA-DEPENDENT — bounded by band matches, which a
-    // contract-violating batch or a boilerplate band flood can
-    // inflate past what a static broadcast survives (8 GB hard limit
-    // / driver heap). Guard before committing: candidates is already
-    // persisted, so counting it is the price of one small scan; past
-    // the cap, fall back to shuffled joins with a warning (the same
-    // degrade-don't-die convention as gramSaturationGuard).
-    val bcastCap = spark.conf
-      .get("graft.dedup.maxBroadcastCandidates", "5000000").toLong
+    // same gate for the downstream candidates / batch / candA
+    // broadcasts: candidates is already persisted, so counting it is
+    // the price of one small scan
     val nCand = candidates.count()
-    val nBatch = newSig.count()
-    val safeBcast = nCand <= bcastCap && nBatch <= bcastCap
-    if (!safeBcast)
+    val safeBcast = batchSafe && nCand <= bcastCap
+    if (batchSafe && !safeBcast)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"probeMinhashIndex: candidate set ($nCand pairs, batch " +
-          s"$nBatch docs) exceeds graft.dedup.maxBroadcastCandidates " +
-          s"($bcastCap) — falling back to shuffled joins (correct but " +
-          "corpus-shuffling); a flood this size usually means " +
-          "boilerplate bands — consider minBandMatches > 1")
+        s"probeMinhashIndex: candidate set ($nCand pairs) exceeds " +
+          s"graft.dedup.maxBroadcastCandidates ($bcastCap) — falling " +
+          "back to shuffled joins (correct but corpus-shuffling); a " +
+          "flood this size usually means boilerplate bands — " +
+          "consider minBandMatches > 1")
     def bcastIfSafe(df: DataFrame): DataFrame =
       if (safeBcast) broadcast(df) else df
 
@@ -980,6 +1004,35 @@ object Dedup {
                   idB: String = "id_b", maxIter: Int = 20): DataFrame = {
     if (maxIter <= 0)
       throw InvalidArgumentValue(s"maxIter must be positive: $maxIter")
+    // Small-graph fast path: near-dup PAIR sets are corpus-sparse (a
+    // clean corpus yields orders of magnitude fewer pairs than docs),
+    // and the distributed pointer-jump loop pays ~10 AQE stage-jobs
+    // per round in pure scheduling latency — measured as q130's
+    // 80-tiny-job tail (~8 s wall for ~0 task-sec, JobBreakdown
+    // round 9). When the counted edge set fits comfortably on the
+    // driver, run min-root union-find locally: IDENTICAL labels
+    // (min-propagation converges to the component min; union-find
+    // tracks the same min), two jobs total, and the returned
+    // LocalRelation broadcasts into every downstream join for free.
+    // The count-BEFORE-collect is the bounded-collect contract: an
+    // over-cap graph never reaches the driver, it takes the
+    // distributed loop below. `graft.dedup.maxDriverEdges <= 0` opts
+    // out (the maxBandBucket convention). Non-integral id types also
+    // take the distributed path (SQL `least`/`min` ordering is only
+    // replayed locally for integral ids).
+    locally {
+      val spark = pairs.sparkSession
+      val cap = spark.conf
+        .get("graft.dedup.maxDriverEdges", "5000000").toLong
+      val idTypes = Seq(idA, idB).map(c => pairs.schema(c).dataType)
+      val integral = idTypes.forall(t =>
+        t == org.apache.spark.sql.types.LongType ||
+          t == org.apache.spark.sql.types.IntegerType ||
+          t == org.apache.spark.sql.types.ShortType ||
+          t == org.apache.spark.sql.types.ByteType)
+      if (cap > 0 && integral && pairs.count() <= cap)
+        return dupClustersLocal(pairs, idA, idB, idTypes.head)
+    }
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1052,6 +1105,61 @@ object Dedup {
           s"component with diameter > $maxIter; raise maxIter")
     }
     labels
+  }
+
+  /** Driver-side min-root union-find over a SMALL (pre-counted, see
+    * [[dupClusters]]) pair set: path-halving + union-by-smaller-id,
+    * then every node labeled with its component's minimum id — the
+    * exact fixpoint the distributed min-propagation loop converges
+    * to, in O(E α(E)) with zero Spark rounds. Returns a
+    * LocalRelation-backed (id, root) frame in the input id type, so
+    * downstream joins against it plan as broadcasts.
+    */
+  private def dupClustersLocal(pairs: DataFrame, idA: String,
+                               idB: String,
+                               idType: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val raw = pairs
+      .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .as[(Long, Long)].collect()
+    // dense-index remap so the union-find runs on primitive arrays
+    val idx = new java.util.HashMap[Long, Integer](raw.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]
+    def ix(v: Long): Int = {
+      val e = idx.get(v)
+      if (e != null) e.intValue()
+      else {
+        val i = ids.length
+        ids += v
+        idx.put(v, Integer.valueOf(i))
+        i
+      }
+    }
+    val endpoints = raw.map { case (a, b) => (ix(a), ix(b)) }
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    endpoints.foreach { case (ai, bi) =>
+      val ra = find(ai); val rb = find(bi)
+      if (ra != rb) {
+        // union toward the smaller ID so the representative is
+        // already the running min — no second pass structure needed
+        if (ids(ra) <= ids(rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val out = ids.indices.map(i => (ids(i), ids(find(i))))
+    spark.createDataset(out)
+      .select(col("_1").cast(idType).as("id"),
+        col("_2").cast(idType).as("root"))
   }
 
   /** Keep one document per near-duplicate cluster (the min id), plus
@@ -1224,14 +1332,40 @@ object Dedup {
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
       .select(col("id"), col("fp")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // counting fps materializes the kernel once (needed anyway) and
-    // lets the self-join's strategy come from a measured size instead
-    // of planner estimates — the q31 1 GB-broadcast lesson
-    val lazyOut = winnowOverlapLazy(fps, minShared, minContainment,
-      maxDocFreq, fpsRows = Some(fps.count()))
+    // ONE priming action materializes the kernel (needed anyway so
+    // join strategies come from measured sizes, not planner
+    // estimates — the q31 1 GB-broadcast lesson) and, with the guard
+    // requested, ALSO measures the max per-fp doc frequency off the
+    // persisted freq table the guarded join was going to aggregate
+    // regardless. Two wins at once: (a) when NO fingerprint exceeds
+    // the cap — the common case on a clean corpus — the guard
+    // provably cannot prune anything, so the filter join AND the
+    // exact-rescore pass (two joins + an aggregate, about a third of
+    // q130's jobs) are skipped with bit-identical output; (b) when
+    // the guard does engage, the lazy plan reuses the persisted freq
+    // table instead of re-aggregating it.
+    val (lazyOut, freqOpt) = maxDocFreq match {
+      case Some(m) =>
+        val freq = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val head = freq.agg(sum("__df").as("rows"), max("__df").as("mx"))
+          .head()
+        val nRows = if (head.isNullAt(0)) 0L else head.getLong(0)
+        val maxDf = if (head.isNullAt(1)) 0L else head.getLong(1)
+        if (maxDf <= m)
+          (winnowOverlapLazy(fps, minShared, minContainment, None,
+            fpsRows = Some(nRows)), Some(freq))
+        else
+          (winnowOverlapLazy(fps, minShared, minContainment, Some(m),
+            fpsRows = Some(nRows), freqTable = Some(freq)), Some(freq))
+      case None =>
+        (winnowOverlapLazy(fps, minShared, minContainment, None,
+          fpsRows = Some(fps.count())), None)
+    }
     val out = lazyOut
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
+    freqOpt.foreach(_.unpersist(blocking = false))
     fps.unpersist(blocking = false)
     out
   }
@@ -1253,7 +1387,8 @@ object Dedup {
   private[graft] def winnowOverlapLazy(fps: DataFrame, minShared: Int,
                                        minContainment: Double,
                                        maxDocFreq: Option[Int],
-                                       fpsRows: Option[Long] = None)
+                                       fpsRows: Option[Long] = None,
+                                       freqTable: Option[DataFrame] = None)
       : DataFrame = {
     val bcastCap = fps.sparkSession.conf
       .get("graft.dedup.maxBroadcastCandidates", "5000000").toLong
@@ -1263,7 +1398,11 @@ object Dedup {
     val sizes = fps.groupBy("id").agg(count(lit(1)).as("__n"))
     val filtered = maxDocFreq match {
       case Some(m) =>
-        val freq = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+        // the eager entry point hands in its already-persisted freq
+        // table (aggregated once for the guard-engagement check); the
+        // lazy/standalone path aggregates it in-plan
+        val freq = freqTable
+          .getOrElse(fps.groupBy("fp").agg(count(lit(1)).as("__df")))
           .filter(col("__df") <= m).select("fp")
         fps.join(freq, "fp")
       case None => fps

@@ -100,6 +100,47 @@ object Similarity {
       .select((Seq("qid", "rnk", "cid", "sim") ++ extra).map(col): _*)
   }
 
+  /** Bounded driver-side materialization: collect `ds` only after a
+    * limit-probe proves it holds at most `cap` rows (the probe
+    * fetches cap+1 rows max, so even a misuse-sized frame never
+    * reaches driver memory). The "bounded by contract" collects in
+    * this module — query sets, centroid/codebook sidecars — are
+    * bounded by CODE through this helper: a 10M-row "query set" or a
+    * non-index path handed to a probe fails fast with the conf key
+    * to raise, instead of driver-OOMing mid-collect.
+    */
+  private def collectBounded[T](ds: org.apache.spark.sql.Dataset[T],
+                                cap: Long, what: String,
+                                confKey: String): Array[T] = {
+    val probe = math.min(cap + 1, Int.MaxValue.toLong).toInt
+    val rows = ds.limit(probe).collect()
+    if (rows.length > cap)
+      throw InvalidArgumentValue(
+        s"$what exceeds $cap rows — it is materialized on the driver " +
+          s"by contract; shrink it or raise $confKey")
+    rows
+  }
+
+  /** Same contract for frames that are BROADCAST rather than
+    * collected (bruteForceTopK/hardNegatives query sides): proves the
+    * row bound with a limit-probe count before the broadcast build
+    * can pin an over-sized frame into driver + every executor.
+    */
+  private def requireBroadcastable(df: DataFrame, cap: Long,
+                                   what: String, confKey: String): Unit =
+    if (df.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt)
+          .count() > cap)
+      throw InvalidArgumentValue(
+        s"$what exceeds $cap rows — it is broadcast to every executor " +
+          s"by contract; shrink it or raise $confKey")
+
+  private val MaxDriverQueriesKey = "graft.ann.maxDriverQueries"
+  private val MaxDriverIndexRowsKey = "graft.ann.maxDriverIndexRows"
+  private def maxDriverQueries(spark: org.apache.spark.sql.SparkSession) =
+    spark.conf.get(MaxDriverQueriesKey, "100000").toLong
+  private def maxDriverIndexRows(spark: org.apache.spark.sql.SparkSession) =
+    spark.conf.get(MaxDriverIndexRowsKey, "1048576").toLong
+
   /** Exact (brute-force) cosine top-k: every query scored against
     * every corpus row with the compiled kernel, then two-phase top-k.
     *
@@ -113,6 +154,8 @@ object Similarity {
     val q = asDoubleVec(queries, queryId, vecCol, "qid", "qv")
     val c = asDoubleVec(corpus, corpusId, vecCol, "cid", "cv")
     requireSameDim(q, c)
+    requireBroadcastable(q, maxDriverQueries(queries.sparkSession),
+      "bruteForceTopK query set", MaxDriverQueriesKey)
     val scored = scorePairs(
       c.crossJoin(broadcast(q)).select("qid", "cid", "qv", "cv"),
       "qid", "cid")
@@ -163,6 +206,8 @@ object Similarity {
     val c = asDoubleVec(corpus, corpusId, vecCol, "cid", "cv",
       Seq(labelCol -> "c_label"))
     requireSameDim(q.select("qid", "qv"), c.select("cid", "cv"))
+    requireBroadcastable(q, maxDriverQueries(anchors.sparkSession),
+      "hardNegatives anchor set", MaxDriverQueriesKey)
     val scored = c.crossJoin(broadcast(q))
       .filter(!(col("c_label") <=> col("q_label")))
       .select(col("qid"), col("cid"), col("q_label"), col("c_label"),
@@ -397,6 +442,10 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = asDoubleVec(queries, queryId, vecCol, "qid", "qv")
     requireSameDim(q, c)
+    // the probe list is broadcast into the cell join — prove the
+    // query bound before any training work runs
+    requireBroadcastable(q, maxDriverQueries(queries.sparkSession),
+      "ivfTopK query set", MaxDriverQueriesKey)
     val centroids = trainCentroids(c, nlist, kmeansIters)
     val bucketed = assignCells(c, centroids)
     val probes = probeCells(q, centroids, nprobe)
@@ -466,8 +515,10 @@ object Similarity {
                        path: String, batchTag: String): Unit = {
     Dedup.requireValidBatchTag(batchTag, BaseBatchTag)
     val spark = df.sparkSession
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
+    val centroids = collectBounded(
+      spark.read.parquet(s"$path/centroids").orderBy("cell"),
+      maxDriverIndexRows(spark), s"centroid sidecar at $path",
+      MaxDriverIndexRowsKey)
       .map(r => r.getSeq[Double](1).toArray)
     if (centroids.isEmpty)
       throw InvalidArgumentValue(s"no centroids at $path — build first")
@@ -525,8 +576,10 @@ object Similarity {
                     vecCol: String, k: Int, nprobe: Int): DataFrame = {
     if (k <= 0) throw InvalidArgumentValue(s"k must be positive, got $k")
     val spark = queries.sparkSession
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
+    val centroids = collectBounded(
+      spark.read.parquet(s"$path/centroids").orderBy("cell"),
+      maxDriverIndexRows(spark), s"centroid sidecar at $path",
+      MaxDriverIndexRowsKey)
       .map(r => r.getSeq[Double](1).toArray)
     if (nprobe > centroids.length)
       throw InvalidArgumentValue(
@@ -537,6 +590,10 @@ object Similarity {
         throw InvalidArgumentValue(
           s"query dimension $qd != index dimension ${centroids.head.length}")
     }
+    // the probe list (|queries|·nprobe rows) is broadcast into the
+    // cell join below — prove the query bound before building it
+    requireBroadcastable(q, maxDriverQueries(spark),
+      "probeIvfIndex query set", MaxDriverQueriesKey)
     val probes = probeCells(q, centroids, nprobe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wanted = probes.select("cell").distinct()
@@ -807,7 +864,9 @@ object Similarity {
 
     // queries are small by contract (same as bruteForceTopK's
     // broadcast) — their ADC tables are built driver-side
-    val qArr = normalized(qRaw).as[(Long, Seq[Double])].collect()
+    val qArr = collectBounded(
+      normalized(qRaw).as[(Long, Seq[Double])],
+      maxDriverQueries(spark), "pqTopK query set", MaxDriverQueriesKey)
     val tables = buildAdcTables(qArr, books, m, ncodes, subDim)
 
     // one broadcast instead of a per-task closure copy — the tables
@@ -954,13 +1013,17 @@ object Similarity {
     val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(cp))
       throw InvalidArgumentValue(s"no index at $path — build first")
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
+    val centroids = collectBounded(
+      spark.read.parquet(s"$path/centroids").orderBy("cell"),
+      maxDriverIndexRows(spark), s"centroid sidecar at $path",
+      MaxDriverIndexRowsKey)
       .map(r => r.getSeq[Double](1).toArray)
     if (centroids.isEmpty)
       throw InvalidArgumentValue(s"no centroids at $path — build first")
-    val bookRows = spark.read.parquet(s"$path/codebooks")
-      .orderBy("sub", "code").collect()
+    val bookRows = collectBounded(
+      spark.read.parquet(s"$path/codebooks").orderBy("sub", "code"),
+      maxDriverIndexRows(spark), s"codebook sidecar at $path",
+      MaxDriverIndexRowsKey)
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = bookRows.map(_._1).max + 1
     val books: Array[Array[Array[Double]]] =
@@ -1044,9 +1107,11 @@ object Similarity {
 
     // per-query ADC tables from the NORMALIZED query (matches the
     // encode-side geometry); queries are broadcast-small by contract
-    val qArr = normalized(qRaw.select(col("qid").as("id"),
-        col("qv").as("v")))
-      .as[(Long, Seq[Double])].collect()
+    val qArr = collectBounded(
+      normalized(qRaw.select(col("qid").as("id"), col("qv").as("v")))
+        .as[(Long, Seq[Double])],
+      maxDriverQueries(spark), "probeIvfPqIndex query set",
+      MaxDriverQueriesKey)
     val tables = buildAdcTables(qArr, books, m, ncodes, subDim)
     val tablesB = spark.sparkContext.broadcast(tables.toMap)
     val mm = m; val nc = ncodes

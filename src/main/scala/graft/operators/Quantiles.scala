@@ -79,13 +79,25 @@ object Quantiles {
     * @param threshold max candidate rows a final window partition may
     *                  hold; the refinement loop runs until every
     *                  unresolved target is under it
+    * @param persistResult when true the returned frame is
+    *                  CacheManager-persisted and the CALLER must
+    *                  `.unpersist()` it once consumed (the composing-
+    *                  operator contract — DataCard uses it for its own
+    *                  cache hygiene). Default false: the result is an
+    *                  eager localCheckpoint whose blocks ContextCleaner
+    *                  reclaims when the frame is garbage-collected, so
+    *                  fire-and-forget callers (profileNumeric,
+    *                  winsorize, quantileTiers, gumbelTopFrac) never
+    *                  accumulate pinned cache entries across calls in
+    *                  a long-lived driver loop
     * @return one row per (group × p): groupCols ++ (p DOUBLE, q DOUBLE)
     */
   def exactQuantiles(df: DataFrame, groupCols: Seq[String],
                      valueCol: String, ps: Seq[Double],
                      buckets: Int = 256, threshold: Long = 4096,
                      maxIter: Int = 48,
-                     broadcastTargetLimit: Long = 100000L): DataFrame = {
+                     broadcastTargetLimit: Long = 100000L,
+                     persistResult: Boolean = false): DataFrame = {
     if (ps.isEmpty)
       throw InvalidArgumentValue("ps must be non-empty")
     ps.foreach { p =>
@@ -294,11 +306,16 @@ object Quantiles {
         .select((groupCols.map(col) :+ col("p") :+ col("q")): _*)
       // the iterative loop already ran actions; materialize the final
       // join so the persisted inputs can be released before return.
-      // persist (not localCheckpoint) so the RESULT is releasable by
-      // the caller via .unpersist() — composing operators (the data
-      // card) count on that for their own cache hygiene
-      val finalDf = out.persist(StorageLevel.MEMORY_AND_DISK)
-      finalDf.count()
+      // persistResult chooses the result's lifecycle: a caller-
+      // releasable CacheManager entry (composing operators) vs a
+      // GC-reclaimed localCheckpoint (fire-and-forget callers) — see
+      // the param doc
+      val finalDf =
+        if (persistResult) {
+          val f = out.persist(StorageLevel.MEMORY_AND_DISK)
+          f.count()
+          f
+        } else out.localCheckpoint(true)
       targetRdds.foreach(_.unpersist(blocking = false))
       posMap.unpersist(blocking = false)
       finalDf

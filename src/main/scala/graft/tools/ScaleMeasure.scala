@@ -67,11 +67,19 @@ object ScaleMeasure {
     // 0.8-Jaccard pair still collides in its rare-content bands, and
     // every surviving candidate is exact-verified, so capped output
     // is a verified subset (compare pair counts across the runs).
+    // Since round 9 the cap is minhashNearDups' DEFAULT (2000), so
+    // this entry now equals the registered q31 path; q31_uncapped
+    // measures the opt-out for the capped-vs-raw decade comparison.
     "q31_bucketcap" -> ((s, dir) =>
       graft.llm.Dedup.minhashNearDups(
         graft.Tables.read(s, dir, "documents"), "doc_id", "text",
         shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8,
         minBandMatches = 3, maxBandBucket = 2000)),
+    "q31_uncapped" -> ((s, dir) =>
+      graft.llm.Dedup.minhashNearDups(
+        graft.Tables.read(s, dir, "documents"), "doc_id", "text",
+        shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8,
+        minBandMatches = 3, maxBandBucket = 0)),
     // the sketch on its motivating vocabulary: the char-4-gram stream
     // (distinct grams ≫ tokens) — shuffle must stay summary-bounded
     "hh_grams" -> ((s, dir) => {

@@ -48,12 +48,74 @@ class LlmSpec extends SparkSpec {
   test("dupClusters labels a 40-link chain via pointer jumping") {
     // a long path exercises the O(log d) jump step — plain
     // neighbor-min alone would need 40 rounds, beyond maxIter=20,
-    // and this would throw non-convergence
-    val chain = (1L until 41L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.dupClusters(chain)
-      .as[(Long, Long)].collect().toMap
-    assert(labels.size == 41)
-    assert(labels.values.forall(_ == 1L))
+    // and this would throw non-convergence. Force the DISTRIBUTED
+    // loop (the small-graph fast path would otherwise take over).
+    spark.conf.set("graft.dedup.maxDriverEdges", "0")
+    try {
+      val chain = (1L until 41L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val labels = Dedup.dupClusters(chain)
+        .as[(Long, Long)].collect().toMap
+      assert(labels.size == 41)
+      assert(labels.values.forall(_ == 1L))
+    } finally spark.conf.set("graft.dedup.maxDriverEdges", "5000000")
+  }
+
+  test("driver-side materialization guards fail fast on over-cap frames") {
+    // the bounded-collect contracts (round-8 verdict task #6): each
+    // guard CLASS must error with the conf key instead of letting a
+    // misuse-sized frame reach driver memory / a broadcast build
+    val conf = spark.conf
+    // class 1: broadcast query-set guard (bruteForceTopK/ivfTopK/
+    // hardNegatives/probeIvfIndex share it)
+    conf.set("graft.ann.maxDriverQueries", "2")
+    try {
+      val e1 = intercept[graft.exceptions.InvalidArgumentValue] {
+        Similarity.bruteForceTopK(emb, emb.limit(3), "vec_id",
+          "vec_id", "embedding", k = 2)
+      }
+      assert(e1.getMessage.contains("graft.ann.maxDriverQueries"))
+      // class 2: collected query-set guard (pqTopK/probeIvfPqIndex)
+      val e2 = intercept[graft.exceptions.InvalidArgumentValue] {
+        Similarity.pqTopK(emb, emb.limit(3), "vec_id", "vec_id",
+          "embedding", k = 2, m = 4, ncodes = 8, shortlist = 10)
+      }
+      assert(e2.getMessage.contains("graft.ann.maxDriverQueries"))
+    } finally conf.unset("graft.ann.maxDriverQueries")
+    // class 3: index-sidecar guard — a "centroids" table bigger than
+    // the cap (e.g. a wrong path handed to a probe) must error, not
+    // collect
+    val idx = tmpDir("llm-guard-ivf")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx, nlist = 4)
+    conf.set("graft.ann.maxDriverIndexRows", "2")
+    try {
+      val e3 = intercept[graft.exceptions.InvalidArgumentValue] {
+        Similarity.probeIvfIndex(idx, emb.limit(1), "vec_id",
+          "embedding", k = 2, nprobe = 2)
+      }
+      assert(e3.getMessage.contains("graft.ann.maxDriverIndexRows"))
+    } finally conf.unset("graft.ann.maxDriverIndexRows")
+  }
+
+  test("dupClusters local fast path equals the distributed loop") {
+    // random multi-component graphs: the driver union-find and the
+    // pointer-jump loop must produce the SAME (id, root) labeling —
+    // root is the component min either way
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 40
+      val pairs = (1 to n).map { _ =>
+        val a = rnd.nextInt(50).toLong + 1
+        val b = rnd.nextInt(50).toLong + 1
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val local = Dedup.dupClusters(pairs)
+        .as[(Long, Long)].collect().toMap
+      spark.conf.set("graft.dedup.maxDriverEdges", "0")
+      val dist =
+        try Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+        finally spark.conf.set("graft.dedup.maxDriverEdges", "5000000")
+      assert(local == dist, s"trial $trial: local != distributed")
+    }
   }
 
   test("index probe equals whole-corpus minhash restricted to the split") {
