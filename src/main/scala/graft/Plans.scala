@@ -293,8 +293,11 @@ object Plans {
     val sb = new StringBuilder
     sb ++= s"# PLANS — formatted physical plans at $sfDir\n\n"
     sb ++= "Regenerate: `sbt \"runMain graft.Plans <sfDir> PLANS.md\"`\n\n"
-    sb ++= ("Mapping policy: every CORRECTNESS query has a `## qNN_…` " +
-      "section under its registered name. Operators whose public " +
+    sb ++= ("Mapping policy: EVERY registered CORRECTNESS query has a " +
+      "`## qNN_…` section under its registered name — curated entries " +
+      "first (each with the scale claim its plan is meant to prove), " +
+      "then an appendix dumping every remaining query so any qNN in a " +
+      "CORRECTNESS file resolves here by grep. Operators whose public " +
       "entry point hides the plan behind an eager result cache " +
       "additionally get an operator-titled dump (`## winnow_overlap_" +
       "join …`, `## ivf_index_probe …`) showing the lazy structure; " +
@@ -369,6 +372,24 @@ object Plans {
       sb ++= "```\n"
       probe.unpersist()
       spark.catalog.clearCache()
+    }
+    // appendix: every registered query not in the curated showcase,
+    // so ANY qNN in a CORRECTNESS file resolves here by grep. The
+    // curated sections carry the scale claims; these carry the plan.
+    val covered = showcase.map(_._1).toSet
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(covered).foreach {
+      name =>
+        sb ++= s"\n## $name (appendix — full registry dump)\n\n```\n"
+        try sb ++= SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        catch {
+          case e: Exception =>
+            sb ++= s"plan dump failed: ${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}\n"
+        }
+        sb ++= "```\n"
+        spark.catalog.clearCache()
     }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")

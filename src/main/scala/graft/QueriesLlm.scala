@@ -51,7 +51,10 @@ object QueriesLlm {
       .orderBy("id_a", "id_b")
 
   /** q32 — SimHash near-dup pairs; pigeonhole chunking makes the
-    * candidate set a guaranteed superset at Hamming ≤ 3.
+    * candidate set a guaranteed superset at Hamming ≤ 3. Runs the
+    * DEFAULT path — which since round 9 includes the chunk-bucket
+    * flood guard (maxChunkBucket = 2000) — so the oracle hash pins
+    * that the guard changes nothing on a non-flooded corpus.
     */
   def q32DedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(t(spark, dir, "documents"), "doc_id", "text",

@@ -2004,13 +2004,37 @@ object Dedup {
     * untouched chunk — so the chunk-bucket join is an exact superset
     * of the answer and the bit_count verification makes it exact.
     *
+    * The hamming cut is applied MAP-SIDE, inside the join projection,
+    * BEFORE the distinct's shuffle: on a correlated corpus most
+    * chunk-collision candidates fail the cut, and shuffling them just
+    * to drop them was q52's measured super-linear term (9.2× shuffle
+    * for 3× data on the open-vocab decade, SCALING.md round 9).
+    *
+    * @param maxChunkBucket degenerate chunk-bucket guard, ON BY
+    *   DEFAULT (2000; `<= 0` opts out — the `maxBandBucket`
+    *   convention). A mass-duplicated doc puts its copies' identical
+    *   chunk values in one bucket and the self-join enumerates
+    *   |bucket|² pairs — all REAL near-dups (hamming 0), so no filter
+    *   saves the output mass. Oversized buckets emit a min-id STAR
+    *   instead: every member paired against the bucket's minimum
+    *   (id, sig), still exactly hamming-verified — never a false
+    *   positive, and for the mass-duplicate case (the only way a
+    *   bucket gets that big) the hub edges verify and clusters are
+    *   identical to the uncapped run. With the cap off the pigeonhole
+    *   superset guarantee is unconditional; with it on, the guarantee
+    *   holds per surviving candidate, and pair ENUMERATION inside
+    *   oversized buckets is reduced to hub edges (the documented
+    *   recall trade for not dying — `dupClusters` connectivity is
+    *   what composed pipelines need).
+    *
     * @return (idA, idB, hamming) with idA < idB. The returned pairs
     *   are already materialized (persisted; the chunk table is
     *   released before returning) — `.unpersist()` the result when
     *   done
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxChunkBucket: Int = 2000): DataFrame = {
     if (maxHamming < 0 || maxHamming >= SimhashBits)
       throw InvalidArgumentValue(
         s"maxHamming must be in [0, ${SimhashBits - 1}], got $maxHamming")
@@ -2032,15 +2056,41 @@ object Dedup {
         col("c.ci").as("ci"), col("c.cv").as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val result = chunked.as("x")
-      .join(chunked.as("y"),
-        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long")
-          .as("hamming"))
+    def hammingOf(a: Column, b: Column): Column =
+      bit_count(a.bitwiseXOR(b)).cast("long")
+    val candidates =
+      if (maxChunkBucket <= 0)
+        chunked.as("x")
+          .join(chunked.as("y"),
+            col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+              col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+            hammingOf(col("x.sig"), col("y.sig")).as("hamming"))
+      else {
+        // per-bucket size + min (id, sig) in one window pass; struct
+        // min orders by id first, so mn.id is the bucket's min id
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("ci", "cv")
+        val sized = chunked
+          .withColumn("bsz", count(lit(1)).over(w))
+          .withColumn("mn", min(struct(col("id"), col("sig"))).over(w))
+        val small = sized.filter(col("bsz") <= maxChunkBucket)
+          .select("id", "sig", "ci", "cv")
+        val allPairs = small.as("x")
+          .join(small.as("y"),
+            col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+              col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+            hammingOf(col("x.sig"), col("y.sig")).as("hamming"))
+        val starred = sized.filter(col("bsz") > maxChunkBucket)
+          .filter(col("id") =!= col("mn.id"))
+          .select(col("mn.id").as("id_a"), col("id").as("id_b"),
+            hammingOf(col("mn.sig"), col("sig")).as("hamming"))
+        allPairs.unionByName(starred)
+      }
+    val result = candidates
+      .filter(col("hamming") <= maxHamming) // BEFORE the distinct's shuffle
       .distinct()
-      .filter(col("hamming") <= maxHamming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize, then release the chunk table (see minhashNearDups)
     result.count()

@@ -8,6 +8,8 @@ import graft.{GraftSession, SparkEntry}
   * counts: cost tables alone can hide a recall trade).
   *
   * Usage: runMain graft.tools.CountQuery <sfDir> <name>[,<name>...]
+  * A `show:` prefix on a name prints the result rows (up to 100)
+  * instead of just counting — for summary-shaped diagnostics.
   */
 object CountQuery {
   def main(args: Array[String]): Unit = {
@@ -17,11 +19,14 @@ object CountQuery {
       .config("spark.sql.shuffle.partitions", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.applyEngineConf(spark)
-    names.foreach { name =>
+    names.foreach { raw =>
+      val show = raw.startsWith("show:")
+      val name = if (show) raw.stripPrefix("show:") else raw
       val fn = ScaleMeasure.Extras.getOrElse(name,
         SparkEntry.queries(name))
-      val n = fn(spark, sfDir).count()
-      println(s"[count] $name | $sfDir | rows=$n")
+      val df = fn(spark, sfDir)
+      if (show) df.show(100, false)
+      else println(s"[count] $name | $sfDir | rows=${df.count()}")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -80,6 +80,78 @@ object ScaleMeasure {
         graft.Tables.read(s, dir, "documents"), "doc_id", "text",
         shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8,
         minBandMatches = 3, maxBandBucket = 0)),
+    // winnow fp doc-frequency profile: the overlap join's pair mass
+    // is Σ df·(df−1)/2 over fps with df ≤ maxDocFreq — this summary
+    // says what a given cap costs on a given corpus BEFORE running
+    // the join (run via `CountQuery <dir> show:winnow_df_profile`)
+    "winnow_df_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val fps = graft.llm.Dedup.winnowFingerprints(
+        graft.Tables.read(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 8).select(col("id"), col("fp")).distinct()
+      val freq = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      def mass(cap: Int) =
+        sum(when(col("df") <= cap,
+          col("df") * (col("df") - 1) / 2).otherwise(0L))
+      freq.agg(count(lit(1)).as("n_fps"),
+        sum("df").as("fp_rows"),
+        max("df").as("max_df"),
+        mass(1000).as("pair_mass_cap1000"),
+        mass(100).as("pair_mass_cap100"),
+        mass(50).as("pair_mass_cap50"),
+        mass(20).as("pair_mass_cap20"))
+    }),
+    // the simhash chunk join's opt-out, for the capped-vs-raw decade
+    // comparison (q52 itself runs the default capped+map-side-filter
+    // path)
+    "simhash_uncapped" -> ((s, dir) =>
+      graft.llm.Dedup.simhashNearDups(
+        graft.Tables.read(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, maxChunkBucket = 0)),
+    // q130's registered query fixes a 50-doc subset (its CORRECTNESS
+    // shape), so its decade row is constant by construction; this is
+    // the composed winnow dedup over the WHOLE corpus. maxDocFreq is
+    // calibrated FROM the winnow_df_profile aggregate (the documented
+    // procedure): gen-open's synthetic char-4-gram space collapses to
+    // ~6.7k distinct fps over 50k docs (max df 44k), so the
+    // real-text default of 1000 leaves a 91M pair mass whose
+    // sort-merge spill exceeds local disk — measured, SCALING.md
+    // round 9; cap 50 bounds the mass at 1.1M
+    "winnow_dedup_full" -> ((s, dir) =>
+      graft.llm.Dedup.dedupWinnowOverlaps(
+        graft.Tables.read(s, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text")),
+        "doc_id", "text", k = 4, w = 8, minShared = 3,
+        minContainment = 0.8, maxDocFreq = 50)),
+    // q67's registered rules reject ~every synthetic gen-open doc
+    // (no stopwords), so only its quality scan scales; this variant
+    // keeps the same stages with rules the corpus can pass, so the
+    // dedup + pack stages engage on the full corpus
+    "q67_open" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val docs = graft.Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val tok = graft.llm.TextAnalysis.approxBpeTokens(col("text"))
+      val rules = graft.llm.TextAnalysis.QualityRules(minTokens = 5,
+        maxTokens = 100000, minAvgTokenLen = 0.0, maxAvgTokenLen = 1e9,
+        maxSymbolFrac = 1.0, minAlphaTokenFrac = 0.0,
+        minStopwordHits = 0)
+      val quality = docs.join(
+        graft.llm.TextAnalysis.qualityFilter(docs, "doc_id", "text",
+          rules).filter(col("keep") === 1).select("doc_id"), "doc_id")
+      val pairs = graft.llm.Dedup.ngramJaccardNearDups(quality,
+        "doc_id", "text", n = 3, threshold = 0.5)
+      val deduped =
+        try graft.llm.Dedup.dedupNearDups(quality, "doc_id", pairs)
+        finally pairs.unpersist(blocking = false)
+      val packed = graft.llm.TextAnalysis.packSequences(
+        deduped.withColumn("__tok", tok), "doc_id", "__tok",
+        capacity = 256L, shards = 4)
+      packed.agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tok_total"),
+        org.apache.spark.sql.functions.max("bin").as("max_bin"))
+    }),
     // the sketch on its motivating vocabulary: the char-4-gram stream
     // (distinct grams ≫ tokens) — shuffle must stay summary-bounded
     "hh_grams" -> ((s, dir) => {

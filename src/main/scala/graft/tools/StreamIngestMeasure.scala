@@ -35,10 +35,14 @@ import graft.streaming.Streaming
   * (`gramNoveltyAgainst`), so the recurring per-batch cost is
   * batch-bounded and the linear term is one-time.
   *
-  * Usage: runMain graft.tools.StreamIngestMeasure <docsParquet> <label> [novelty|noveltynaive]
+  * Usage: runMain graft.tools.StreamIngestMeasure <docsParquet> <label> [novelty|noveltynaive|gauntlet]
   *   novelty      — prepared gram set built once, probed per batch
   *   noveltynaive — gramNoveltyScore recomputes the reference's
   *                  distinct grams every batch (the decade comparison)
+  *   gauntlet     — the PRODUCTION composition: quality gate →
+  *                  prepared novelty gate → dedup probe, all in one
+  *                  per-batch pass, plus a batch-mode replay of the
+  *                  same pipeline asserting landed == batch survivors
   */
 object StreamIngestMeasure {
 
@@ -47,21 +51,37 @@ object StreamIngestMeasure {
     val shuffle = new AtomicLong(0)
     val taskMs = new AtomicLong(0)
     val tasks = new AtomicLong(0)
+    // per-stage attribution (diagnostic, printed with GRAFT_IM_STAGES=1):
+    // stage name -> (taskMs, tasks)
+    val byStage =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    private val stageName =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    override def onStageSubmitted(
+        e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+      stageName.put(e.stageInfo.stageId, e.stageInfo.name.take(80))
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
       if (on.get()) Option(e.taskMetrics).foreach { m =>
         shuffle.addAndGet(m.shuffleReadMetrics.totalBytesRead +
           m.shuffleWriteMetrics.bytesWritten)
         taskMs.addAndGet(m.executorRunTime)
         tasks.incrementAndGet()
+        val n = Option(stageName.get(e.stageId)).getOrElse("?")
+        val a = byStage.computeIfAbsent(n, _ => Array.fill(2)(0L))
+        a.synchronized { a(0) += m.executorRunTime; a(1) += 1 }
       }
-    def reset(): Unit = { shuffle.set(0); taskMs.set(0); tasks.set(0) }
+    def reset(): Unit = {
+      shuffle.set(0); taskMs.set(0); tasks.set(0); byStage.clear()
+    }
   }
 
   def main(args: Array[String]): Unit = {
     val docsPath = args(0)
     val label = args.lift(1).getOrElse("gen")
     val mode = args.lift(2).getOrElse("")
-    val noveltyGate = mode.startsWith("novelty")
+    val gauntlet = mode == "gauntlet"
+    val qualityOnly = mode == "qonly" // diagnostic: quality gate alone
+    val noveltyGate = mode.startsWith("novelty") || gauntlet
     val noveltyNaive = mode == "noveltynaive"
     val spark = GraftSession.builder("graft-ingest-measure", "local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -126,8 +146,15 @@ object StreamIngestMeasure {
       val t1 = System.nanoTime()
       val gate: Option[org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame] =
-        if (!noveltyGate) None
+        if (qualityOnly) Some(df => qualityStage(df))
+        else if (!noveltyGate) None
         else gramSet match {
+          case Some(gs) if gauntlet =>
+            // the production composition: cheap deterministic quality
+            // rules first (rejects never reach the gram probe), then
+            // the prepared novelty gate
+            Some(df => Streaming.noveltyGate(gs, "doc_id", "text",
+              n = 5)(qualityStage(df)))
           case Some(gs) =>
             Some(Streaming.noveltyGate(gs, "doc_id", "text", n = 5))
           case None => Some { df =>
@@ -149,15 +176,56 @@ object StreamIngestMeasure {
         Thread.sleep(1500)
         val landed = spark.read.parquet(out).count()
         val tag =
-          if (noveltyNaive) "probe_batch_noveltynaive"
+          if (gauntlet) "probe_batch_gauntlet"
+          else if (qualityOnly) "probe_batch_qonly"
+          else if (noveltyNaive) "probe_batch_noveltynaive"
           else if (noveltyGate) "probe_batch_novelty"
           else "probe_batch"
         println(f"[im] $tag | corpus=$nCorpus | wall=$wall%.2f s | " +
           f"task=${listener.taskMs.get() / 1e3}%.1f s | " +
           f"shuffle_mb=${listener.shuffle.get() / 1e6}%.2f | " +
           f"tasks=${listener.tasks.get()} | landed=$landed")
+        if (sys.env.get("GRAFT_IM_STAGES").contains("1")) {
+          import scala.jdk.CollectionConverters._
+          listener.byStage.asScala.toSeq.sortBy(-_._2(0)).take(12)
+            .foreach { case (n, a) =>
+              println(f"[im-stage] ${a(0) / 1e3}%8.1f s | ${a(1)}%5d | $n")
+            }
+        }
+        if (gauntlet) {
+          // batch-mode replay of the same composed pipeline: the
+          // landed set must be EXACTLY the batch-mode survivors
+          // (the stream is just the batch pipeline per micro-batch)
+          val gated = Streaming.noveltyGate(gramSet.get, "doc_id",
+            "text", n = 5)(qualityStage(batch))
+          val dups = Dedup.probeMinhashIndex(idx, corpus, gated,
+            "doc_id", "text", minBandMatches = 3)
+          val dupIds = dups.select("id_b")
+            .collect().map(_.getLong(0)).toSet
+          dups.unpersist(blocking = false)
+          val batchSurvivors = gated.select("doc_id")
+            .collect().map(_.getLong(0)).toSet -- dupIds
+          val landedIds = spark.read.parquet(out).select("doc_id")
+            .collect().map(_.getLong(0)).toSet
+          println(s"[im] gauntlet_equivalence | landed==batch-mode: " +
+            s"${landedIds == batchSurvivors} | landed=${landedIds.size} " +
+            s"batch=${batchSurvivors.size}")
+        }
       }
     }
     spark.stop()
+  }
+
+  /** Permissive-but-real deterministic quality rules (only minTokens
+    * engages on the synthetic corpora) — the gauntlet's first stage.
+    */
+  private def qualityStage(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val rules = graft.llm.TextAnalysis.QualityRules(minTokens = 5,
+      maxTokens = 100000, minAvgTokenLen = 0.0, maxAvgTokenLen = 1e9,
+      maxSymbolFrac = 1.0, minAlphaTokenFrac = 0.0, minStopwordHits = 0)
+    df.join(graft.llm.TextAnalysis.qualityFilter(df, "doc_id", "text",
+        rules).filter(F.col("keep") === 1).select("doc_id"),
+      Seq("doc_id"))
   }
 }
