@@ -93,13 +93,14 @@ object QueriesLlm {
     */
   def q57LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    // flood guard ON in the composed path: a split pipeline runs
-    // unsupervised over whatever the corpus contains, and hub-edge
-    // connectivity is all dupClusters needs; on this clean corpus the
-    // cap provably changes nothing (the oracle hash pins it)
+    // flood guard ON via the round-9 default (2000 — the measured
+    // crossover value): a split pipeline runs unsupervised over
+    // whatever the corpus contains, and hub-edge connectivity is all
+    // dupClusters needs; on this clean corpus the cap provably
+    // changes nothing (the oracle hash pins it)
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
       shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8,
-      minBandMatches = 3, maxBandBucket = 10000)
+      minBandMatches = 3)
     // dupClusters (inside leakageSafeSplit) is iterative and
     // therefore eager — by the time split is built, `pairs` has been
     // fully consumed and its cache can go
