@@ -260,6 +260,7 @@ object Dedup {
 
     // one row per (pair, matching band); both enumeration modes feed
     // the same band-agreement count below
+    var guardReport: () => Unit = () => ()
     val pairBands =
       if (maxBandBucket <= 0)
         banded.as("x")
@@ -284,7 +285,11 @@ object Dedup {
               col("x.id") < col("y.id"))
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
         // oversized buckets: min-id star, linear in bucket size
-        val starred = sized.filter(col("bsz") > maxBandBucket)
+        val (over, report) = observeStarGuard(
+          sized.filter(col("bsz") > maxBandBucket), "bsz",
+          "minhashNearDups", "maxBandBucket", maxBandBucket)
+        guardReport = report
+        val starred = over
           .filter(col("id") =!= col("mn"))
           .select(col("mn").as("id_a"), col("id").as("id_b"))
         allPairs.unionByName(starred)
@@ -355,6 +360,7 @@ object Dedup {
     // intermediates — a library caller looping over corpora would
     // otherwise accumulate cached frames per call forever
     result.count()
+    guardReport()
     shingleRows.unpersist(blocking = false)
     sig.unpersist(blocking = false)
     result
@@ -1020,22 +1026,45 @@ object Dedup {
     // out (the maxBandBucket convention). Non-integral id types also
     // take the distributed path (SQL `least`/`min` ordering is only
     // replayed locally for integral ids).
+    // The edge list is consumed at least twice (the count gate below,
+    // then either the driver collect or the distributed rounds), and
+    // callers routinely pass an UNPERSISTED pair pipeline — persist
+    // the 2-column projection ONCE here so the pair funnel never
+    // re-runs (it is the expensive half of every composed dedup).
+    // Released before return on every path.
+    val proj = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one priming aggregate: total edges (the fast-path gate) + the
+    // non-null counts. NULL ids are rejected in BOTH paths: the
+    // distributed min-propagation silently drops a null endpoint at
+    // its first equi-join while the driver fast path would have to
+    // replicate that accident — a null id in a near-dup pair list is
+    // an upstream bug either way, so fail fast instead of diverging.
+    val gate = proj.select(count(lit(1)).as("n"),
+      count(col("src")).as("na"), count(col("dst")).as("nb")).head()
+    val (nEdges, nA, nB) = (gate.getLong(0), gate.getLong(1), gate.getLong(2))
+    if (nA != nEdges || nB != nEdges) {
+      proj.unpersist(blocking = false)
+      throw InvalidArgumentValue(
+        s"dupClusters: pair list has NULL ids (${nEdges - math.min(nA, nB)}" +
+          s" of $nEdges rows) — near-dup pairs must carry non-null ids")
+    }
     locally {
       val spark = pairs.sparkSession
       val cap = spark.conf
-        .get("graft.dedup.maxDriverEdges", "5000000").toLong
+        .get("graft.dedup.maxDriverEdges", "2000000").toLong
       val idTypes = Seq(idA, idB).map(c => pairs.schema(c).dataType)
       val integral = idTypes.forall(t =>
         t == org.apache.spark.sql.types.LongType ||
           t == org.apache.spark.sql.types.IntegerType ||
           t == org.apache.spark.sql.types.ShortType ||
           t == org.apache.spark.sql.types.ByteType)
-      if (cap > 0 && integral && pairs.count() <= cap)
-        return dupClustersLocal(pairs, idA, idB, idTypes.head)
+      if (cap > 0 && integral && nEdges <= cap)
+        try return dupClustersLocal(proj, idTypes.head)
+        finally proj.unpersist(blocking = false)
     }
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = proj
+      .union(proj.select(col("dst").as("src"), col("src").as("dst")))
     // each round MUST truncate lineage (eager localCheckpoint): the
     // round-N plan embeds round-N−1's plan several times, so without
     // truncation the logical plan grows ~2^N nodes and the DRIVER
@@ -1049,9 +1078,8 @@ object Dedup {
     // soon as they are superseded — only the final round's blocks
     // (backing the returned frame) remain, freed by ContextCleaner
     // when the frame is GC'd.
-    // materialize edges before the first checkpoint so the rounds
-    // never pay the pair pipeline again
-    edges.count()
+    // edges is an (already materialized) proj cache scan + its swap —
+    // per round that costs two cache reads, never the pair pipeline
     def checkpointTracked(df: DataFrame)
         : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
       graft.operators.Lineage.checkpointTracked(df)
@@ -1093,7 +1121,7 @@ object Dedup {
       labels = next.drop("prev")
       iter += 1
     }
-    edges.unpersist(blocking = false)
+    proj.unpersist(blocking = false)
     // wrong labels are worse than no labels: a component whose
     // diameter exceeds maxIter would silently keep several roots and
     // under-dedup downstream
@@ -1115,31 +1143,39 @@ object Dedup {
     * LocalRelation-backed (id, root) frame in the input id type, so
     * downstream joins against it plan as broadcasts.
     */
-  private def dupClustersLocal(pairs: DataFrame, idA: String,
-                               idB: String,
+  private def dupClustersLocal(proj: DataFrame,
                                idType: org.apache.spark.sql.types.DataType)
       : DataFrame = {
-    val spark = pairs.sparkSession
+    val spark = proj.sparkSession
     import spark.implicits._
-    val raw = pairs
-      .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull)
-      .as[(Long, Long)].collect()
-    // dense-index remap so the union-find runs on primitive arrays
-    val idx = new java.util.HashMap[Long, Integer](raw.length * 2)
-    val ids = new scala.collection.mutable.ArrayBuffer[Long]
-    def ix(v: Long): Int = {
-      val e = idx.get(v)
-      if (e != null) e.intValue()
-      else {
-        val i = ids.length
-        ids += v
-        idx.put(v, Integer.valueOf(i))
-        i
+    // PRIMITIVE collect: exploding (a, b) into adjacent scalar rows
+    // and decoding as Dataset[Long] lands one Array[Long] on the
+    // driver — 16 bytes/edge, vs ~48+ for boxed (Long, Long) tuples
+    // (the round-9 advice's driver-heap term). Row order within a
+    // collect preserves partition order, so endpoints stay at
+    // (2i, 2i+1). Null ids were rejected by the caller's gate, so the
+    // primitive decoder never sees a null.
+    val packed: Array[Long] = proj
+      .select(explode(array(col("src").cast("long"),
+        col("dst").cast("long"))).as("v"))
+      .as[Long].collect()
+    // dense remap via sort + unique + binary search — no boxed
+    // HashMap (a Long→Integer map costs ~50 bytes/node at 2× the
+    // node count in capacity)
+    val sorted = packed.clone()
+    java.util.Arrays.sort(sorted)
+    var nIds = 0
+    var i = 0
+    while (i < sorted.length) {
+      if (i == 0 || sorted(i) != sorted(i - 1)) {
+        sorted(nIds) = sorted(i)
+        nIds += 1
       }
+      i += 1
     }
-    val endpoints = raw.map { case (a, b) => (ix(a), ix(b)) }
-    val parent = Array.tabulate(ids.length)(identity)
+    val ids = java.util.Arrays.copyOf(sorted, nIds)
+    def ix(v: Long): Int = java.util.Arrays.binarySearch(ids, v)
+    val parent = Array.tabulate(nIds)(identity)
     def find(x0: Int): Int = {
       var x = x0
       while (parent(x) != x) {
@@ -1148,15 +1184,19 @@ object Dedup {
       }
       x
     }
-    endpoints.foreach { case (ai, bi) =>
-      val ra = find(ai); val rb = find(bi)
+    var e = 0
+    while (e < packed.length) {
+      val ra = find(ix(packed(e)))
+      val rb = find(ix(packed(e + 1)))
       if (ra != rb) {
-        // union toward the smaller ID so the representative is
-        // already the running min — no second pass structure needed
-        if (ids(ra) <= ids(rb)) parent(rb) = ra else parent(ra) = rb
+        // ids is sorted ascending, so the smaller dense index IS the
+        // smaller id — union toward it and the representative is
+        // already the running min
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
       }
+      e += 2
     }
-    val out = ids.indices.map(i => (ids(i), ids(find(i))))
+    val out = (0 until nIds).map(i => (ids(i), ids(find(i))))
     spark.createDataset(out)
       .select(col("_1").cast(idType).as("id"),
         col("_2").cast(idType).as("root"))
@@ -2043,6 +2083,7 @@ object Dedup {
     val mask = (1L << chunkBits) - 1
 
     val sigs = simhashSignatures(df, idCol, textCol)
+    var guardReport: () => Unit = () => ()
 
     // persisted (|docs|·chunks rows of longs): read twice by the
     // candidate self-join
@@ -2082,7 +2123,11 @@ object Dedup {
               col("x.id") < col("y.id"))
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
             hammingOf(col("x.sig"), col("y.sig")).as("hamming"))
-        val starred = sized.filter(col("bsz") > maxChunkBucket)
+        val (over, report) = observeStarGuard(
+          sized.filter(col("bsz") > maxChunkBucket), "bsz",
+          "simhashNearDups", "maxChunkBucket", maxChunkBucket)
+        guardReport = report
+        val starred = over
           .filter(col("id") =!= col("mn.id"))
           .select(col("mn.id").as("id_a"), col("id").as("id_b"),
             hammingOf(col("mn.sig"), col("sig")).as("hamming"))
@@ -2094,7 +2139,46 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize, then release the chunk table (see minhashNearDups)
     result.count()
+    guardReport()
     chunked.unpersist(blocking = false)
     result
+  }
+
+  private val guardObsSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Zero-cost observability for the bucket-cap star guards (round-9
+    * advice: with the caps now default-on, capped pair enumeration on
+    * a flooded corpus must be OBSERVABLE, not silent). Attaches a
+    * `CollectMetrics` node to the over-cap branch — collected during
+    * the funnel's own materializing action, no extra job — and returns
+    * it with a report closure: called after that action, it warns with
+    * the over-cap member-row count and the largest bucket whenever the
+    * star guard actually engaged.
+    */
+  private def observeStarGuard(overCap: DataFrame, bszCol: String,
+                               op: String, capName: String, cap: Int)
+      : (DataFrame, () => Unit) = {
+    val obs = org.apache.spark.sql.Observation(
+      s"graft.dedup.$op.starGuard-${guardObsSeq.incrementAndGet()}")
+    val observed = overCap.observe(obs,
+      count(lit(1)).as("capped_rows"), max(col(bszCol)).as("max_bucket"))
+    val report = () => try {
+      // non-blocking read: the funnel's materializing action already
+      // ran, so the future is complete; if it somehow isn't (metrics
+      // bus lag), skip the warn rather than block a data pipeline
+      val row = obs.future.value.flatMap(_.toOption)
+      val capped = row.map(r => r.getLong(r.fieldIndex("capped_rows")))
+        .getOrElse(0L)
+      if (capped > 0L)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$op: $capName=$cap engaged — $capped member rows sit in " +
+            "over-cap buckets (largest: " +
+            s"${row.map(_.get(1)).getOrElse("?")}); pair " +
+            "enumeration inside them is reduced to min-id star edges " +
+            "(still exact-verified; dupClusters connectivity is " +
+            s"preserved, pair-level output is reduced). Raise $capName " +
+            "or pass <= 0 to opt out.")
+    } catch { case scala.util.control.NonFatal(_) => () }
+    (observed, report)
   }
 }

@@ -84,7 +84,11 @@ object Quantiles {
     *                  `.unpersist()` it once consumed (the composing-
     *                  operator contract — DataCard uses it for its own
     *                  cache hygiene). Default false: the result is an
-    *                  eager localCheckpoint whose blocks ContextCleaner
+    *                  eager localCheckpoint at MEMORY_AND_DISK_2
+    *                  (replicated — lineage is truncated, so on a real
+    *                  cluster an unreplicated block lost to executor
+    *                  decommission would be unrecomputable) whose
+    *                  blocks ContextCleaner
     *                  reclaims when the frame is garbage-collected, so
     *                  fire-and-forget callers (profileNumeric,
     *                  winsorize, quantileTiers, gumbelTopFrac) never
@@ -315,7 +319,15 @@ object Quantiles {
           val f = out.persist(StorageLevel.MEMORY_AND_DISK)
           f.count()
           f
-        } else out.localCheckpoint(true)
+        } else
+          // replicated level: localCheckpoint truncates lineage, so a
+          // non-replicated block lost to executor decommission (dynamic
+          // allocation, spot kill) would make the returned frame
+          // permanently unrecomputable mid-read on a real cluster. The
+          // result is tiny (groups × ps rows), so the second replica
+          // costs nothing; single-executor local mode keeps one copy
+          // (replication degrades with a warn, never fails).
+          out.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_2)
       targetRdds.foreach(_.unpersist(blocking = false))
       posMap.unpersist(blocking = false)
       finalDf

@@ -57,7 +57,7 @@ class LlmSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       assert(labels.size == 41)
       assert(labels.values.forall(_ == 1L))
-    } finally spark.conf.set("graft.dedup.maxDriverEdges", "5000000")
+    } finally spark.conf.unset("graft.dedup.maxDriverEdges")
   }
 
   test("driver-side materialization guards fail fast on over-cap frames") {
@@ -113,7 +113,7 @@ class LlmSpec extends SparkSpec {
       spark.conf.set("graft.dedup.maxDriverEdges", "0")
       val dist =
         try Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
-        finally spark.conf.set("graft.dedup.maxDriverEdges", "5000000")
+        finally spark.conf.unset("graft.dedup.maxDriverEdges")
       assert(local == dist, s"trial $trial: local != distributed")
     }
   }
@@ -137,6 +137,45 @@ class LlmSpec extends SparkSpec {
       Dedup.probeMinhashIndex(idx, corpus, batch, "doc_id", "text",
         numHashes = 64)
     }
+  }
+
+  test("probe over-cap shuffled fallback returns identical pairs") {
+    // graft.dedup.maxBroadcastCandidates is the probe's 8 GB-limit
+    // escape hatch: past the cap every static broadcast (batch bands,
+    // candidates, candA) degrades to a shuffled join. Force the
+    // degraded path and pin it row-identical to the broadcast path —
+    // the fallback must change the PLAN, never the answer.
+    val corpus = docs.filter($"doc_id" < 400)
+    val batch = docs.filter($"doc_id" >= 400)
+    val idx = tmpDir("mh-nobcast")
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+    def probe() = Dedup.probeMinhashIndex(idx, corpus, batch,
+        "doc_id", "text", threshold = 0.8, minBandMatches = 3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val bcast = probe()
+    spark.conf.set("graft.dedup.maxBroadcastCandidates", "1")
+    val shuffled =
+      try probe()
+      finally spark.conf.unset("graft.dedup.maxBroadcastCandidates")
+    assert(shuffled == bcast)
+    assert(shuffled.nonEmpty)
+  }
+
+  test("dupClusters rejects NULL ids on both paths") {
+    // a null id in a near-dup pair list is an upstream bug; the
+    // driver fast path and the distributed loop must agree on the
+    // contract (fail fast) instead of diverging silently
+    val withNull = Seq((Option(1L), Option(2L)), (Option.empty[Long],
+      Option(3L))).toDF("id_a", "id_b")
+    val e = intercept[graft.exceptions.InvalidArgumentValue] {
+      Dedup.dupClusters(withNull)
+    }
+    assert(e.getMessage.contains("NULL"))
+    spark.conf.set("graft.dedup.maxDriverEdges", "0")
+    try intercept[graft.exceptions.InvalidArgumentValue] {
+      Dedup.dupClusters(withNull)
+    } finally spark.conf.unset("graft.dedup.maxDriverEdges")
   }
 
   test("minhash append with an empty batch retracts the tag's previous rows") {
