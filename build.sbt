@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Keep runMain stdout machine-parseable: the per-round bench/verify
+// records are the process' last stdout line, and sbt's "[success]
+// Total time" epilogue would otherwise trail them.
+Global / showSuccess := false

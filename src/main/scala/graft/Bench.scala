@@ -76,9 +76,17 @@ private class StageMetricsListener extends SparkListener {
   *     degenerate-bucket guard on — the mass-duplication resilience
   *     the composed pipelines now default to; excluded (like
   *     q53_probe_only) from the headline total;
-  *   - the JSON line is printed to stdout AND written to
-  *     $SPARK_GRAFT_BENCH_OUT (default bench_out.json) so the driver
-  *     doesn't have to fish it out of the sbt log tail.
+  *   - OUTPUT (round-10 parse fix): a COMPACT JSON record (headline +
+  *     calibration + 3-decimal wall medians, ~4 KB) is the process'
+  *     last stdout line, printed after spark.stop(); the FULL record
+  *     (stage metrics, spliced clean-medians history) is written to
+  *     $SPARK_GRAFT_BENCH_OUT (default bench_out.json) and referenced
+  *     via "record" — the old single ~20 KB line was cut mid-stream by
+  *     the driver's capture three rounds running ("parsed": null);
+  *   - a fixed library-independent calibration probe runs before and
+  *     after the suite ("calib_pre"/"calib_post"/"calib_sec"): ambient
+  *     drift between two rounds' records is normalized by their
+  *     calibration ratio instead of prose adjudication.
   */
 object Bench {
 
@@ -126,6 +134,29 @@ object Bench {
       threshold = 0.8, minBandMatches = 3, maxBandBucket = 1000)
   }
 
+  /** Fixed ambient-drift calibration probe — library-INDEPENDENT
+    * (spark.range → hash agg → shuffle → sort), so its timing moves
+    * only with the machine, never with this repo's code. Run before
+    * and after the suite; the committed clean-medians record carries
+    * the same probe, so round-over-round wall ratios can be
+    * normalized by the calibration ratio instead of adjudicating
+    * ambient load from prose (the round-9 1.22× footnote). DO NOT
+    * change this workload once a record referencing it is committed.
+    */
+  private def calibrate(spark: SparkSession, reps: Int): Double = {
+    val ts = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(20000000L)
+        .select((F.col("id") * 2654435761L % 1000003L).as("k"),
+          F.col("id").as("v"))
+        .groupBy("k").agg(F.sum("v").as("s"), F.count(F.lit(1)).as("c"))
+        .orderBy(F.desc("s")).limit(100)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    ts(ts.size / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -149,9 +180,21 @@ object Bench {
 
     setupProbeIndex(spark, warmDir)
     setupProbeIndex(spark, sfDir)
-    val queries = SparkEntry.queries +
+    val all = SparkEntry.queries +
       ("q53_probe_only" -> (probeOnly _)) +
       ("flood_dedup_guard" -> (floodGuard _))
+    // protocol-testing filter (bench-only; the driver never sets it):
+    // SPARK_GRAFT_BENCH_ONLY=q01_agg_groupby,q05_scalar_fns
+    val queries = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) =>
+        val keep = names.split(",").map(_.trim).toSet
+        all.filter { case (k, _) => keep(k) }
+      case None => all
+    }
+    // warm the JIT/codegen paths the calibration probe uses, then take
+    // the PRE-suite calibration sample
+    calibrate(spark, 1)
+    val calibPre = calibrate(spark, 3)
 
     // warmup (untimed, small scale; no job group → excluded from metrics)
     queries.foreach { case (_, fn) =>
@@ -173,6 +216,7 @@ object Bench {
       } catch { case _: Throwable => failed += name }
       finally sc.clearJobGroup()
     }
+    val calibPost = calibrate(spark, 3)
     // the listener bus is async; give in-flight task-end events a
     // moment to land before reading the aggregates
     Thread.sleep(2000)
@@ -243,18 +287,32 @@ object Bench {
         } catch { case _: Exception => ("null", "null") }
       } else ("null", "null")
     }
-    // key order: the driver's BENCH_r{N}.json records a TRUNCATED
-    // tail of this line, and two rounds running the tail landed on
-    // cleanTaskSec (task-seconds misread as wall regressions — the
-    // round-7/-8 verdicts both needed a do-not-misread footnote). A
-    // JSON parser is order-blind, so put the per-query WALL medians
-    // map ("queries") last: whatever the tail captures is wall
-    // seconds.
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,"stageMetrics":$sm,"cleanMedians":$clean,"cleanTaskSec":$cleanTaskSec,"sf":"$sfDir","queries":$qs}"""
+    // TWO records (the round-9 parse fix — BENCH_r{7,8,9} all carry
+    // "parsed": null because this line used to splice the whole
+    // clean-medians file plus stage metrics, ~20 KB, and the driver's
+    // stdout capture cut it mid-stream):
+    //   - STDOUT gets a COMPACT record (~4 KB: headline, errors,
+    //     calibration, 3-decimal wall medians) printed AFTER
+    //     spark.stop() so nothing trails it — small enough to survive
+    //     any plausible capture window intact;
+    //   - the FULL record (stage metrics, the spliced clean-medians
+    //     history) goes only to $SPARK_GRAFT_BENCH_OUT
+    //     (bench_out.json), referenced from the stdout line via
+    //     "record".
+    // Key order in the compact line: per-query WALL medians last, so
+    // even a truncated tail reads as wall seconds (the round-8
+    // convention).
+    val calib =
+      s""""calib_sec":${r3(math.min(calibPre, calibPost))},"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)}"""
+    val qsShort = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,$calib,"stageMetrics":$sm,"cleanMedians":$clean,"cleanTaskSec":$cleanTaskSec,"sf":"$sfDir","queries":$qs}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"errors":$errs,$calib,"record":"$out","sf":"$sfDir","queries":$qsShort}"""
     spark.stop()
+    println(compact)
   }
 }
