@@ -1225,14 +1225,28 @@ object QueriesLlm {
   /** q107 — compression-ratio quality signal (NO ORACLE by design,
     * the q63/q102 convention: deflate output is a library property,
     * not SQL-replayable; LlmSpec pins the ordering contract —
-    * repetitive text compresses far below diverse text). Zero-shuffle
-    * row-parallel kernel.
+    * repetitive text compresses far below diverse text — and q137 is
+    * the exact-oracle twin on a fixed dictionary-coder cost model).
+    * Zero-shuffle row-parallel kernel.
     */
   def q107Compression(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.compressionRatio(t(spark, dir, "documents"),
         "doc_id", "text")
       .select(col("id").as("doc_id"), col("n_bytes"),
         col("n_compressed"), col("compression_ratio"))
+      .orderBy("doc_id")
+
+  /** q137 — q107's oracle-checked twin: the LZ78-class dictionary-
+    * coder size proxy (first k-gram occurrence = k literal bytes,
+    * repeat = 2-byte reference), exact relational algebra on both
+    * engines. Retires the last convention-based no-oracle row that
+    * had no hash-checked twin (round-9 verdict task #8).
+    */
+  def q137LzProxy(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lzProxyRatio(t(spark, dir, "documents"),
+        "doc_id", "text", k = 8)
+      .select(col("id").as("doc_id"), col("n_chars"), col("n_grams"),
+        col("n_novel"), col("lz_cost"), col("lz_ratio"))
       .orderBy("doc_id")
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1280,6 +1294,7 @@ object QueriesLlm {
     "q134_data_card"     -> (q134DataCard _),
     "q135_data_card_diff" -> (q135DataCardDiff _),
     "q136_decontaminate_spans" -> (q136DecontaminateSpans _),
+    "q137_lz_proxy"      -> (q137LzProxy _),
     "q64_quality_filter" -> (q64QualityFilter _),
     "q65_remove_spans"   -> (q65RemoveSpans _),
     "q66_contamination_bloom" -> (q66ContaminationBloom _),
@@ -1531,6 +1546,25 @@ object QueriesLlm {
                 CAST(sum(n_chars) AS BIGINT) AS chars_kept
          FROM cum WHERE c <= budget
          GROUP BY source ORDER BY source""",
+    // q137: q107's engine-replayable twin — the fixed dictionary-coder
+    // cost model (first k-gram occurrence = k literal units, repeat =
+    // 3-unit reference) is plain count / count-distinct over the
+    // char-8-gram explode, so DuckDB replays it exactly
+    "q137_lz_proxy" ->
+      """WITH g AS (SELECT doc_id, length(text) AS n_chars,
+                substr(text, i, 8) AS g
+              FROM (SELECT doc_id, text,
+                      unnest(generate_series(1, length(text) - 7)) AS i
+                    FROM documents WHERE length(text) >= 8))
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                count(*) AS n_grams, count(DISTINCT g) AS n_novel,
+                CAST(count(DISTINCT g)*8
+                     + (count(*) - count(DISTINCT g))*3 AS BIGINT)
+                  AS lz_cost,
+                round((count(DISTINCT g)*8
+                       + (count(*) - count(DISTINCT g))*3) * 1.0
+                      / (count(*) * 8), 6) AS lz_ratio
+         FROM g GROUP BY doc_id, n_chars ORDER BY doc_id""",
     "q62_dup_gram_frac" ->
       """WITH toksa AS (SELECT doc_id,
                 regexp_split_to_array(trim(lower(text)), '\s+') AS t

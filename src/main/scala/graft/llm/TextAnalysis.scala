@@ -1042,6 +1042,51 @@ object TextAnalysis {
       .toDF("id", "n_bytes", "n_compressed", "compression_ratio")
   }
 
+  /** Dictionary-coder (LZ78-class) compressed-size PROXY — the
+    * engine-replayable twin of [[compressionRatio]]'s deflate signal.
+    * Cost model, fixed forever: scan the doc's sliding character
+    * `k`-grams; a gram's FIRST occurrence is a dictionary miss
+    * costing `k` literal-char units, every repeat is a back-reference
+    * costing 3 (the LZ77 copy-token analog) — so
+    * `lz_cost = n_novel·k + (n_grams − n_novel)·3` and
+    * `lz_ratio = lz_cost / (n_grams·k)` ∈ (3/k, 1]: fully novel text
+    * scores ≈ 1 (incompressible), degenerate repeats approach 3/k.
+    * Repetitive boilerplate lands far below diverse text, the same
+    * separation the deflate ratio gives (rank agreement is
+    * spec-pinned), but every term is exact relational algebra: gram
+    * explode → per-doc count / count-distinct — replayable in ANSI
+    * SQL, hence oracle-checkable, unlike deflate's library-private
+    * output.
+    *
+    * Scale shape: one explode (k bytes per input char, the q62 gram
+    * convention) into a partial-aggregated (id, gram) distinct — the
+    * only data-proportional shuffle; no windows, no driver state.
+    *
+    * @return (id, n_chars, n_grams, n_novel, lz_cost, lz_ratio) for
+    *         docs with at least k chars — shorter docs have no k-gram
+    *         parse and are omitted (the oracle twin drops them too)
+    */
+  def lzProxyRatio(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8): DataFrame = {
+    if (k < 2)
+      throw InvalidArgumentValue(s"k must be >= 2: $k")
+    val grams = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .filter(length(col("t")) >= k)
+      .select(col("id"), length(col("t")).cast("long").as("n_chars"),
+        explode(expr(
+          s"transform(sequence(1, length(t) - ${k - 1}), " +
+            s"i -> substring(t, i, $k))")).as("g"))
+    grams.groupBy("id", "n_chars")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_novel"))
+      .select(col("id"), col("n_chars"), col("n_grams"), col("n_novel"),
+        (col("n_novel") * k + (col("n_grams") - col("n_novel")) * 3)
+          .as("lz_cost"),
+        round((col("n_novel") * k + (col("n_grams") - col("n_novel")) * 3)
+          .cast("double") / (col("n_grams") * k), 6).as("lz_ratio"))
+  }
+
   /** Per-group lexical health stats: tokens, distinct types,
     * type-token ratio, and the mass share of the single most frequent
     * token — the corpus-drift dashboard row (a source whose TTR
