@@ -11,12 +11,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSession {
 
-  /** Conf keys honored by the engine (set via SparkConf / spark.conf). */
+  /** Conf keys honored by the engine (set via SparkConf / spark.conf).
+    *
+    * Parity with the reference's `_CONFIG_ARGS` (_config.py:25-42):
+    * each arg either maps to a `graft.*` key below or is documented
+    * N/A-in-Spark in SURVEY §7.4 (max_cache_query_inspections — this
+    * cache is direct-keyed, nothing to inspect; the athena/sts/glue/
+    * kms/emr endpoint URLs — those clients are injected or emulated
+    * here; redshift_endpoint_url — the endpoint is part of the JDBC
+    * URL in the connection registry; concurrent_partitioning — Spark
+    * writes partitions concurrently natively, the related fan-out
+    * lever is `concurrentWrites`).
+    */
   object confKeys {
-    val database          = "graft.catalog.database"       // default db
-    val cacheSeconds      = "graft.sql.maxCacheSeconds"    // result cache TTL
-    val s3BlockSize       = "graft.fs.blockSize"           // passthrough to hadoop conf
-    val concurrentWrites  = "graft.write.concurrent"
+    val database          = "graft.catalog.database"       // default db ("database")
+    val cacheSeconds      = "graft.sql.maxCacheSeconds"    // result cache TTL ("max_cache_seconds")
+    val s3BlockSize       = "graft.fs.blockSize"           // hadoop passthrough ("s3_block_size")
+    val concurrentWrites  = "graft.write.concurrent"       // writer fan-out ("concurrent_partitioning")
+    val ctasApproach      = "graft.sql.ctasApproach"       // stage results to parquet ("ctas_approach")
+    val ctasScratch       = "graft.sql.ctasScratch"        // staging root for ctasApproach
+    val workgroup         = "graft.sql.workgroup"          // scheduler pool ("workgroup")
+    val s3Endpoint        = "graft.fs.s3Endpoint"          // fs.s3a.endpoint ("s3_endpoint_url")
+    val catalogId         = "graft.catalog.catalogId"      // active catalog ("catalog_id")
   }
 
   def builder(appName: String = "graft", master: String = "local[*]"): SparkSession.Builder =
@@ -59,11 +75,30 @@ object GraftSession {
     * is read by Sql.readSqlQuery and `graft.write.concurrent` by
     * Writer at call time; `graft.catalog.database` by Sql.readSqlTable.
     */
-  def applyEngineConf(spark: SparkSession): Unit =
+  def applyEngineConf(spark: SparkSession): Unit = {
     spark.conf.getOption(confKeys.s3BlockSize).foreach { v =>
       spark.sparkContext.hadoopConfiguration.set("fs.s3a.block.size", v)
       spark.sparkContext.hadoopConfiguration.set("fs.s3a.readahead.range", v)
     }
+    // the reference's s3_endpoint_url (non-AWS S3 stores, VPC
+    // endpoints): S3A's endpoint is the same knob
+    spark.conf.getOption(confKeys.s3Endpoint).foreach { v =>
+      spark.sparkContext.hadoopConfiguration.set("fs.s3a.endpoint", v)
+    }
+    // the reference's catalog_id selects which Glue catalog (account)
+    // resolves bare table names; Spark's analog is the active catalog
+    // in the multi-catalog namespace (spark.sql.catalog.*)
+    spark.conf.getOption(confKeys.catalogId)
+      .foreach(spark.catalog.setCurrentCatalog)
+    // the reference's workgroup is Athena's execution/resource
+    // isolation group; Spark's analog is the fair-scheduler pool the
+    // session's jobs are submitted under (thread-local, so this covers
+    // jobs issued from the configuring thread — per-thread pools are
+    // the caller's concern, exactly like multi-threaded wrangler use)
+    spark.conf.getOption(confKeys.workgroup).foreach { wg =>
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", wg)
+    }
+  }
 }
 
 /** Helpers to expose the driver's testdata star schema as temp views so

@@ -156,6 +156,22 @@ object Sql {
         val started = clock()
         val queryId = java.util.UUID.randomUUID().toString
         var df = spark.sql(sql)
+        // ctas_approach parity (athena/_read.py:700s CTAS path): the
+        // reference materializes heavy query results as parquet on S3
+        // once and reads FILES back — every later consumption is a
+        // file scan, never a re-execution, even with the result cache
+        // off. Same semantics here: stage to the scratch root under a
+        // per-query id and return the read-back frame (lineage cut to
+        // storage). Cleanup of the staging dir is the caller's, like
+        // the reference's keep_files default.
+        if (spark.conf.get(GraftSession.confKeys.ctasApproach, "false")
+            .toBoolean) {
+          val root = spark.conf.get(GraftSession.confKeys.ctasScratch,
+            sys.props("java.io.tmpdir") + "/graft-ctas")
+          val dest = s"$root/$queryId"
+          df.write.mode("overwrite").parquet(dest)
+          df = spark.read.parquet(dest)
+        }
         if (ttlSec > 0) {
           df = df.persist(StorageLevel.MEMORY_AND_DISK)
           if (sc.gen.get() == genAtStart) {

@@ -165,6 +165,56 @@ class SqlSpec extends SparkSpec {
     }
   }
 
+  test("graft.sql.ctasApproach stages results as parquet files") {
+    // the reference's ctas_approach: the returned frame must read
+    // FILES (one materialization, then file scans), not re-execute
+    // the query per action
+    val scratch = tmpDir("ctas-approach")
+    spark.conf.set(GraftSession.confKeys.ctasApproach, "true")
+    spark.conf.set(GraftSession.confKeys.ctasScratch, scratch)
+    try {
+      val r = Sql.readSqlQuery(spark,
+        "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+      assert(r.df.inputFiles.nonEmpty &&
+        r.df.inputFiles.forall(_.contains("ctas-approach")),
+        s"expected file-backed result, got ${r.df.inputFiles.toSeq}")
+      assert(r.df.count() == 5)
+      // identical rows to the direct execution
+      val direct = spark.sql(
+        "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+      assert(r.df.orderBy("r_regionkey").collect().toSeq ==
+        direct.collect().toSeq)
+    } finally {
+      spark.conf.unset(GraftSession.confKeys.ctasApproach)
+      spark.conf.unset(GraftSession.confKeys.ctasScratch)
+      Sql.invalidateCache(spark)
+    }
+  }
+
+  test("engine conf parity: workgroup, s3 endpoint, catalog id") {
+    val sc = spark.sparkContext
+    try {
+      // workgroup → the scheduler pool jobs from this thread run under
+      spark.conf.set(GraftSession.confKeys.workgroup, "analytics-wg")
+      // s3_endpoint_url → S3A endpoint
+      spark.conf.set(GraftSession.confKeys.s3Endpoint,
+        "https://s3.example.internal")
+      // catalog_id → active catalog in the session's catalog namespace
+      spark.conf.set(GraftSession.confKeys.catalogId, "spark_catalog")
+      GraftSession.applyEngineConf(spark)
+      assert(sc.getLocalProperty("spark.scheduler.pool") == "analytics-wg")
+      assert(sc.hadoopConfiguration.get("fs.s3a.endpoint") ==
+        "https://s3.example.internal")
+      assert(spark.catalog.currentCatalog() == "spark_catalog")
+    } finally {
+      spark.conf.unset(GraftSession.confKeys.workgroup)
+      spark.conf.unset(GraftSession.confKeys.s3Endpoint)
+      spark.conf.unset(GraftSession.confKeys.catalogId)
+      sc.setLocalProperty("spark.scheduler.pool", null)
+      sc.hadoopConfiguration.unset("fs.s3a.endpoint")
+    }
+  }
+
   test("ctas materializes the result as a queryable parquet table") {
     graft.catalog.Catalog.createDatabase(spark, "graft_ctas_db")
     val path = tmpDir("ctas-out") + "/t"
