@@ -216,6 +216,12 @@ object ScaleMeasure {
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         if (rep > 0) timings(name) ::= (System.nanoTime() - t0) / 1e9
+      } catch {
+        // a failing query must not abort the whole sweep — record it
+        // (-1 median, like Bench) and keep measuring the rest
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[scale] $name failed: ${e.getMessage}")
+          timings(name) = List(-1.0)
       } finally {
         spark.catalog.clearCache()
         if (rep > 0) sc.clearJobGroup()
@@ -229,7 +235,8 @@ object ScaleMeasure {
       val ts = timings(name)
       val a = listener.agg.getOrElse(name, Array.fill(4)(0L))
       val n = math.max(ts.size, 1)
-      println(f"$name | ${median(ts)}%.2f | " +
+      val m = if (ts.contains(-1.0)) -1.0 else median(ts)
+      println(f"$name | $m%.2f | " +
         f"${(a(0) + a(1)) / n / 1e6}%.2f | ${a(2) / n / 1e3}%.1f | ${a(3) / n}")
     }
     spark.stop()
