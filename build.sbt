@@ -33,3 +33,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // records are the process' last stdout line, and sbt's "[success]
 // Total time" epilogue would otherwise trail them.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess

@@ -174,9 +174,19 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             dir: String): Unit =
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      // LLM operators persist() their returned frame; free it between
-      // queries so 50 queries don't accumulate cached blocks
-      finally spark.catalog.clearCache()
+      finally {
+        // LLM operators persist() their returned frame; free it between
+        // queries so 50 queries don't accumulate cached blocks
+        spark.catalog.clearCache()
+        // and kick GC so GC-RECLAIMED state (localCheckpoint blocks
+        // from quantiles/dedup internals, dropped cache entries) is
+        // actually freed at the query boundary: without this, a query
+        // late in the suite pays its predecessors' garbage — measured
+        // as q71 6.7 s solo vs 77 s late in a 35-query sweep (round-10
+        // ScaleMeasure diagnosis; the round-9 q71/q135 above-drift
+        // movers were this coupling, not code regressions)
+        System.gc()
+      }
 
     setupProbeIndex(spark, warmDir)
     setupProbeIndex(spark, sfDir)

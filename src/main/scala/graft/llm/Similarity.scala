@@ -1160,6 +1160,19 @@ object Similarity {
     * Recall at cos=c: 1−(1−(1−θ/π)^r)^b with θ=acos(c) — at c=0.99,
     * r=8, b=32 the miss probability is ~4e-17.
     *
+    * Scale shape: each banded row carries the packed whole-sketch
+    * (b·r bits), and the band join drops any pair whose sketch
+    * hamming estimates the angle beyond threshold−6σ MAP-SIDE, so the
+    * only pairs that reach the distinct's shuffle are near-certain —
+    * the round-10 decade measurement had the unfiltered join shuffling
+    * 541× for 10× data (random 8-bit collisions are ~b·N²/2^(r+1)
+    * pairs; all of them used to ride the exchange just to die in the
+    * verify). The residual quadratic term is enumeration CPU inside
+    * the band buckets (≈ b·N²/2^r sketch comparisons, no shuffle): at
+    * corpus sizes where that matters (N ≫ 10⁶ per band-bucket space),
+    * raise `planesPerBand` toward log₂N — FP enumeration scales as
+    * 2^−r — and grow `bands` to hold the recall product above.
+    *
     * The returned pairs are already materialized (persisted; the band
     * signature cache is released before returning) — `.unpersist()`
     * the result when done.
@@ -1178,30 +1191,68 @@ object Similarity {
 
     val nBands = bands
     val r = planesPerBand
+    val nBits = nBands * r
+    val nSk = (nBits + 63) / 64
+    // each banded row carries the WHOLE packed hyperplane sketch
+    // alongside its band value: the sketch is the map-side similarity
+    // estimator that lets the band join drop random collisions BEFORE
+    // the distinct's shuffle (see the filter below). Linear payload —
+    // nSk longs per row — against the measured quadratic shuffle it
+    // removes.
     val banded = v.as[(Long, Seq[Double])].mapPartitions { rows =>
       rows.flatMap { case (id, vec) =>
         val a = vec.toArray
-        (0 until nBands).map { b =>
+        val bvs = new Array[Long](nBands)
+        val sk = new Array[Long](nSk)
+        var b = 0
+        while (b < nBands) {
           var bv = 0L
           var p = 0
           while (p < r) {
             val plane = planes(b * r + p)
             var s = 0.0; var i = 0
             while (i < a.length) { s += a(i) * plane(i); i += 1 }
-            if (s >= 0) bv |= (1L << p)
+            if (s >= 0) {
+              bv |= (1L << p)
+              val bit = b * r + p
+              sk(bit >> 6) |= (1L << (bit & 63))
+            }
             p += 1
           }
-          (id, b, bv)
+          bvs(b) = bv
+          b += 1
         }
+        (0 until nBands).iterator.map(b => (id, b, bvs(b), sk.toSeq))
       }
-    }.toDF("id", "band", "bv")
+    }.toDF("id", "band", "bv", "sk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Map-side sketch cut, BEFORE the distinct's exchange (the q52
+    // simhash lesson, measured here as q77's 541× decade shuffle:
+    // an 8-bit band value collides two RANDOM vectors at 2⁻⁸, so
+    // band-join enumeration is ~b·N²/2^(r+1) pairs and every doomed
+    // pair used to ride the shuffle just to die in the exact verify).
+    // The whole-sketch hamming fraction estimates the pair's angle
+    // θ/π with σ = sqrt(q(1−q)/nBits); cutting at q + 6σ keeps a
+    // true threshold pair with miss probability ~1e-9 (the module's
+    // estimate-prefilter budget, cf. minhashNearDups' 6σ) while
+    // random pairs (h ≈ 0.5) sit tens of σ beyond the cut. The
+    // matched band's own r bits agree by construction, biasing h LOW
+    // by ≤ r/nBits — conservative (keeps marginal pairs; never drops
+    // extra). Exactness is unchanged either way: survivors are
+    // exact-verified below.
+    val q = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    val hCut = (q + 6.0 * math.sqrt(q * (1 - q) / nBits)) * nBits
+    val estHam = (0 until nSk)
+      .map(k => bit_count(col("x.sk").getItem(k)
+        .bitwiseXOR(col("y.sk").getItem(k))))
+      .reduce(_ + _)
     // dedupe candidate id pairs BEFORE rejoining vectors — multiple
     // matching bands must not carry the vector payload repeatedly
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))
+      .filter(estHam.cast("double") <= hCut)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
 

@@ -165,7 +165,7 @@ object ScaleMeasure {
 
   private class Listener extends SparkListener {
     private val stageGroup = TrieMap[Int, String]()
-    val agg = TrieMap[String, Array[Long]]() // shuffleR, shuffleW, taskMs, tasks
+    val agg = TrieMap[String, Array[Long]]() // shuffleR, shuffleW, taskMs, tasks, gcMs
 
     override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
       for {
@@ -178,12 +178,13 @@ object ScaleMeasure {
         g <- stageGroup.get(e.stageId)
         m <- Option(e.taskMetrics)
       } {
-        val a = agg.getOrElseUpdate(g, Array.fill(4)(0L))
+        val a = agg.getOrElseUpdate(g, Array.fill(5)(0L))
         a.synchronized {
           a(0) += m.shuffleReadMetrics.totalBytesRead
           a(1) += m.shuffleWriteMetrics.bytesWritten
           a(2) += m.executorRunTime
           a(3) += 1
+          a(4) += m.jvmGCTime
         }
       }
   }
@@ -224,20 +225,27 @@ object ScaleMeasure {
           timings(name) = List(-1.0)
       } finally {
         spark.catalog.clearCache()
+        // a long multi-query sweep in ONE JVM accumulates GC-reclaimed
+        // localCheckpoint blocks (quantiles/dedup internals) and heap
+        // churn; without a kick between queries the tail of the sweep
+        // measures the head's garbage (q71 measured 6.7 s solo vs
+        // 77 s late in a 35-query sweep — GC stalls, not the query)
+        System.gc()
         if (rep > 0) sc.clearJobGroup()
       }
     }
     Thread.sleep(2000)
     def median(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
     println(f"## $sfDir reps=$reps")
-    println("query | wall_median_s | shuffle_mb_per_rep | task_sec_per_rep | tasks_per_rep")
+    println("query | wall_median_s | shuffle_mb_per_rep | task_sec_per_rep | tasks_per_rep | gc_sec_per_rep")
     names.foreach { name =>
       val ts = timings(name)
-      val a = listener.agg.getOrElse(name, Array.fill(4)(0L))
+      val a = listener.agg.getOrElse(name, Array.fill(5)(0L))
       val n = math.max(ts.size, 1)
       val m = if (ts.contains(-1.0)) -1.0 else median(ts)
       println(f"$name | $m%.2f | " +
-        f"${(a(0) + a(1)) / n / 1e6}%.2f | ${a(2) / n / 1e3}%.1f | ${a(3) / n}")
+        f"${(a(0) + a(1)) / n / 1e6}%.2f | ${a(2) / n / 1e3}%.1f | ${a(3) / n} | " +
+        f"${a(4) / n / 1e3}%.1f")
     }
     spark.stop()
   }
