@@ -129,7 +129,11 @@ object QueriesWrite {
     */
   def q26CatalogTable(spark: SparkSession, dir: String): DataFrame = {
     val root = rt(dir, "q26")
-    val db = "graft_" + new java.io.File(dir).getName.replace('.', '_')
+    // the library's own name sanitization (reference: catalog
+    // sanitize_table_name) — a scale dir like "gen-sf0.1x" must yield
+    // a legal database identifier, not an analysis error
+    val db = "graft_" + graft.types.AthenaTypes.sanitizeName(
+      new java.io.File(dir).getName)
     graft.catalog.Catalog.createDatabase(spark, db)
     Writer.toParquetCataloged(spark, t(spark, dir, "lineitem"), root,
       db, "lineitem_ds",
