@@ -171,10 +171,18 @@ object Bench {
     val metrics = new StageMetricsListener
     sc.addSparkListener(metrics)
 
+    /** Runs one query and returns the ACTION's elapsed seconds. The
+      * boundary cleanup is OUTSIDE the timed window — it is harness
+      * hygiene, not query cost (billing it inflated every fast query
+      * ~uniformly when first measured inside the window).
+      */
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-            dir: String): Unit =
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      finally {
+            dir: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } finally {
         // LLM operators persist() their returned frame; free it between
         // queries so 50 queries don't accumulate cached blocks
         spark.catalog.clearCache()
@@ -187,6 +195,7 @@ object Bench {
         // movers were this coupling, not code regressions)
         System.gc()
       }
+    }
 
     setupProbeIndex(spark, warmDir)
     setupProbeIndex(spark, sfDir)
@@ -219,11 +228,8 @@ object Bench {
     for (_ <- 1 to reps; name <- names) {
       val fn = queries(name)
       sc.setJobGroup(name, s"bench $name")
-      val t0 = System.nanoTime()
-      try {
-        run(fn, sfDir)
-        timings(name) ::= (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => failed += name }
+      try timings(name) ::= run(fn, sfDir)
+      catch { case _: Throwable => failed += name }
       finally sc.clearJobGroup()
     }
     val calibPost = calibrate(spark, 3)

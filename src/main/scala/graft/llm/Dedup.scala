@@ -1028,12 +1028,20 @@ object Dedup {
     // replayed locally for integral ids).
     // The edge list is consumed at least twice (the count gate below,
     // then either the driver collect or the distributed rounds), and
-    // callers routinely pass an UNPERSISTED pair pipeline — persist
-    // the 2-column projection ONCE here so the pair funnel never
-    // re-runs (it is the expensive half of every composed dedup).
-    // Released before return on every path.
-    val proj = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // callers may pass an UNPERSISTED pair pipeline — persist the
+    // 2-column projection ONCE here so the pair funnel never re-runs
+    // (it is the expensive half of every composed dedup). When the
+    // caller's frame is ALREADY cached (the near-dup operators return
+    // persisted, materialized pairs), the projection is a cheap cache
+    // scan and a second persist would only duplicate blocks — skip it.
+    // Released before return on every path (only if taken here).
+    val ownPersist =
+      pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val proj0 = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val proj =
+      if (ownPersist)
+        proj0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else proj0
     // one priming aggregate: total edges (the fast-path gate) + the
     // non-null counts. NULL ids are rejected in BOTH paths: the
     // distributed min-propagation silently drops a null endpoint at
@@ -1044,7 +1052,7 @@ object Dedup {
       count(col("src")).as("na"), count(col("dst")).as("nb")).head()
     val (nEdges, nA, nB) = (gate.getLong(0), gate.getLong(1), gate.getLong(2))
     if (nA != nEdges || nB != nEdges) {
-      proj.unpersist(blocking = false)
+      if (ownPersist) proj.unpersist(blocking = false)
       throw InvalidArgumentValue(
         s"dupClusters: pair list has NULL ids (${nEdges - math.min(nA, nB)}" +
           s" of $nEdges rows) — near-dup pairs must carry non-null ids")
@@ -1061,7 +1069,7 @@ object Dedup {
           t == org.apache.spark.sql.types.ByteType)
       if (cap > 0 && integral && nEdges <= cap)
         try return dupClustersLocal(proj, idTypes.head)
-        finally proj.unpersist(blocking = false)
+        finally if (ownPersist) proj.unpersist(blocking = false)
     }
     val edges = proj
       .union(proj.select(col("dst").as("src"), col("src").as("dst")))
@@ -1121,7 +1129,7 @@ object Dedup {
       labels = next.drop("prev")
       iter += 1
     }
-    proj.unpersist(blocking = false)
+    if (ownPersist) proj.unpersist(blocking = false)
     // wrong labels are worse than no labels: a component whose
     // diameter exceeds maxIter would silently keep several roots and
     // under-dedup downstream
