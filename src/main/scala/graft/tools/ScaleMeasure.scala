@@ -192,7 +192,12 @@ object ScaleMeasure {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/target/graft-sf1")
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
-    val names = args.lift(2).map(_.split(",").toSeq).getOrElse(Heavies)
+    // "ALL" = every registered query (the suite-wide decade sweep)
+    val names = args.lift(2) match {
+      case Some("ALL") => SparkEntry.queries.keys.toSeq.sorted
+      case Some(list)  => list.split(",").toSeq
+      case None        => Heavies
+    }
     val spark = GraftSession.builder("graft-scale", "local[32]")
       .config("spark.sql.shuffle.partitions", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
