@@ -31,14 +31,14 @@ def load(path):
     else:
         ts = d.get("task_sec", {})
         extra = {}
-    return ts, d.get("queries", {}), extra
+    return ts, d.get("queries", {}), extra, d.get("calib_sec")
 
 
 def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.25
-    ots, owall, oex = load(old_path)
-    nts, nwall, nex = load(new_path)
+    ots, owall, oex, ocal = load(old_path)
+    nts, nwall, nex, ncal = load(new_path)
     shared = sorted(set(ots) & set(nts))
     flagged = []
     for k in shared:
@@ -71,6 +71,16 @@ def main():
     if tot_o:
         print(f"\n# shared-set task_sec total: {tot_o:.0f} -> "
               f"{tot_n:.0f} ({tot_n / tot_o:.2f}x)")
+    # ambient normalization (records from round 10 on carry the fixed
+    # calibration probe): wall ratios divided by the calibration ratio
+    # are machine-drift-free
+    if ocal and ncal:
+        cr = ncal / ocal
+        wo = sum(v for k, v in owall.items() if k in shared and v and v > 0)
+        wn = sum(v for k, v in nwall.items() if k in shared and v and v > 0)
+        print(f"# calibration: {ocal:.3f}s -> {ncal:.3f}s ({cr:.2f}x ambient); "
+              f"shared wall {wo:.0f} -> {wn:.0f} = {wn/wo:.2f}x face-value, "
+              f"{wn/wo/cr:.2f}x calib-normalized")
 
 
 if __name__ == "__main__":
