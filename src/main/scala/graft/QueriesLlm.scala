@@ -1237,8 +1237,10 @@ object QueriesLlm {
       .orderBy("doc_id")
 
   /** q137 — q107's oracle-checked twin: the LZ78-class dictionary-
-    * coder size proxy (first k-gram occurrence = k literal bytes,
-    * repeat = 2-byte reference), exact relational algebra on both
+    * coder size proxy (first k-gram occurrence = k literal units,
+    * repeat = 3-unit reference — the constant the Spark kernel, the
+    * DuckDB oracle, and SURVEY.md all pin), exact relational algebra
+    * on both
     * engines. Retires the last convention-based no-oracle row that
     * had no hash-checked twin (round-9 verdict task #8).
     */

@@ -1068,7 +1068,7 @@ object Dedup {
           t == org.apache.spark.sql.types.ShortType ||
           t == org.apache.spark.sql.types.ByteType)
       if (cap > 0 && integral && nEdges <= cap)
-        try return dupClustersLocal(proj, idTypes.head)
+        try return dupClustersLocal(proj, idTypes.head, nEdges)
         finally if (ownPersist) proj.unpersist(blocking = false)
     }
     val edges = proj
@@ -1152,8 +1152,8 @@ object Dedup {
     * downstream joins against it plan as broadcasts.
     */
   private def dupClustersLocal(proj: DataFrame,
-                               idType: org.apache.spark.sql.types.DataType)
-      : DataFrame = {
+                               idType: org.apache.spark.sql.types.DataType,
+                               nEdges: Long): DataFrame = {
     val spark = proj.sparkSession
     import spark.implicits._
     // PRIMITIVE collect: exploding (a, b) into adjacent scalar rows
@@ -1167,6 +1167,19 @@ object Dedup {
       .select(explode(array(col("src").cast("long"),
         col("dst").cast("long"))).as("v"))
       .as[Long].collect()
+    // The (2i, 2i+1) endpoint pairing relies on explode emitting both
+    // endpoints of a row adjacently and collect preserving row order —
+    // true for today's narrow no-shuffle plan, but an optimizer
+    // implementation detail. A length check is the cheap tripwire: any
+    // row loss or duplication between the gate count and this collect
+    // breaks the invariant before it can mislabel clusters (advisor
+    // round-10). (It cannot catch a pure reordering, but no current
+    // rule reorders a narrow projection's output within a collect.)
+    require(packed.length == 2 * nEdges,
+      s"dupClusters driver fast path: collected ${packed.length} " +
+        s"endpoints for $nEdges counted edges — explode/collect row " +
+        "contract violated; file a bug (the distributed path via " +
+        "graft.dedup.maxDriverEdges=0 is unaffected)")
     // dense remap via sort + unique + binary search — no boxed
     // HashMap (a Long→Integer map costs ~50 bytes/node at 2× the
     // node count in capacity)

@@ -164,6 +164,16 @@ object Sql {
         // per-query id and return the read-back frame (lineage cut to
         // storage). Cleanup of the staging dir is the caller's, like
         // the reference's keep_files default.
+        // SELECT-only guard (advisor round-10): a command/DDL statement
+        // yields a zero-column frame, and staging it would die later in
+        // an opaque empty-schema AnalysisException from the parquet
+        // writer. The reference's CTAS path is SELECT-only by
+        // construction (CREATE TABLE AS <select>), so refuse clearly.
+        if (spark.conf.get(GraftSession.confKeys.ctasApproach, "false")
+            .toBoolean && df.schema.isEmpty)
+          throw InvalidArgumentValue(
+            "ctasApproach requires a result-producing SELECT statement; " +
+              "got a command/DDL statement with an empty result schema")
         if (spark.conf.get(GraftSession.confKeys.ctasApproach, "false")
             .toBoolean) {
           val root = spark.conf.get(GraftSession.confKeys.ctasScratch,

@@ -1431,6 +1431,47 @@ class LlmSpec extends SparkSpec {
       threshold = 0.999).columns.toSeq == Seq("vec_id", "embedding"))
   }
 
+  test("cosineNearDups enumeration monitor warns on dense buckets, rows unchanged") {
+    // dense corpus: 60 jittered copies of ONE vector land every id in
+    // the same bucket of every band → the band join enumerates
+    // bands * n*(n-1)/2 sketch comparisons (= 32 * 1770 = 56,640 with
+    // the defaults), far beyond a low-set warn threshold
+    val rnd = new scala.util.Random(23L)
+    val proto = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val dense = (0L until 60L).map { i =>
+      (i, proto.map(x => x * (1.0f + i * 1e-5f)).toSeq)
+    }
+    val distinctTail = (100L until 110L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)
+    }
+    val df = (dense ++ distinctTail).toDF("vec_id", "embedding")
+    def pairsOf(): Set[(Long, Long)] = {
+      val r = Similarity.cosineNearDups(df, "vec_id", "embedding",
+        threshold = 0.999)
+      val out = r.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      r.unpersist()
+      out
+    }
+    graft.llm.GuardEvents.clear("cosineNearDups")
+    val key = "graft.similarity.warnEnumeratedPairs"
+    try {
+      spark.conf.set(key, "1000")
+      val warned = pairsOf()
+      val event = graft.llm.GuardEvents.lastFor("cosineNearDups")
+      assert(event.isDefined, "expected the enumeration warn to fire")
+      assert(event.get.contains("planesPerBand"),
+        "warn must carry the planesPerBand escape guidance")
+      // monitor only: the warn changes no rows
+      spark.conf.set(key, "0") // disabled
+      graft.llm.GuardEvents.clear("cosineNearDups")
+      val silent = pairsOf()
+      assert(graft.llm.GuardEvents.lastFor("cosineNearDups").isEmpty)
+      assert(warned == silent)
+      // the dense family is fully paired (exact verify keeps them all)
+      assert(warned.count(p => p._1 < 60 && p._2 < 60) == 60 * 59 / 2)
+    } finally spark.conf.unset(key)
+  }
+
   test("groupCentroidAffinity: hand-checked cosines, zero-norm is null") {
     val vecs = Seq(
       ("a", Seq(1.0f, 0.0f)), ("a", Seq(3.0f, 0.0f)), // centroid (2,0)

@@ -191,6 +191,32 @@ class SqlSpec extends SparkSpec {
     }
   }
 
+  test("graft.sql.ctasApproach rejects command statements clearly") {
+    // a DDL/command statement yields a zero-column frame; staging it
+    // used to die later in an opaque empty-schema AnalysisException
+    // from the parquet writer. The reference's CTAS path is
+    // SELECT-only by construction (CREATE TABLE AS <select>), so the
+    // guard must throw the library's own error up front.
+    val scratch = tmpDir("ctas-guard")
+    spark.conf.set(GraftSession.confKeys.ctasApproach, "true")
+    spark.conf.set(GraftSession.confKeys.ctasScratch, scratch)
+    try {
+      val ex = intercept[graft.exceptions.InvalidArgumentValue] {
+        Sql.readSqlQuery(spark,
+          "CREATE DATABASE IF NOT EXISTS ctas_guard_db")
+      }
+      assert(ex.getMessage.contains("SELECT"))
+      // the same statement without ctasApproach still executes
+      spark.conf.set(GraftSession.confKeys.ctasApproach, "false")
+      Sql.readSqlQuery(spark, "DROP DATABASE IF EXISTS ctas_guard_db")
+    } finally {
+      spark.conf.unset(GraftSession.confKeys.ctasApproach)
+      spark.conf.unset(GraftSession.confKeys.ctasScratch)
+      spark.sql("DROP DATABASE IF EXISTS ctas_guard_db")
+      Sql.invalidateCache(spark)
+    }
+  }
+
   test("engine conf parity: workgroup, s3 endpoint, catalog id") {
     val sc = spark.sparkContext
     try {

@@ -76,10 +76,19 @@ def main():
     # are machine-drift-free
     if ocal and ncal:
         cr = ncal / ocal
-        wo = sum(v for k, v in owall.items() if k in shared and v and v > 0)
-        wn = sum(v for k, v in nwall.items() if k in shared and v and v > 0)
+        # both sides must be positive for a key to count, else a query
+        # that failed (-1) or is missing in ONE record lands in one sum
+        # only and silently skews the ratio (advisor round-10)
+        both = [k for k in shared
+                if owall.get(k, 0) and owall[k] > 0
+                and nwall.get(k, 0) and nwall[k] > 0]
+        dropped = len(shared) - len(both)
+        wo = sum(owall[k] for k in both)
+        wn = sum(nwall[k] for k in both)
         print(f"# calibration: {ocal:.3f}s -> {ncal:.3f}s ({cr:.2f}x ambient); "
-              f"shared wall {wo:.0f} -> {wn:.0f} = {wn/wo:.2f}x face-value, "
+              f"shared wall ({len(both)} both-positive"
+              f"{f', {dropped} dropped' if dropped else ''}) "
+              f"{wo:.0f} -> {wn:.0f} = {wn/wo:.2f}x face-value, "
               f"{wn/wo/cr:.2f}x calib-normalized")
 
 
