@@ -143,10 +143,6 @@ object Plans {
         ("transition matrix: keyed lead window for adjacency, then " +
           "|types|²-bounded counts — the entity shuffle is the only " +
           "data-sized exchange"),
-      "q102_approx_distinct_noracle" ->
-        ("sketch profile: HLL registers partial-aggregate map-side — " +
-          "the shuffle carries constant-size sketches per group, " +
-          "never distinct values"),
       "q103_line_filter" ->
         ("C4 line filter: codegen per-line predicates over the " +
           "exploded scan, zero joins before the per-document " +
@@ -256,11 +252,11 @@ object Plans {
       "q105_inter_arrival" ->
         ("per-entity cadence: ONE keyed lag window (partitioned by " +
           "user, never global) feeding a per-entity aggregate"),
-      "q107_compression_noracle" ->
-        ("per-doc deflate compression ratio: a row-parallel codec " +
-          "kernel, zero shuffle before the presentation sort " +
-          "(rows-only by the library-dependence convention; " +
-          "LlmSpec pins the ordering properties)"),
+      "q137_lz_proxy" ->
+        ("LZ78-proxy compression signal (q107's oracle-checked twin): " +
+          "linear char-8-gram explode + count/count-distinct partial " +
+          "aggregation per doc — no window, no join, one group-by-id " +
+          "exchange"),
       "q108_distinct_exact" ->
         ("exact distinct profile (q102's oracle-checkable twin): " +
           "melt + two-level partial-aggregated count(DISTINCT) — " +

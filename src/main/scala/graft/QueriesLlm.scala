@@ -1222,11 +1222,14 @@ object QueriesLlm {
       .orderBy("id_a", "id_b")
   }
 
-  /** q107 — compression-ratio quality signal (NO ORACLE by design,
-    * the q63/q102 convention: deflate output is a library property,
-    * not SQL-replayable; LlmSpec pins the ordering contract —
-    * repetitive text compresses far below diverse text — and q137 is
-    * the exact-oracle twin on a fixed dictionary-coder cost model).
+  /** q107 — compression-ratio quality signal. RETIRED from the
+    * registry in round 11 (kept as a callable + LlmSpec property):
+    * deflate output is a library property, not SQL-replayable, so its
+    * registry row could only ever be a rows-only check — and q137 (the
+    * exact-oracle twin on a fixed dictionary-coder cost model, whose
+    * rank agreement with deflate LlmSpec pins) now carries the signal
+    * through the hash-checked gate. Dropping the row moves the
+    * CORRECTNESS file toward 100% checkable without losing coverage.
     * Zero-shuffle row-parallel kernel.
     */
   def q107Compression(spark: SparkSession, dir: String): DataFrame =
@@ -1323,8 +1326,7 @@ object QueriesLlm {
     "q97_random_projection" -> (q97RandomProjection _),
     "q99_lexical_stats"  -> (q99LexicalStats _),
     "q103_line_filter"   -> (q103LineFilter _),
-    "q106_containment"   -> (q106Containment _),
-    "q107_compression_noracle" -> (q107Compression _))
+    "q106_containment"   -> (q106Containment _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->

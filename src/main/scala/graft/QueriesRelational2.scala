@@ -435,11 +435,15 @@ object QueriesRelational2 {
         "event_id")
       .orderBy("from_type", "to_type")
 
-  /** q102 — HLL cardinality profile (NO ORACLE by design, the q63
-    * convention: sketches legitimately differ across engines; the
-    * 10%-band-vs-exact contract is pinned by BehavioralSpec). The
-    * shuffle carries constant-size registers per (group, column) —
-    * the only cardinality profile that survives 100 TB.
+  /** q102 — HLL cardinality profile. RETIRED from the registry in
+    * round 11 (kept as a callable: PlanSpec pins the constant-size
+    * sketch shuffle, BehavioralSpec the 10%-band-vs-exact contract):
+    * sketches legitimately differ across engines so the registry row
+    * could only ever be rows-only, and q108 — the exact-distinct twin
+    * with the same melt/group/join shape — carries the profile logic
+    * through the hash-checked gate. The shuffle carries constant-size
+    * registers per (group, column) — the only cardinality profile
+    * that survives 100 TB.
     */
   def q102ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Profiling.approxDistinctProfile(
@@ -507,7 +511,6 @@ object QueriesRelational2 {
     "q98_winsorize"      -> (q98Winsorize _),
     "q100_snapshot_diff" -> (q100SnapshotDiff _),
     "q101_transitions"   -> (q101Transitions _),
-    "q102_approx_distinct_noracle" -> (q102ApproxDistinct _),
     "q104_skew_report"   -> (q104SkewReport _),
     "q105_inter_arrival" -> (q105InterArrival _),
     "q108_distinct_exact" -> (q108DistinctExact _))

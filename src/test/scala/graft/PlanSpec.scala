@@ -334,6 +334,44 @@ class PlanSpec extends SparkSpec {
       s"unexpected join/window in:\n$p")
   }
 
+  test("q35 cosine sketch-hamming cut executes below the distinct's exchange") {
+    // the round-10 fix's whole value is PLACEMENT: the packed-sketch
+    // hamming filter must run map-side, between the band self-join and
+    // the candidate distinct's exchange, so doomed random collisions
+    // (b*N^2/2^(r+1) pairs at scale) never ride a shuffle. A refactor
+    // that floats the filter above the exchange would still be
+    // row-correct — only this pin would notice.
+    val emb = Tables.read(spark, sf, "embeddings")
+    val r = graft.llm.Similarity.cosineNearDups(
+      emb, "vec_id", "embedding", threshold = 0.4)
+    try {
+      // the result is persisted+materialized; the plan string nests
+      // the cached (final, isFinalPlan=true) candidate funnel inside
+      // the outer cache scan — analyze the whole string
+      val p = planOf(r)
+      val lines = p.linesIterator.toVector
+      val fIdx = lines.indexWhere(l =>
+        l.contains("Filter") && l.contains("bit_count"))
+      assert(fIdx >= 0, s"sketch-hamming Filter not found in:\n$p")
+      // tree strings print parents before children: an Exchange (or
+      // its AQE stage form) ABOVE the filter proves the filter sits
+      // below a shuffle boundary...
+      def isExchange(l: String) =
+        l.contains("Exchange") || l.contains("ShuffleQueryStage")
+      assert(lines.take(fIdx).exists(isExchange),
+        s"no exchange above the sketch filter — it floated to the top:\n$p")
+      // ...and the band self-join appearing BELOW the filter with no
+      // exchange in between proves they share a stage (map-side cut)
+      val jRel = lines.drop(fIdx).indexWhere(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+          l.contains("BroadcastHashJoin"))
+      assert(jRel > 0, s"band self-join not below the sketch filter:\n$p")
+      assert(!lines.slice(fIdx + 1, fIdx + jRel).exists(isExchange),
+        s"exchange between sketch filter and band join — the cut is " +
+          s"no longer map-side:\n$p")
+    } finally r.unpersist()
+  }
+
   test("q126 novelty membership join broadcasts the reference side") {
     val docs = Tables.read(spark, sf, "documents")
     val out = graft.llm.Dedup.gramNoveltyScore(
