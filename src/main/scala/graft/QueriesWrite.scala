@@ -150,15 +150,24 @@ object QueriesWrite {
   /** q40 — JDBC round trip through embedded Derby: to_sql →
     * read_sql_table → aggregate (the reference's db module lifecycle,
     * db.py:269-522, with Derby standing in for Postgres/Redshift).
+    * The read is RANGE-PARTITIONED on the key (the reference's
+    * `chunksize`, round-10 verdict #5): the registry's 10× screen had
+    * this row at 3.66× wall — row-bound through ONE connection — and
+    * N bounded slice scans is how a real warehouse extract stays
+    * linear; rows are identical by the slice-never-filters contract.
     */
   def q40JdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val con = graft.db.Db.Connection(
       url = "jdbc:derby:memory:graftq40;create=true",
       driver = Some("org.apache.derby.iapi.jdbc.AutoloadedDriver"))
-    graft.db.Db.toSql(t(spark, dir, "customer"), "customer_rt", con,
+    val cust = t(spark, dir, "customer")
+    graft.db.Db.toSql(cust, "customer_rt", con,
       mode = "overwrite",
       columnTypes = Some("c_name VARCHAR(64), c_mktsegment VARCHAR(32)"))
-    graft.db.Db.readSqlTable(spark, "customer_rt", con)
+    val maxKey = cust.agg(max("c_custkey")).head().getLong(0)
+    graft.db.Db.readSqlTable(spark, "customer_rt", con,
+        range = Some(graft.db.Db.RangePartition(
+          "c_custkey", "1", maxKey.toString, 4)))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"),
            round(sum("c_acctbal"), 2).as("total_bal"))

@@ -47,21 +47,62 @@ object Db {
     r.options(con.properties)
   }
 
+  /** Range-partitioned read spec — the Spark-native shape of the
+    * reference's `chunksize` (db.py:369-443: chunked generators there,
+    * N concurrent executor connections here, each scanning one
+    * `column` range slice). All four values are required by Spark's
+    * JDBC source; bounds only split the range, they never filter rows
+    * (out-of-bounds rows land in the first/last slice), so a stale
+    * bound estimate skews slice sizes but never loses rows.
+    */
+  case class RangePartition(column: String, lowerBound: String,
+                            upperBound: String, numPartitions: Int) {
+    if (numPartitions <= 0)
+      throw InvalidArgumentValue(
+        s"numPartitions must be positive: $numPartitions")
+  }
+
+  private def applyRange(
+      r: org.apache.spark.sql.DataFrameReader,
+      range: Option[RangePartition]) = range match {
+    case Some(p) => r.option("partitionColumn", p.column)
+      .option("lowerBound", p.lowerBound)
+      .option("upperBound", p.upperBound)
+      .option("numPartitions", p.numPartitions)
+    case None => r
+  }
+
   /** Arbitrary SQL pushed down to the database
-    * (reference: db.read_sql_query, db.py:369-443). `chunksize`
-    * becomes partitioned reads: pass partitionColumn/lowerBound/
-    * upperBound/numPartitions through `options`.
+    * (reference: db.read_sql_query, db.py:369-443). The reference's
+    * `chunksize` maps to `range`: a row-bound single connection was
+    * the registry screen's #2 scale outlier (q40 at 3.66× for 10×
+    * rows — the database round-trip, not Spark, was the clock), and a
+    * range-partitioned read opens `numPartitions` executor-side
+    * connections each scanning one slice. Spark's JDBC source forbids
+    * `partitionColumn` next to the `query` option, so a ranged query
+    * is staged as a derived table (`(sql) graft_subq`) — same rows,
+    * same pushdown, sliceable.
     */
   def readSqlQuery(spark: SparkSession, sql: String, con: Connection,
-                   options: Map[String, String] = Map.empty): DataFrame =
-    baseReader(spark, con).options(options).option("query", sql).load()
+                   options: Map[String, String] = Map.empty,
+                   range: Option[RangePartition] = None): DataFrame =
+    range match {
+      case None =>
+        baseReader(spark, con).options(options).option("query", sql).load()
+      case r @ Some(_) =>
+        applyRange(baseReader(spark, con).options(options), r)
+          .option("dbtable", s"($sql) graft_subq").load()
+    }
 
-  /** reference: db.read_sql_table (db.py:446-522) */
+  /** reference: db.read_sql_table (db.py:446-522); `range` as in
+    * [[readSqlQuery]].
+    */
   def readSqlTable(spark: SparkSession, table: String, con: Connection,
                    schema: Option[String] = None,
-                   options: Map[String, String] = Map.empty): DataFrame = {
+                   options: Map[String, String] = Map.empty,
+                   range: Option[RangePartition] = None): DataFrame = {
     val qualified = schema.map(s => s"$s.$table").getOrElse(table)
-    baseReader(spark, con).options(options)
+    applyRange(baseReader(spark, con).options(options), range)
       .option("dbtable", qualified).load()
   }
 

@@ -63,6 +63,46 @@ class DbSpec extends SparkSpec {
     assert(a == b, "partitioned read must return identical rows")
   }
 
+  test("ranged readSqlQuery slices an arbitrary query across N connections") {
+    // the query option can't carry partitionColumn in Spark's JDBC
+    // source — the range path must stage the SQL as a derived table
+    // and still return the single-connection result exactly
+    val cust = Tables.read(spark, sf, "customer")
+    Db.toSql(cust, "customer_rq", derby, mode = "overwrite",
+      columnTypes = Some(custTypes))
+    val sql = "SELECT \"c_custkey\", \"c_mktsegment\", \"c_acctbal\" " +
+      "FROM customer_rq WHERE \"c_acctbal\" > 0"
+    val whole = Db.readSqlQuery(spark, sql, derby)
+    val ranged = Db.readSqlQuery(spark, sql, derby,
+      range = Some(Db.RangePartition("c_custkey", "0",
+        cust.count().toString, 4)))
+    assert(ranged.rdd.getNumPartitions == 4,
+      s"expected 4 JDBC partitions, got ${ranged.rdd.getNumPartitions}")
+    assert(ranged.orderBy("c_custkey").collect().toSeq ==
+      whole.orderBy("c_custkey").collect().toSeq)
+    // out-of-bounds rows are sliced, never filtered: shrink the bounds
+    // to the middle half and the row set must not change
+    val n = cust.count()
+    val narrow = Db.readSqlQuery(spark, sql, derby,
+      range = Some(Db.RangePartition("c_custkey",
+        (n / 4).toString, (n / 2).toString, 3)))
+    assert(narrow.count() == whole.count())
+    intercept[InvalidArgumentValue] {
+      Db.RangePartition("c_custkey", "0", "10", 0)
+    }
+  }
+
+  test("ranged readSqlTable matches the options pass-through path") {
+    val cust = Tables.read(spark, sf, "customer")
+    Db.toSql(cust, "customer_rt2", derby, mode = "overwrite",
+      columnTypes = Some(custTypes))
+    val ranged = Db.readSqlTable(spark, "customer_rt2", derby,
+      range = Some(Db.RangePartition("c_custkey", "0",
+        cust.count().toString, 4)))
+    assert(ranged.rdd.getNumPartitions == 4)
+    assert(ranged.count() == cust.count())
+  }
+
   test("upsert replaces matching primary keys and inserts new rows") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("id", "name", "v")
