@@ -593,17 +593,28 @@ object Similarity {
           s"query dimension $qd != index dimension ${centroids.head.length}")
     }
     // the probe list (|queries|·nprobe rows) is broadcast into the
-    // cell join below — prove the query bound before building it
-    requireBroadcastable(q, maxDriverQueries(spark),
-      "probeIvfIndex query set", MaxDriverQueriesKey)
+    // cell join below when the query batch fits the driver cap; an
+    // OVER-CAP batch takes the same join UNHINTED (shuffled — AQE
+    // picks the strategy) instead of failing the probe. Rows are
+    // identical either way (same equi-join, same exact scoring); the
+    // factor-100 decade run hit the old fail-fast with a
+    // queries-∝-corpus registry row, and "shrink your batch" is the
+    // wrong answer for an operator whose semantics don't need the
+    // driver at all (round-11; the q53 index's over-cap shuffled
+    // fallback is the same pattern).
+    val qCap = maxDriverQueries(spark)
     val probes = probeCells(q, centroids, nprobe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nProbeRows = probes.count()
+    val broadcastable = nProbeRows <= qCap.max(1L) * nprobe.max(1)
     val wanted = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
     val cells = spark.read.parquet(s"$path/cells")
       .filter(col("cell").isin(wanted.toSeq: _*))
+    val probeSide =
+      if (broadcastable) broadcast(probes) else probes
     val scored = scorePairs(
-      cells.join(broadcast(probes), "cell")
+      cells.join(probeSide, "cell")
         .select("qid", "cid", "qv", "cv"),
       "qid", "cid")
     val result = topK(scored, k)
@@ -1069,6 +1080,9 @@ object Similarity {
     * resolved driver-side (literal `cell IN (...)` partition filter),
     * ADC scan over the codes column only, exact re-rank of the
     * per-query `shortlist` against the true vectors of probed cells.
+    * Query batches over `graft.ann.maxDriverQueries` chunk-and-
+    * recurse through the same pipeline (bit-identical rows, flat
+    * per-pair cost) — see the over-cap note at the branch below.
     *
     * With nprobe == nlist and shortlist ≥ |corpus| the result equals
     * `bruteForceTopK` exactly (every row reaches the exact re-rank);
@@ -1100,6 +1114,45 @@ object Similarity {
         throw InvalidArgumentValue(
           s"query dimension $qd != index dimension ${m * subDim}")
     }
+
+    // OVER-CAP query batches chunk-and-recurse (round-11, after the
+    // factor-100 decade run failed this operator's queries-∝-corpus
+    // registry row at the old fail-fast): queries are independent, so
+    // a batch bigger than graft.ann.maxDriverQueries splits into
+    // ≤cap chunks by qid rank and each chunk runs the STANDARD
+    // broadcast-ADC pipeline below — per-pair cost stays the m-lookup
+    // hot path at any batch size (a measured qnv-join recompute
+    // fallback cost 2.3× per pair in join/decode machinery), rows are
+    // identical (per-query top-k is chunk-local by construction), and
+    // each chunk's broadcast tables are released when its result
+    // materializes, so executor broadcast retention stays one chunk
+    // deep. The rank window runs on a qid-ONLY projection — driver-
+    // scale rows (8 B/qid), never the vectors. LlmSpec pins
+    // over-cap == under-cap rows.
+    val qCap0 = maxDriverQueries(spark)
+    if (qCap0 > 0 && qRaw.count() > qCap0) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("qid")
+      val ranked = qRaw.select(col("qid"))
+        .withColumn("__rn", row_number().over(w))
+        .select(col("qid"),
+          ((col("__rn") - 1) / qCap0).cast("int").as("__chunk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nChunks = ranked.agg(max("__chunk")).head().getInt(0) + 1
+      val parts = (0 until nChunks).map { i =>
+        val ids = ranked.filter(col("__chunk") === i)
+          .select(col("qid").as(queryId))
+        probeIvfPqIndex(path,
+          queries.join(broadcast(ids), queryId),
+          queryId, vecCol, k, nprobe, shortlist)
+      }
+      val result = parts.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      result.count()
+      parts.foreach(_.unpersist(blocking = false))
+      ranked.unpersist(blocking = false)
+      return result
+    }
+
     val probes = probeCells(qRaw, centroids, nprobe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wanted = probes.select("cell").distinct()
@@ -1108,7 +1161,8 @@ object Similarity {
       .filter(col("cell").isin(wanted.toSeq: _*))
 
     // per-query ADC tables from the NORMALIZED query (matches the
-    // encode-side geometry); queries are broadcast-small by contract
+    // encode-side geometry); the batch is ≤ the driver cap here (an
+    // over-cap batch chunked above), so the collect is bounded
     val qArr = collectBounded(
       normalized(qRaw.select(col("qid").as("id"), col("qv").as("v")))
         .as[(Long, Seq[Double])],
@@ -1135,10 +1189,9 @@ object Similarity {
 
     // exact re-rank against the TRUE (raw) vectors of probed cells —
     // sims become bit-identical to bruteForceTopK's
-    val qvDf = qRaw
     val result = topK(scorePairs(
         sl.select("qid", "cid")
-          .join(broadcast(qvDf), "qid")
+          .join(broadcast(qRaw), "qid")
           .join(cells.select(col("cid"), col("cv")), "cid")
           .select("qid", "cid", "qv", "cv"),
         "qid", "cid"), k)

@@ -221,7 +221,10 @@ object ScaleMeasure {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        if (rep > 0) timings(name) ::= (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (rep > 0) timings(name) ::= dt
+        // live progress for multi-hour sweeps (stderr, not the table)
+        System.err.println(f"[scale] rep=$rep $name ${dt}%.1f s")
       } catch {
         // a failing query must not abort the whole sweep — record it
         // (-1 median, like Bench) and keep measuring the rest

@@ -16,7 +16,13 @@ import graft.GraftSession
   * slots occupied, so distinct nodes ≈ 1.6·E — near the 2·E worst
   * case for the remap arrays and output rows.
   *
-  * Usage: runMain graft.tools.UnionFindMeasure [edges] [nodeSpace]
+  * Mode `distributed` (round-10 verdict task #8) forces the
+  * pointer-jump loop instead (maxDriverEdges=0) on the same seeded
+  * graph — the crossover measurement for graphs above the 2M driver
+  * cap: what does a 5M/20M-edge graph pay on the distributed path vs
+  * a hypothetical larger-heap driver pass?
+  *
+  * Usage: runMain graft.tools.UnionFindMeasure [edges] [nodeSpace] [local|distributed]
   */
 object UnionFindMeasure {
 
@@ -39,6 +45,7 @@ object UnionFindMeasure {
   def main(args: Array[String]): Unit = {
     val nEdges = args.headOption.map(_.toLong).getOrElse(5000000L)
     val nodeSpace = args.lift(1).map(_.toLong).getOrElse(2 * nEdges)
+    val mode = args.lift(2).getOrElse("local")
     val spark = GraftSession.builder("graft-ufmeasure", "local[8]")
       .config("spark.sql.shuffle.partitions", "8").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,10 +63,16 @@ object UnionFindMeasure {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val realEdges = pairs.count()
 
-    spark.conf.set("graft.dedup.maxDriverEdges", (nEdges + 1).toString)
+    spark.conf.set("graft.dedup.maxDriverEdges",
+      if (mode == "distributed") "0" else (nEdges + 1).toString)
     val before = heapUsed()
     resetPeaks()
     val t0 = System.nanoTime()
+    // distributed labels need a higher maxIter than the 20 default at
+    // 20M random edges? No — a G(n, 2E) random graph's giant component
+    // has O(log n) diameter (~15 at n=40M), and min-label propagation
+    // with pointer jumping converges in O(log diameter) rounds; the
+    // default is plenty. Failure throws, which IS the measurement.
     val labels = graft.llm.Dedup.dupClusters(pairs)
     val nLabels = labels.count()
     val wall = (System.nanoTime() - t0) / 1e9
@@ -67,7 +80,7 @@ object UnionFindMeasure {
     val after = heapUsed() // labels (LocalRelation) still referenced
 
     def mb(b: Long): Double = math.rint(b / 1e4) / 100
-    println(s"""{"edges":$realEdges,"nodes":$nLabels,""" +
+    println(s"""{"mode":"$mode","edges":$realEdges,"nodes":$nLabels,""" +
       s""""wall_sec":${math.rint(wall * 100) / 100},""" +
       s""""heap_before_mb":${mb(before)},"peak_heap_mb":${mb(peak)},""" +
       s""""peak_delta_mb":${mb(peak - before)},""" +

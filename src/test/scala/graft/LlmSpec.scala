@@ -756,6 +756,36 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("over-cap index probes take the distributed fallback, rows identical") {
+    // the factor-100 decade run failed q73 at the old fail-fast: a
+    // queries-∝-corpus batch crossed graft.ann.maxDriverQueries and
+    // the probe THREW instead of distributing. Both probe operators
+    // must now fall back to unhinted joins (and, for PQ, codebook-
+    // recompute ADC) with bit-identical rows.
+    val queries = emb.filter($"vec_id" < 8)
+    val corpus = emb.filter($"vec_id" >= 8)
+    val ivf = tmpDir("llm-ivf-overcap")
+    val ivfpq = tmpDir("llm-ivfpq-overcap")
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", ivf, nlist = 4)
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", ivfpq,
+      nlist = 4, m = 8, ncodes = 16)
+    def runIvf() = Similarity.probeIvfIndex(ivf, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+      .orderBy("qid", "rnk").collect().toSeq
+    def runPq() = Similarity.probeIvfPqIndex(ivfpq, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2, shortlist = 20)
+      .orderBy("qid", "rnk").collect().toSeq
+    val (ivfSmall, pqSmall) = (runIvf(), runPq())
+    spark.conf.set("graft.ann.maxDriverQueries", "3") // 8 queries > 3
+    try {
+      assert(runIvf() == ivfSmall,
+        "probeIvfIndex over-cap fallback changed rows")
+      assert(runPq() == pqSmall,
+        "probeIvfPqIndex recompute fallback changed rows (the dot " +
+          "recompute must be bit-equal to the table lookup)")
+    } finally spark.conf.unset("graft.ann.maxDriverQueries")
+  }
+
   test("ivf-pq recall@10 >= 0.9 on clustered vectors at nprobe=nlist/2") {
     val rnd = new scala.util.Random(7)
     val centers = Array.fill(8, 16)(rnd.nextGaussian())
