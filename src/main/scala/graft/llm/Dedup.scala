@@ -990,15 +990,28 @@ object Dedup {
     * (one surviving document per duplicate CLUSTER — pairs alone
     * over-delete on chains a~b~c).
     *
-    * Iterative min-label propagation with pointer jumping: each round
-    * every node takes the min root among itself and its neighbors,
-    * then additionally jumps to its root's root — so label distance
-    * DOUBLES per round and convergence needs O(log diameter) rounds,
-    * not O(diameter) (a 1000-link chain labels in ~10 rounds). Every
-    * step is a codegen'd shuffle join + aggregate.
+    * Distributed path: iterative STAR CONTRACTION (the classic
+    * parallel-connectivity shape, cf. Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014). Each round
+    * every supernode takes the min id over itself and its neighbors
+    * (star formation) plus one root-of-root hop, the edge set is
+    * REWRITTEN to (root(u), root(v)) with self-loops dropped, and the
+    * global node→root mapping composes one more step. Any path of
+    * supernodes at least halves per round ⇒ O(log d) rounds
+    * guaranteed, and the live edge set shrinks geometrically (a
+    * 300k-edge critical-regime random graph contracted 172k → 30k →
+    * 4.7k → 618 → 78 → 12 → 2 → 0 live edges in 8 rounds). The
+    * previous label-propagation loop (kept the ORIGINAL edges,
+    * propagated min labels with a jump) was O(diameter) in disguise:
+    * on a filament whose local id-minima sit on the far side of each
+    * window the jump points AWAY from the component min, measured as
+    * a ~100-labels-per-round plateau still unconverged at round 80 on
+    * the same graph (BENCHNOTES round-11). `maxIter = 0` (the
+    * default) sizes the budget to max(20, ⌈log₂(2·|E|)⌉ + 8); pass a
+    * positive value to cap the rounds explicitly.
     *
-    * Throws if the propagation has not converged after `maxIter`
-    * rounds (a silent partial labeling would under-dedup downstream).
+    * Throws if contraction has not finished within the round budget
+    * (a silent partial labeling would under-dedup downstream).
     *
     * @return (id, root) for every id appearing in `pairs`
     * @note the returned frame reads the final round's localCheckpoint
@@ -1007,9 +1020,10 @@ object Dedup {
     *   by ContextCleaner once the frame is garbage-collected
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
-                  idB: String = "id_b", maxIter: Int = 20): DataFrame = {
-    if (maxIter <= 0)
-      throw InvalidArgumentValue(s"maxIter must be positive: $maxIter")
+                  idB: String = "id_b", maxIter: Int = 0): DataFrame = {
+    if (maxIter < 0)
+      throw InvalidArgumentValue(
+        s"maxIter must be positive (or 0 = auto): $maxIter")
     // Small-graph fast path: near-dup PAIR sets are corpus-sparse (a
     // clean corpus yields orders of magnitude fewer pairs than docs),
     // and the distributed pointer-jump loop pays ~10 AQE stage-jobs
@@ -1091,56 +1105,95 @@ object Dedup {
     def checkpointTracked(df: DataFrame)
         : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
       graft.operators.Lineage.checkpointTracked(df)
-    var (labels, labelRdds) = checkpointTracked(
+    // STAR CONTRACTION (round-11 rewrite). The previous loop kept the
+    // ORIGINAL edge set and propagated min labels with a root-of-root
+    // jump; that is O(diameter), not O(log): on a filament whose
+    // local id-minima sit on the far side of each window, the jump
+    // points AWAY from the component min and coverage advances one
+    // hop per round — measured as a 100-labels-per-round plateau
+    // still unconverged at round 80 on a 300k-edge critical-regime
+    // random graph (BENCHNOTES round-11; near-dup graphs are dense
+    // and shallow, which is why q52-style workloads never tripped
+    // it). Contraction instead REWRITES the edges each round to
+    // (root(u), root(v)): every supernode merges into its
+    // neighborhood min (star formation), so any path of supernodes
+    // at least halves per round — O(log d) rounds GUARANTEED — and
+    // the live edge set shrinks geometrically (intra-star edges
+    // become dropped self-loops), so later rounds are nearly free.
+    // The composed mapping is maintained for ALL original nodes and
+    // converges to the same component-min fixpoint as the driver
+    // union-find (LlmSpec pins equality).
+    var (mapping, mapRdds) = checkpointTracked(
       edges.select(col("src").as("id")).distinct()
         .withColumn("root", col("id")))
-    var changed = 1L
+    var (live, liveRdds) = checkpointTracked(edges.distinct())
+    var nLive = nEdges // upper bound; refreshed each round
+    // auto round budget (maxIter = 0): contraction needs O(log d) ≤
+    // O(log n) rounds, so size it from the edge count the gate
+    // already measured — max(20, ceil(log2(2E)) + 8)
+    val roundBudget =
+      if (maxIter > 0) maxIter
+      else math.max(20,
+        64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, 2 * nEdges - 1)) + 8)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // neighbor-min step. NOT checkpointed: its plan reads only the
-      // previous round's checkpoint (shallow, bounded), and although
-      // the pointer-jump self-join consumes it twice, the physical
-      // plan's identical exchange subtrees are deduplicated by
-      // ReuseExchange — so skipping this barrier saves one eager
-      // materialization job per round (~⅓ of the loop's jobs) without
-      // recomputing the step
-      val stepped = edges
-        .join(labels.select(col("id").as("dst"), col("root").as("nroot")),
-          "dst")
-        .groupBy(col("src").as("id")).agg(min("nroot").as("mroot"))
-        .join(labels, "id")
-        .select(col("id"), least(col("root"), col("mroot")).as("root"),
-          col("root").as("prev")) // prev rides along: convergence
-                                  // check needs no extra join
-      // pointer jump: root := root's root (roots are node ids, so the
-      // lookup is a self-join on the stepped labels); the round's ONE
-      // checkpoint lands here, keeping plan growth truncated
-      val (next, nextRdds) = checkpointTracked(stepped.as("a")
-        .join(stepped.select(col("id").as("rid"), col("root").as("rroot"))
+    while (nLive > 0 && iter < roundBudget) {
+      // supernode labels for THIS round's contracted graph: min over
+      // self and neighbors (both edge directions are present, so
+      // groupBy(src) sees every live node), then one root-of-root
+      // hop — cheap (label-table self-join) and collapses two-level
+      // stars in the same round
+      val r1 = live
+        .groupBy(col("src").as("id")).agg(min("dst").as("mn"))
+        .select(col("id"), least(col("id"), col("mn")).as("root"))
+      val roots = r1.as("a")
+        .join(r1.select(col("id").as("rid"), col("root").as("rroot"))
           .as("b"), col("a.root") === col("b.rid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.root"), coalesce(col("rroot"), col("a.root")))
-            .as("root"),
-          col("a.prev").as("prev")))
-      changed = next.filter(col("root") < col("prev")).count()
-      // the round's input labels are now superseded
-      labelRdds.foreach(_.unpersist(blocking = false))
-      labelRdds = nextRdds
-      labels = next.drop("prev")
+            .as("root"))
+      // contract: rewrite every live edge to its endpoints' new
+      // roots; intra-star edges become self-loops and vanish
+      val (nextLive, nextLiveRdds) = checkpointTracked(live
+        .join(roots.select(col("id").as("src"), col("root").as("nsrc")),
+          "src")
+        .join(roots.select(col("id").as("dst"), col("root").as("ndst")),
+          "dst")
+        .filter(col("nsrc") =!= col("ndst"))
+        .select(col("nsrc").as("src"), col("ndst").as("dst"))
+        .distinct())
+      // compose the global mapping: any original node whose current
+      // root was relabeled this round follows it; roots that left the
+      // live node set are final and pass through
+      val (nextMapping, nextMapRdds) = checkpointTracked(mapping
+        .join(roots.select(col("id").as("root"), col("root").as("nr")),
+          Seq("root"), "left")
+        .select(col("id"), coalesce(col("nr"), col("root")).as("root")))
+      nLive = nextLive.count()
+      liveRdds.foreach(_.unpersist(blocking = false))
+      mapRdds.foreach(_.unpersist(blocking = false))
+      live = nextLive; liveRdds = nextLiveRdds
+      mapping = nextMapping; mapRdds = nextMapRdds
       iter += 1
+      // one line per round: the convergence curve is the ONLY way to
+      // distinguish "needs a few more rounds" from "a structure the
+      // budget cannot finish" when the non-convergence guard fires
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"dupClusters round $iter: $nLive live contracted edges")
     }
     if (ownPersist) proj.unpersist(blocking = false)
-    // wrong labels are worse than no labels: a component whose
-    // diameter exceeds maxIter would silently keep several roots and
+    liveRdds.foreach(_.unpersist(blocking = false))
+    // wrong labels are worse than no labels: a component the budget
+    // could not finish would silently keep several roots and
     // under-dedup downstream
-    if (changed > 0) {
-      labelRdds.foreach(_.unpersist(blocking = false))
+    if (nLive > 0) {
+      mapRdds.foreach(_.unpersist(blocking = false))
       throw InvalidArgumentValue(
-        s"dupClusters did not converge in $maxIter rounds " +
-          s"($changed labels still changing) — the pair graph has a " +
-          s"component with diameter > $maxIter; raise maxIter")
+        s"dupClusters did not converge in $roundBudget rounds " +
+          s"($nLive edges still live) — raise maxIter " +
+          "(0 = auto budget of max(20, log2(2E)+8) rounds)")
     }
-    labels
+    mapping
   }
 
   /** Driver-side min-root union-find over a SMALL (pre-counted, see

@@ -37,7 +37,16 @@ object Lineage {
     * unreadable afterwards — its lineage is truncated).
     */
   def checkpointTracked[T](ds: Dataset[T]): (Dataset[T], Seq[RDD[_]]) = {
-    val out = ds.localCheckpoint(true)
+    val out0 = ds.localCheckpoint(true)
+    // replace the frozen pre-checkpoint size ESTIMATE with the
+    // MEASURED block size: localCheckpoint copies the original plan's
+    // stats into the LogicalRDD leaf, and in an iterative self-joining
+    // loop that estimate compounds quadratically round-over-round
+    // until Catalyst's BigInt sizeInBytes overflows at ~25 rounds
+    // (measured — see GraftCheckpointStats). The checkpoint is eager,
+    // so the real size is known here.
+    val out = org.apache.spark.sql.execution.GraftCheckpointStats
+      .withMeasuredStats(out0)
     val rdds = out.queryExecution.analyzed.collect {
       case l: LogicalRDD => l.rdd
     }

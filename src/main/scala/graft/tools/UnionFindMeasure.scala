@@ -22,7 +22,7 @@ import graft.GraftSession
   * cap: what does a 5M/20M-edge graph pay on the distributed path vs
   * a hypothetical larger-heap driver pass?
   *
-  * Usage: runMain graft.tools.UnionFindMeasure [edges] [nodeSpace] [local|distributed]
+  * Usage: runMain graft.tools.UnionFindMeasure [edges] [nodeSpace] [local|distributed] [maxIter]
   */
 object UnionFindMeasure {
 
@@ -49,6 +49,9 @@ object UnionFindMeasure {
     val spark = GraftSession.builder("graft-ufmeasure", "local[8]")
       .config("spark.sql.shuffle.partitions", "8").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // keep the per-round convergence curve visible under WARN
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "graft.llm.Dedup$", org.apache.logging.log4j.Level.INFO)
     import org.apache.spark.sql.functions._
 
     // seeded splitmix-style endpoints; self-loops filtered so every
@@ -68,12 +71,13 @@ object UnionFindMeasure {
     val before = heapUsed()
     resetPeaks()
     val t0 = System.nanoTime()
-    // distributed labels need a higher maxIter than the 20 default at
-    // 20M random edges? No — a G(n, 2E) random graph's giant component
-    // has O(log n) diameter (~15 at n=40M), and min-label propagation
-    // with pointer jumping converges in O(log diameter) rounds; the
-    // default is plenty. Failure throws, which IS the measurement.
-    val labels = graft.llm.Dedup.dupClusters(pairs)
+    // maxIter defaults to dupClusters' auto budget (0 ⇒ log₂(2E)+8
+    // rounds): the fixed 20 default FAILED here at 2M edges — this
+    // graph family sits at the critical mean-degree-1 regime (tree
+    // components, diameter ~n^⅓) and the loop's empirical round bound
+    // is O(log n), the round-11 finding that made the budget adaptive.
+    val labels = graft.llm.Dedup.dupClusters(pairs,
+      maxIter = args.lift(3).map(_.toInt).getOrElse(0))
     val nLabels = labels.count()
     val wall = (System.nanoTime() - t0) / 1e9
     val peak = peakUsed()

@@ -232,4 +232,44 @@ class CacheHygieneSpec extends SparkSpec {
         "lazy gramNoveltyAgainst must persist nothing")
     } finally { gs.unpersist(blocking = true); () }
   }
+
+  test("checkpointTracked carries MEASURED stats and survives deep iteration") {
+    // localCheckpoint freezes the pre-checkpoint plan ESTIMATE into
+    // the LogicalRDD leaf; Catalyst's size-only estimator multiplies
+    // sizeInBytes through inner joins, so an iterative self-joining
+    // loop compounds the estimate quadratically per round until the
+    // BigInt overflows its 2^31-bit ceiling at ~25 rounds (measured:
+    // the distributed dupClusters loop at maxIter=45 died in PLANNING
+    // with "BigInteger would overflow supported range"). The fix
+    // replaces the frozen estimate with the measured block size.
+    val base = spark.range(1000).select(
+      col("id"), (col("id") % 7).as("k"))
+    // 1) the checkpointed leaf's stats are the measured size: small
+    //    (kilobytes), not the pre-checkpoint estimate and not
+    //    defaultSizeInBytes (Long.MaxValue)
+    val (cp0, rdds0) = graft.operators.Lineage.checkpointTracked(base)
+    val leafStats = cp0.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(leafStats > 0 && leafStats < 10L * 1024 * 1024,
+      s"expected measured-kilobyte stats, got $leafStats")
+    rdds0.foreach(_.unpersist(blocking = false))
+    // 2) 30 rounds of checkpoint + self-join must keep PLANNING alive
+    //    (pre-fix this overflowed at ~25) and keep stats bounded
+    var cur = base
+    var rdds = Seq.empty[org.apache.spark.rdd.RDD[_]]
+    try {
+      (1 to 30).foreach { _ =>
+        val joined = cur.as("a").join(cur.as("b"), "k")
+          .groupBy(col("k")).agg(min(col("a.id")).as("id"))
+          .select(col("id"), col("k"))
+        val (next, nextRdds) = graft.operators.Lineage.checkpointTracked(joined)
+        rdds.foreach(_.unpersist(blocking = false))
+        rdds = nextRdds
+        cur = next
+      }
+      val finalStats = cur.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(finalStats.bitLength < 64,
+        s"stats compounded across rounds: ${finalStats.bitLength} bits")
+      assert(cur.count() == 7)
+    } finally rdds.foreach(_.unpersist(blocking = false))
+  }
 }

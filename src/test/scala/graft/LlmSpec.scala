@@ -45,11 +45,12 @@ class LlmSpec extends SparkSpec {
     assert(kept == Set(1L, 5L, 7L))
   }
 
-  test("dupClusters labels a 40-link chain via pointer jumping") {
-    // a long path exercises the O(log d) jump step — plain
-    // neighbor-min alone would need 40 rounds, beyond maxIter=20,
-    // and this would throw non-convergence. Force the DISTRIBUTED
-    // loop (the small-graph fast path would otherwise take over).
+  test("dupClusters labels a 40-link chain within the round budget") {
+    // a long path exercises the O(log d) contraction bound — plain
+    // label propagation would need 40 rounds, beyond the 20-round
+    // floor, and this would throw non-convergence. Force the
+    // DISTRIBUTED loop (the small-graph fast path would otherwise
+    // take over).
     spark.conf.set("graft.dedup.maxDriverEdges", "0")
     try {
       val chain = (1L until 41L).map(i => (i, i + 1)).toDF("id_a", "id_b")
