@@ -34,3 +34,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // Total time" epilogue would otherwise trail them.
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// Forked run output goes straight to this process' stdout instead of
+// through sbt's logger — the logger prefixes every line with
+// "[info] ", which breaks JSON parsing of the bench/verify record.
+Compile / run / outputStrategy := Some(StdoutOutput)

@@ -9,6 +9,31 @@ import java.nio.file.{Files, Paths}
   * Usage: runMain graft.Plans [sfDir] [outFile]
   */
 object Plans {
+  /** Render a formatted plan STABLE across regenerations: Catalyst
+    * expr ids, plan ids, lambda class/instance addresses, and the
+    * observation sequence counter all vary run-to-run without the
+    * plan changing. Expr ids are renumbered sequentially by first
+    * appearance (distinctness preserved — which-column-is-which stays
+    * readable); the rest are scrubbed to `*`. Round-11 verdict task
+    * #8: a 26k-line regenerated diff per round buried the real
+    * plan-change signal.
+    */
+  private[graft] def stablePlan(p: String): String = {
+    val ids = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val renumbered = "#\\d+".r.replaceAllIn(p, m =>
+      "#" + ids.getOrElseUpdate(m.matched, ids.size + 1))
+    renumbered
+      .replaceAll("plan_id=\\d+", "plan_id=*")
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda\\$*")
+      .replaceAll("@[0-9a-fA-F]{6,}", "@*")
+      .replaceAll("\\.enum-\\d+", ".enum-*")
+  }
+
+  private def digest(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+    d.digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = args.lift(1).getOrElse("PLANS.md")
@@ -301,8 +326,8 @@ object Plans {
     showcase.foreach { case (name, why) =>
       val fn = SparkEntry.queries(name)
       sb ++= s"\n## $name\n\n$why\n\n```\n"
-      sb ++= fn(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      sb ++= stablePlan(fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
       sb ++= "```\n"
       spark.catalog.clearCache()
     }
@@ -323,8 +348,8 @@ object Plans {
         "fp equi-join candidates from doc-freq-pruned keys, exact " +
         "n_shared recomputed on unfiltered sets for candidates only — " +
         "no cartesian anywhere\n\n```\n"
-      sb ++= lazyOut.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      sb ++= stablePlan(lazyOut.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
       sb ++= "```\n"
       spark.catalog.clearCache()
     }
@@ -342,8 +367,8 @@ object Plans {
       sb ++= "\n## ivf_index_probe (pruned config of q71)\n\n" +
         "cell scan must carry a literal PartitionFilters `cell IN (...)`" +
         " — unprobed cells are never read or listed\n\n```\n"
-      sb ++= probe.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      sb ++= stablePlan(probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
       sb ++= "```\n"
       probe.unpersist()
       spark.catalog.clearCache()
@@ -363,32 +388,69 @@ object Plans {
       sb ++= "\n## ivf_pq_index_probe (pruned config of q73)\n\n" +
         "probed-cells partition filter plus codes-only column pruning " +
         "on the ADC scan; raw vectors touched only by the re-rank\n\n```\n"
-      sb ++= probe.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      sb ++= stablePlan(probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
       sb ++= "```\n"
       probe.unpersist()
       spark.catalog.clearCache()
     }
-    // appendix: every registered query not in the curated showcase,
-    // so ANY qNN in a CORRECTNESS file resolves here by grep. The
-    // curated sections carry the scale claims; these carry the plan.
+    // appendix: every registered query not in the curated showcase
+    // gets ONE digest row (sha1 of its stable-rendered plan), so any
+    // qNN in a CORRECTNESS file resolves here by grep — and a full
+    // dump ONLY when the digest moved since the previous PLANS.md
+    // (round-11 verdict task #8: regenerated 26k-line dumps per round
+    // buried the genuine plan changes in git). Unchanged plans:
+    // `sbt "runMain graft.tools.ExplainQuery <qNN> <sfDir>"` dumps
+    // on demand.
     val covered = showcase.map(_._1).toSet
-    SparkEntry.queries.keys.toSeq.sorted.filterNot(covered).foreach {
-      name =>
-        sb ++= s"\n## $name (appendix — full registry dump)\n\n```\n"
-        try sb ++= SparkEntry.queries(name)(spark, sfDir)
-          .queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode)
-        catch {
-          case e: Exception =>
-            sb ++= s"plan dump failed: ${e.getClass.getSimpleName}: " +
-              s"${e.getMessage}\n"
-        }
-        sb ++= "```\n"
+    val prevDigests: Map[String, String] =
+      if (!Files.exists(Paths.get(out))) Map.empty
+      else {
+        val row = "\\| (\\S+) \\| `([0-9a-f]{12})` \\|".r
+        row.findAllMatchIn(Files.readString(Paths.get(out)))
+          .map(m => m.group(1) -> m.group(2)).toMap
+      }
+    val appendix = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(covered).map { name =>
+        val plan =
+          try stablePlan(SparkEntry.queries(name)(spark, sfDir)
+            .queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+          catch {
+            case e: Exception =>
+              s"plan dump failed: ${e.getClass.getSimpleName}: " +
+                s"${e.getMessage}\n"
+          }
         spark.catalog.clearCache()
+        (name, digest(plan), plan)
+      }
+    sb ++= "\n## appendix — registry plan digests\n\n"
+    sb ++= ("Digest = sha1/48 of the stable-rendered formatted plan " +
+      "(expr ids renumbered, plan/lambda ids scrubbed). A changed " +
+      "digest means the PHYSICAL PLAN changed; the new plan is " +
+      "dumped under 'changed plans' below.\n\n")
+    sb ++= "| query | plan digest |\n|---|---|\n"
+    appendix.foreach { case (name, dg, _) =>
+      val mark =
+        if (!prevDigests.contains(name)) " (new)"
+        else if (prevDigests(name) != dg) " (changed)"
+        else ""
+      sb ++= s"| $name | `$dg` |$mark\n"
+    }
+    val changed = appendix.filter { case (name, dg, _) =>
+      prevDigests.get(name).exists(_ != dg)
+    }
+    if (changed.nonEmpty) {
+      sb ++= "\n## changed plans this regeneration\n"
+      changed.foreach { case (name, dg, plan) =>
+        sb ++= s"\n### $name (digest `${prevDigests(name)}` → `$dg`)\n\n```\n"
+        sb ++= plan
+        sb ++= "```\n"
+      }
     }
     Files.writeString(Paths.get(out), sb.toString)
-    println(s"wrote $out")
+    println(s"wrote $out (${changed.size} appendix plans changed, " +
+      s"${appendix.count(a => !prevDigests.contains(a._1))} new)")
     spark.stop()
   }
 }

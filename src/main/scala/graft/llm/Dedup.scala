@@ -990,22 +990,28 @@ object Dedup {
     * (one surviving document per duplicate CLUSTER — pairs alone
     * over-delete on chains a~b~c).
     *
-    * Distributed path: iterative STAR CONTRACTION (the classic
-    * parallel-connectivity shape, cf. Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC 2014). Each round
-    * every supernode takes the min id over itself and its neighbors
-    * (star formation) plus one root-of-root hop, the edge set is
-    * REWRITTEN to (root(u), root(v)) with self-loops dropped, and the
-    * global node→root mapping composes one more step. Any path of
-    * supernodes at least halves per round ⇒ O(log d) rounds
-    * guaranteed, and the live edge set shrinks geometrically (a
-    * 300k-edge critical-regime random graph contracted 172k → 30k →
-    * 4.7k → 618 → 78 → 12 → 2 → 0 live edges in 8 rounds). The
-    * previous label-propagation loop (kept the ORIGINAL edges,
-    * propagated min labels with a jump) was O(diameter) in disguise:
-    * on a filament whose local id-minima sit on the far side of each
-    * window the jump points AWAY from the component min, measured as
-    * a ~100-labels-per-round plateau still unconverged at round 80 on
+    * Distributed path: iterative RANDOMIZED star contraction (the
+    * classic parallel-connectivity shape, cf. Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014;
+    * randomized labels are the random-mate variant). Each round every
+    * supernode merges into the argmin by a per-round HASHED key over
+    * itself and its neighbors (star formation) plus one root-of-root
+    * hop, the edge set is REWRITTEN to (root(u), root(v)) with
+    * self-loops dropped, and the global node→root mapping composes
+    * one more step; after convergence one node-count-sized aggregate
+    * relabels each component to its MIN id (the driver union-find
+    * contract). A constant fraction of supernodes merges per round in
+    * expectation ⇒ O(log n) rounds with high probability over the
+    * per-round seeds — and because the keys are re-hashed each round,
+    * NO fixed id assignment is adversarial (contracting on raw id
+    * order was O(diameter) on a monotone-id chain: each node's min
+    * neighbor is its predecessor, so a 1000-link chain needed ~500
+    * rounds — round-12 advisor finding). The live edge set shrinks
+    * geometrically (a 300k-edge critical-regime random graph
+    * contracted to 0 live edges in 8 rounds). The earlier
+    * label-propagation loop (kept the ORIGINAL edges, propagated min
+    * labels with a jump) was also O(diameter): measured as a
+    * ~100-labels-per-round plateau still unconverged at round 80 on
     * the same graph (BENCHNOTES round-11). `maxIter = 0` (the
     * default) sizes the budget to max(20, ⌈log₂(2·|E|)⌉ + 8); pass a
     * positive value to cap the rounds explicitly.
@@ -1138,20 +1144,37 @@ object Dedup {
           math.max(1L, 2 * nEdges - 1)) + 8)
     var iter = 0
     while (nLive > 0 && iter < roundBudget) {
-      // supernode labels for THIS round's contracted graph: min over
-      // self and neighbors (both edge directions are present, so
-      // groupBy(src) sees every live node), then one root-of-root
-      // hop — cheap (label-table self-join) and collapses two-level
-      // stars in the same round
+      // supernode labels for THIS round's contracted graph: argmin by
+      // HASHED key over self and neighbors (both edge directions are
+      // present, so groupBy(src) sees every live node), then one
+      // root-of-root hop — cheap (label-table self-join) and
+      // collapses two-level stars in the same round.
+      // The key is (xxhash64(round, node), node), fresh seed per
+      // round: contracting on raw id order is O(diameter) on a chain
+      // whose ids increase monotonically along the path (each node's
+      // min neighbor is its predecessor, so the chain shortens by
+      // ~2 nodes per round — round-12 advisor finding, and a PLAUSIBLE
+      // input: sequentially-assigned doc ids with adjacent near-dup
+      // pairs). Random keys make every node merge toward a random
+      // local minimum, so a constant fraction of supernodes merges
+      // each round — O(log n) rounds with high probability over the
+      // seeds, REGARDLESS of id structure — and no fixed input is
+      // adversarial for all rounds. The node component of the key
+      // breaks hash ties deterministically, so rounds stay replayable.
+      def hKey(c: Column): Column =
+        struct(xxhash64(lit(iter), c).as("h"), c.as("n"))
       val r1 = live
-        .groupBy(col("src").as("id")).agg(min("dst").as("mn"))
-        .select(col("id"), least(col("id"), col("mn")).as("root"))
+        .groupBy(col("src").as("id")).agg(min(hKey(col("dst"))).as("mn"))
+        .select(col("id"),
+          least(hKey(col("id")), col("mn")).getField("n").as("root"))
+      // root(u) has a strictly smaller key than u (or is u itself),
+      // so root pointers form a forest — the hop is pure path
+      // compression, never a cycle
       val roots = r1.as("a")
         .join(r1.select(col("id").as("rid"), col("root").as("rroot"))
           .as("b"), col("a.root") === col("b.rid"), "left")
         .select(col("a.id").as("id"),
-          least(col("a.root"), coalesce(col("rroot"), col("a.root")))
-            .as("root"))
+          coalesce(col("rroot"), col("a.root")).as("root"))
       // contract: rewrite every live edge to its endpoints' new
       // roots; intra-star edges become self-loops and vanish
       val (nextLive, nextLiveRdds) = checkpointTracked(live
@@ -1193,7 +1216,17 @@ object Dedup {
           s"($nLive edges still live) — raise maxIter " +
           "(0 = auto budget of max(20, log2(2E)+8) rounds)")
     }
+    // the converged roots are hash-argmin representatives — one per
+    // component but arbitrary-VALUED; relabel to the component MIN id
+    // (the driver union-find contract, and what keep-one dedup keys
+    // on) with one aggregate over the node mapping. Node-count-sized
+    // — trivial next to the edge rounds above — and it reads the
+    // final round's checkpoint blocks, so the @note on block lifetime
+    // holds unchanged.
     mapping
+      .join(mapping.groupBy("root").agg(min(col("id")).as("__mn")),
+        "root")
+      .select(col("id"), col("__mn").as("root"))
   }
 
   /** Driver-side min-root union-find over a SMALL (pre-counted, see

@@ -606,7 +606,23 @@ object Similarity {
     val probes = probeCells(q, centroids, nprobe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nProbeRows = probes.count()
-    val broadcastable = nProbeRows <= qCap.max(1L) * nprobe.max(1)
+    // cap <= 0 means "no cap" everywhere in this module (the PQ path's
+    // qCap0 > 0 guard, maxBandBucket's convention) — disabling the cap
+    // must KEEP the broadcast hot path, not silently shuffle every
+    // batch (round-12, advisor finding: qCap.max(1L) made the
+    // threshold just nprobe rows when the cap was disabled)
+    val broadcastable =
+      qCap <= 0 || nProbeRows <= qCap * nprobe.max(1)
+    if (!broadcastable) {
+      GuardEvents.record("probeIvfIndex",
+        s"over-cap query batch: $nProbeRows probe rows > " +
+          s"$MaxDriverQueriesKey ($qCap) × nprobe ($nprobe) — " +
+          "running the cell join unhinted (shuffled) instead of " +
+          "broadcasting the probe list")
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"probeIvfIndex: $nProbeRows probe rows > cap $qCap × $nprobe, " +
+          "unhinted cell join")
+    }
     val wanted = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
     val cells = spark.read.parquet(s"$path/cells")
@@ -1094,7 +1110,14 @@ object Similarity {
     */
   def probeIvfPqIndex(path: String, queries: DataFrame, queryId: String,
                       vecCol: String, k: Int, nprobe: Int,
-                      shortlist: Int = 50): DataFrame = {
+                      shortlist: Int = 50): DataFrame =
+    probeIvfPqIndexAt(path, queries, queryId, vecCol, k, nprobe,
+      shortlist, depth = 0)
+
+  private def probeIvfPqIndexAt(path: String, queries: DataFrame,
+                                queryId: String, vecCol: String, k: Int,
+                                nprobe: Int, shortlist: Int,
+                                depth: Int): DataFrame = {
     if (k <= 0) throw InvalidArgumentValue(s"k must be positive, got $k")
     if (shortlist < k)
       throw InvalidArgumentValue(s"shortlist ($shortlist) < k ($k)")
@@ -1119,37 +1142,60 @@ object Similarity {
     // factor-100 decade run failed this operator's queries-∝-corpus
     // registry row at the old fail-fast): queries are independent, so
     // a batch bigger than graft.ann.maxDriverQueries splits into
-    // ≤cap chunks by qid rank and each chunk runs the STANDARD
-    // broadcast-ADC pipeline below — per-pair cost stays the m-lookup
-    // hot path at any batch size (a measured qnv-join recompute
-    // fallback cost 2.3× per pair in join/decode machinery), rows are
-    // identical (per-query top-k is chunk-local by construction), and
-    // each chunk's broadcast tables are released when its result
+    // ≤cap chunks and each chunk runs the STANDARD broadcast-ADC
+    // pipeline below — per-pair cost stays the m-lookup hot path at
+    // any batch size (a measured qnv-join recompute fallback cost
+    // 2.3× per pair in join/decode machinery), rows are identical
+    // (per-query top-k is qid-local by construction), and each
+    // chunk's broadcast tables are released when its result
     // materializes, so executor broadcast retention stays one chunk
-    // deep. The rank window runs on a qid-ONLY projection — driver-
-    // scale rows (8 B/qid), never the vectors. LlmSpec pins
-    // over-cap == under-cap rows.
+    // deep. Chunk assignment is pmod(xxhash64(qid), nChunks) — a
+    // map-only projection (round-12; the round-11 rank window was a
+    // GLOBAL Window.orderBy row_number, i.e. a single-task sort on
+    // the exact path built for huge batches). Hashing also pins every
+    // duplicate of a qid into ONE chunk, so a batch with repeated ids
+    // still equals the under-cap result row-for-row. nChunks carries
+    // 2× headroom over ceil(n/cap) for hash skew; a chunk that still
+    // exceeds the cap re-chunks recursively with a fresh modulus.
+    // LlmSpec pins over-cap == under-cap rows.
     val qCap0 = maxDriverQueries(spark)
-    if (qCap0 > 0 && qRaw.count() > qCap0) {
-      val w = org.apache.spark.sql.expressions.Window.orderBy("qid")
-      val ranked = qRaw.select(col("qid"))
-        .withColumn("__rn", row_number().over(w))
-        .select(col("qid"),
-          ((col("__rn") - 1) / qCap0).cast("int").as("__chunk"))
+    val nQ = if (qCap0 > 0) qRaw.count() else 0L
+    if (qCap0 > 0 && nQ > qCap0) {
+      // the one batch hashing cannot split: a single qid duplicated
+      // past the cap lands whole in every chunk of every modulus.
+      // depth bounds the re-chunk recursion (a FEW qids duplicated
+      // past the cap can keep colliding) — each level re-salts the
+      // hash, so 3 levels failing to spread ≥2 distinct qids means
+      // the duplication itself exceeds the cap
+      if (depth >= 3 ||
+          qRaw.select("qid").distinct().limit(2).count() <= 1)
+        throw InvalidArgumentValue(
+          s"probeIvfPqIndex: query batch of $nQ rows cannot be " +
+            s"hash-chunked below $MaxDriverQueriesKey ($qCap0) — " +
+            "near-all rows share one query id; deduplicate the query " +
+            "frame or raise the cap")
+      val nChunks = math.max(2L, (2L * nQ + qCap0 - 1L) / qCap0).toInt
+      GuardEvents.record("probeIvfPqIndex",
+        s"over-cap query batch: $nQ rows > $MaxDriverQueriesKey " +
+          s"($qCap0) — hash-chunked into $nChunks recursive probes")
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"probeIvfPqIndex: $nQ queries > cap $qCap0, " +
+          s"hash-chunking into $nChunks probes")
+      // the chunks re-read only this 2-column projection, never the
+      // caller's upstream pipeline (which may be arbitrarily deep)
+      val qSlim = queries.select(col(queryId), col(vecCol))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nChunks = ranked.agg(max("__chunk")).head().getInt(0) + 1
       val parts = (0 until nChunks).map { i =>
-        val ids = ranked.filter(col("__chunk") === i)
-          .select(col("qid").as(queryId))
-        probeIvfPqIndex(path,
-          queries.join(broadcast(ids), queryId),
-          queryId, vecCol, k, nprobe, shortlist)
+        probeIvfPqIndexAt(path,
+          qSlim.filter(
+            pmod(xxhash64(lit(depth), col(queryId)), lit(nChunks)) === i),
+          queryId, vecCol, k, nprobe, shortlist, depth + 1)
       }
       val result = parts.reduce(_ unionByName _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       result.count()
       parts.foreach(_.unpersist(blocking = false))
-      ranked.unpersist(blocking = false)
+      qSlim.unpersist(blocking = false)
       return result
     }
 
@@ -1207,6 +1253,40 @@ object Similarity {
     result
   }
 
+  /** Corpus-scaled hyperplane-LSH geometry for [[cosineNearDups]]:
+    * (bands, planesPerBand) derived from the corpus size and the
+    * query threshold.
+    *
+    *   - planesPerBand r = clamp(⌈log₂ n⌉ − 4, 8, 20): in-bucket
+    *     false-positive enumeration is ≈ b·n²/2^(r+1) comparisons, so
+    *     r tracking log₂n holds enumeration per document roughly flat
+    *     across decades (CosineEscapeCheck measured the n=200k point,
+    *     r=14, at 15.6× fewer comparisons than the fixed legacy r=8
+    *     with an identical output pair set);
+    *   - bands b = the smallest count whose per-pair miss probability
+    *     AT the threshold, (1−s^r)^b with s = 1−acos(t)/π, does not
+    *     exceed the legacy fixed design point's (1−s⁸)³²: b =
+    *     ⌈32·ln(1−s⁸)/ln(1−s^r)⌉. Equal-or-better recall than the
+    *     legacy default at every threshold by construction — and at
+    *     r = 8 the formula is exactly 32, so small corpora
+    *     (n ≲ 4096) reproduce the legacy geometry byte-for-byte.
+    *
+    * Deterministic, driver-side arithmetic — same (n, t) always maps
+    * to the same geometry, so runs stay replayable.
+    */
+  private[graft] def autoLshParams(n: Long, threshold: Double): (Int, Int) = {
+    val r = math.max(8, math.min(20, math.ceil(
+      math.log(math.max(1L, n).toDouble) / math.log(2.0)).toInt - 4))
+    val s = 1.0 -
+      math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    val b =
+      if (r == 8 || s <= 0.0 || s >= 1.0) 32
+      else math.max(1, math.ceil(32.0 *
+        math.log1p(-math.pow(s, 8)) /
+        math.log1p(-math.pow(s, r))).toInt)
+    (b, r)
+  }
+
   /** Near-duplicate embedding pairs (cosine ≥ threshold) via
     * random-hyperplane LSH: sign-bit band signatures from a compiled
     * kernel, candidates only within matching band buckets, exact
@@ -1223,34 +1303,47 @@ object Similarity {
     * 541× for 10× data (random 8-bit collisions are ~b·N²/2^(r+1)
     * pairs; all of them used to ride the exchange just to die in the
     * verify). The residual quadratic term is enumeration CPU inside
-    * the band buckets (≈ b·N²/2^r sketch comparisons, no shuffle): at
-    * corpus sizes where that matters (N ≫ 10⁶ per band-bucket space),
-    * raise `planesPerBand` toward log₂N — FP enumeration scales as
-    * 2^−r — and grow `bands` to hold the recall product above. The
-    * term is MONITORED, not just documented: a CollectMetrics node
-    * counts the comparisons actually enumerated, and past
+    * the band buckets (≈ b·N²/2^r sketch comparisons, no shuffle) —
+    * FP enumeration scales as 2^−r, so r must grow toward log₂N with
+    * the corpus while `bands` grows to hold the recall product. The
+    * DEFAULT (`bands = 0, planesPerBand = 0`) does this automatically
+    * from the counted corpus: r = clamp(⌈log₂N⌉ − 4, 8, 20) and b =
+    * the smallest count whose miss probability at `threshold` is ≤
+    * the legacy (r=8, b=32) design point's — so auto recall never
+    * regresses the old fixed default at any threshold, and at N ≲ 4k
+    * the derivation returns exactly (8, 32) (byte-identical rows to
+    * the legacy default). Round-11's CosineEscapeCheck measured the
+    * derivation's N=200k point (r=14, b≈90) at 15.6× fewer
+    * enumerated comparisons with an identical pair set. Explicit
+    * positive `bands`/`planesPerBand` bypass the derivation. The
+    * enumeration term stays MONITORED either way: a CollectMetrics
+    * node counts the comparisons actually enumerated, and past
     * `graft.similarity.warnEnumeratedPairs` (default 1e8, <=0 off)
-    * the operator WARNs with that guidance and records the event in
-    * [[GuardEvents]] — rows are never changed by the monitor.
+    * the operator WARNs with the raise-r guidance and records the
+    * event in [[GuardEvents]] — rows are never changed by the
+    * monitor.
     *
     * The returned pairs are already materialized (persisted; the band
     * signature cache is released before returning) — `.unpersist()`
     * the result when done.
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, bands: Int = 32,
-                     planesPerBand: Int = 8, seed: Long = 7L): DataFrame = {
+                     threshold: Double, bands: Int = 0,
+                     planesPerBand: Int = 0, seed: Long = 7L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val (bandsEff, rEff) =
+      if (bands > 0 && planesPerBand > 0) (bands, planesPerBand)
+      else autoLshParams(df.count(), threshold)
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val rnd = new scala.util.Random(seed)
     val planes: Array[Array[Double]] =
-      Array.fill(bands * planesPerBand)(Array.fill(dim)(rnd.nextGaussian()))
+      Array.fill(bandsEff * rEff)(Array.fill(dim)(rnd.nextGaussian()))
 
     val v = asDoubleVec(df, idCol, vecCol, "id", "v")
 
-    val nBands = bands
-    val r = planesPerBand
+    val nBands = bandsEff
+    val r = rEff
     val nBits = nBands * r
     val nSk = (nBits + 63) / 64
     // each banded row carries the WHOLE packed hyperplane sketch
@@ -1389,8 +1482,8 @@ object Similarity {
     * @return the surviving rows of `df`, schema unchanged
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, bands: Int = 32,
-                    planesPerBand: Int = 8, seed: Long = 7L): DataFrame = {
+                    threshold: Double, bands: Int = 0,
+                    planesPerBand: Int = 0, seed: Long = 7L): DataFrame = {
     val pairs = cosineNearDups(df, idCol, vecCol, threshold, bands,
       planesPerBand, seed)
     try Dedup.dedupNearDups(df, idCol, pairs)

@@ -46,11 +46,10 @@ class LlmSpec extends SparkSpec {
   }
 
   test("dupClusters labels a 40-link chain within the round budget") {
-    // a long path exercises the O(log d) contraction bound — plain
-    // label propagation would need 40 rounds, beyond the 20-round
-    // floor, and this would throw non-convergence. Force the
-    // DISTRIBUTED loop (the small-graph fast path would otherwise
-    // take over).
+    // a long path exercises the contraction bound — plain label
+    // propagation would need 40 rounds, beyond the 20-round floor,
+    // and this would throw non-convergence. Force the DISTRIBUTED
+    // loop (the small-graph fast path would otherwise take over).
     spark.conf.set("graft.dedup.maxDriverEdges", "0")
     try {
       val chain = (1L until 41L).map(i => (i, i + 1)).toDF("id_a", "id_b")
@@ -58,6 +57,32 @@ class LlmSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       assert(labels.size == 41)
       assert(labels.values.forall(_ == 1L))
+    } finally spark.conf.unset("graft.dedup.maxDriverEdges")
+  }
+
+  test("dupClusters handles a 1000-link MONOTONE-id chain (the " +
+    "deterministic-contraction adversary) within the auto budget") {
+    // ids increasing along the path was the worst case for raw-id
+    // star contraction: every node's min-id neighbor is its
+    // predecessor, so the chain shortened by ~2 nodes per round
+    // (simulated 500 rounds for 1000 links — round-12 advisor
+    // finding) and the auto budget (max(20, log2(2E)+8) = 20 here)
+    // threw non-convergence. The per-round HASHED contraction keys
+    // make merge direction independent of id structure, so this
+    // converges in O(log n) rounds w.h.p. — and deterministically
+    // reproducibly, since the round hashes are seeded by round
+    // number. Also pins the post-convergence min-relabel: roots are
+    // hash-argmin representatives internally, but the returned label
+    // must be the component MIN id.
+    spark.conf.set("graft.dedup.maxDriverEdges", "0")
+    try {
+      val chain = (1L until 1001L).map(i => (i, i + 1))
+        .toDF("id_a", "id_b")
+      val labels = Dedup.dupClusters(chain)
+        .as[(Long, Long)].collect().toMap
+      assert(labels.size == 1001)
+      assert(labels.values.forall(_ == 1L),
+        "component label must be the min id after relabeling")
     } finally spark.conf.unset("graft.dedup.maxDriverEdges")
   }
 
@@ -777,6 +802,8 @@ class LlmSpec extends SparkSpec {
       "vec_id", "embedding", k = 5, nprobe = 2, shortlist = 20)
       .orderBy("qid", "rnk").collect().toSeq
     val (ivfSmall, pqSmall) = (runIvf(), runPq())
+    graft.llm.GuardEvents.clear("probeIvfIndex")
+    graft.llm.GuardEvents.clear("probeIvfPqIndex")
     spark.conf.set("graft.ann.maxDriverQueries", "3") // 8 queries > 3
     try {
       assert(runIvf() == ivfSmall,
@@ -784,6 +811,89 @@ class LlmSpec extends SparkSpec {
       assert(runPq() == pqSmall,
         "probeIvfPqIndex recompute fallback changed rows (the dot " +
           "recompute must be bit-equal to the table lookup)")
+      // production over-cap engagement must be observable the same
+      // way the bucket guards are (round-12 verdict task #7)
+      val ivfEvt = graft.llm.GuardEvents.lastFor("probeIvfIndex")
+      assert(ivfEvt.exists(_.contains("unhinted")),
+        s"probeIvfIndex over-cap fallback left no GuardEvents entry: $ivfEvt")
+      val pqEvt = graft.llm.GuardEvents.lastFor("probeIvfPqIndex")
+      assert(pqEvt.exists(_.contains("chunk")),
+        s"probeIvfPqIndex chunk recursion left no GuardEvents entry: $pqEvt")
+    } finally spark.conf.unset("graft.ann.maxDriverQueries")
+  }
+
+  test("cap disabled (<=0) keeps the broadcast probe hot path") {
+    // graft.ann.maxDriverQueries <= 0 means "no cap" module-wide; it
+    // must DISABLE the guard, not (as the round-11 qCap.max(1L)
+    // arithmetic did — round-12 advisor finding) shrink the broadcast
+    // threshold to nprobe rows and silently shuffle every batch
+    val queries = emb.filter($"vec_id" < 4)
+    val corpus = emb.filter($"vec_id" >= 4)
+    val ivf = tmpDir("llm-ivf-nocap")
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", ivf, nlist = 4)
+    def run() = Similarity.probeIvfIndex(ivf, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("qid", "rnk").collect().toSeq
+    val base = run()
+    graft.llm.GuardEvents.clear("probeIvfIndex")
+    spark.conf.set("graft.ann.maxDriverQueries", "0")
+    try {
+      assert(run() == base, "cap-disabled probe changed rows")
+      assert(graft.llm.GuardEvents.lastFor("probeIvfIndex").isEmpty,
+        "cap-disabled probe must stay on the broadcast path (no " +
+          "over-cap fallback event)")
+    } finally spark.conf.unset("graft.ann.maxDriverQueries")
+  }
+
+  test("auto LSH geometry: legacy at small N, measured escape at 200k, " +
+    "recall never below the legacy design point") {
+    // small corpora must reproduce the legacy (bands=32, r=8) geometry
+    // EXACTLY — that is what keeps q35/q77's sf0.01 oracle hashes
+    // byte-identical under the auto default
+    for (n <- Seq(1L, 100L, 2050L, 4096L); t <- Seq(0.4, 0.9, 0.99))
+      assert(Similarity.autoLshParams(n, t) == (32, 8),
+        s"n=$n t=$t must resolve to the legacy geometry")
+    // the CosineEscapeCheck-measured N=200k escape point: r=14 and
+    // b within a hair of the measured 90 (the equal-recall formula
+    // gives 91)
+    val (b200k, r200k) = Similarity.autoLshParams(200050L, 0.9)
+    assert(r200k == 14, s"expected r=14 at N=200k, got $r200k")
+    assert(b200k >= 88 && b200k <= 94,
+      s"expected b≈90 at N=200k/t=0.9, got $b200k")
+    // equal-or-better recall than the fixed legacy default at the
+    // threshold, for every (n, t) on a grid
+    for (n <- Seq(10000L, 200000L, 2000000L, 100000000L);
+         t <- Seq(0.3, 0.5, 0.7, 0.9, 0.95, 0.99)) {
+      val (b, r) = Similarity.autoLshParams(n, t)
+      val s = 1.0 - math.acos(t) / math.Pi
+      val missAuto = b * math.log1p(-math.pow(s, r))
+      val missLegacy = 32 * math.log1p(-math.pow(s, 8))
+      assert(missAuto <= missLegacy + 1e-12,
+        s"auto geometry (b=$b, r=$r) at n=$n t=$t has HIGHER miss " +
+          s"probability than legacy (32, 8): " +
+          s"${math.exp(missAuto)} > ${math.exp(missLegacy)}")
+      assert(r >= 8 && r <= 20)
+    }
+  }
+
+  test("over-cap PQ probe with DUPLICATED query ids equals under-cap") {
+    // hash chunking must pin every duplicate of a qid into ONE chunk
+    // — rank-based chunking could split duplicates across chunks and
+    // double per-query work/rows (round-12 advisor finding)
+    val queries = emb.filter($"vec_id" < 4)
+      .union(emb.filter($"vec_id" < 2)) // qids 0,1 appear twice
+    val corpus = emb.filter($"vec_id" >= 4)
+    val ivfpq = tmpDir("llm-ivfpq-dupqid")
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", ivfpq,
+      nlist = 4, m = 8, ncodes = 16)
+    def run() = Similarity.probeIvfPqIndex(ivfpq, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2, shortlist = 10)
+      .orderBy("qid", "rnk", "cid").collect().toSeq
+    val underCap = run()
+    spark.conf.set("graft.ann.maxDriverQueries", "3") // 6 rows > 3
+    try {
+      assert(run() == underCap,
+        "duplicate qids split across chunks changed the result")
     } finally spark.conf.unset("graft.ann.maxDriverQueries")
   }
 
