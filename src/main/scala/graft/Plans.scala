@@ -27,6 +27,26 @@ object Plans {
       .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda\\$*")
       .replaceAll("@[0-9a-fA-F]{6,}", "@*")
       .replaceAll("\\.enum-\\d+", ".enum-*")
+      // whole-stage-codegen stage numbering depends on subtree
+      // compilation order, which varies run-to-run
+      .replaceAll("codegen id : \\d+", "codegen id : *")
+      // AQE query-stage IDs (the bare-integer `Arguments:` line of
+      // *QueryStage node blocks) number stages in materialization
+      // order, which varies run-to-run; LocalLimit/Coalesce also
+      // print bare-int Arguments (a real plan property), so the
+      // scrub is scoped to QueryStage blocks by their header line
+      .linesIterator.foldLeft((new StringBuilder, false)) {
+        case ((sb, inStage), line) =>
+          val header = "^\\(\\d+\\) \\w*QueryStage.*".r
+          val next =
+            if (header.matches(line)) true
+            else if (line.startsWith("(")) false
+            else inStage
+          sb ++= (if (next && line.matches("Arguments: \\d+"))
+            "Arguments: *" else line)
+          sb += '\n'
+          (sb, next)
+      }._1.toString
   }
 
   private def digest(s: String): String = {
@@ -322,7 +342,17 @@ object Plans {
       "entry point hides the plan behind an eager result cache " +
       "additionally get an operator-titled dump (`## winnow_overlap_" +
       "join …`, `## ivf_index_probe …`) showing the lazy structure; " +
-      "those headings name the covered qNN inline.\n")
+      "those headings name the covered qNN inline.\n\n" +
+      "Plans are rendered STABLE (expr ids renumbered; codegen/AQE-" +
+      "stage/plan ids scrubbed), so a git diff of this file shows " +
+      "genuine plan changes. Residual known benign churn: AQE may " +
+      "flip the build side of a borderline broadcast join " +
+      "(BuildLeft/BuildRight) run-to-run at this tiny scale factor — " +
+      "both sides fit, and the choice is made on exact runtime byte " +
+      "sizes — and a multi-countDistinct aggregate (q06) may reorder " +
+      "its Expand distinct-groups (Spark's RewriteDistinctAggregates " +
+      "groups by expressions whose hash follows expr-id allocation). " +
+      "Rows are unaffected by either.\n")
     showcase.foreach { case (name, why) =>
       val fn = SparkEntry.queries(name)
       sb ++= s"\n## $name\n\n$why\n\n```\n"

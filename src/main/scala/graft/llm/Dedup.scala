@@ -120,6 +120,21 @@ object Dedup {
     * strings (collisions would need ~2^32 distinct shingles to matter;
     * the correctness gate would catch any).
     */
+  /** Storage level for probeMinhashIndex's intermediate persists,
+    * from `graft.dedup.probePersistLevel` (default MEMORY_AND_DISK).
+    * A measurement lever, not a semantics switch — rows are identical
+    * at any level. The factor-100 decade (SCALING.md round-11) showed
+    * q53/q54 task-sec 16-17× per 10× data against shuffle exactly
+    * 10.1×, the excess GC-coupled at the one-JVM 96 GB bench heap
+    * (gc 4.2 → 128 s); DISK_ONLY / MEMORY_AND_DISK_SER keep the wide
+    * signature caches off (or serialized on) the heap so the
+    * hypothesis is measurable without a rebuild.
+    */
+  private def probePersistLevel(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      spark.conf.get("graft.dedup.probePersistLevel", "MEMORY_AND_DISK"))
+
   private def shingleHashRows(df: DataFrame, idCol: String,
                               textCol: String, shingleK: Int): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
@@ -584,13 +599,13 @@ object Dedup {
       col("id") +: (0 until numHashes).map(i => col(s"m$i")): _*)
 
     val newShingles = shingleHashRows(newDf, idCol, textCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(probePersistLevel(spark))
     // persisted COLUMNAR (the minhashNearDups sig rationale): the
     // 128-column signature frame is scan-hot (banding + the estimate
     // join), so it keeps the fast columnar cache; the probe's
     // explain-nesting cut lives in the narrow `candidates` below
     val newSig = signaturesOf(newShingles, numHashes, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(probePersistLevel(spark))
 
     // Every static broadcast in the probe is DATA-DEPENDENT — the
     // batch by the ingest contract, candidates by band matches — and
@@ -678,7 +693,7 @@ object Dedup {
       // than an error; distinct on this O(candidates) frame is cheap
       // insurance that the verify stays exact
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(probePersistLevel(spark))
 
     // exact verify: corpus text re-shingled ONLY for candidate docs.
     // candA broadcast statically — a shuffled semi join would write
@@ -688,7 +703,7 @@ object Dedup {
     val candA = strong.select(col("id_a").as("id")).distinct()
     val corpusShingles = shingleHashRows(corpus, idCol, textCol, shingleK)
       .join(bcastIfSafe(candA), Seq("id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(probePersistLevel(spark))
     val sizesA = corpusShingles.groupBy("id").agg(count(lit(1)).as("na"))
     val sizesB = newShingles.groupBy("id").agg(count(lit(1)).as("nb"))
     val inter = strong
@@ -704,7 +719,7 @@ object Dedup {
           .cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(probePersistLevel(spark))
     // materialize the (tiny) pair result, then release the probe's
     // intermediates — a per-micro-batch caller (dedupIngestStream)
     // would otherwise accumulate four cached frames per batch forever

@@ -1255,36 +1255,58 @@ object Similarity {
 
   /** Corpus-scaled hyperplane-LSH geometry for [[cosineNearDups]]:
     * (bands, planesPerBand) derived from the corpus size and the
-    * query threshold.
+    * query threshold. Two competing costs:
     *
-    *   - planesPerBand r = clamp(⌈log₂ n⌉ − 4, 8, 20): in-bucket
-    *     false-positive enumeration is ≈ b·n²/2^(r+1) comparisons, so
-    *     r tracking log₂n holds enumeration per document roughly flat
-    *     across decades (CosineEscapeCheck measured the n=200k point,
-    *     r=14, at 15.6× fewer comparisons than the fixed legacy r=8
-    *     with an identical output pair set);
-    *   - bands b = the smallest count whose per-pair miss probability
-    *     AT the threshold, (1−s^r)^b with s = 1−acos(t)/π, does not
-    *     exceed the legacy fixed design point's (1−s⁸)³²: b =
-    *     ⌈32·ln(1−s⁸)/ln(1−s^r)⌉. Equal-or-better recall than the
-    *     legacy default at every threshold by construction — and at
-    *     r = 8 the formula is exactly 32, so small corpora
-    *     (n ≲ 4096) reproduce the legacy geometry byte-for-byte.
+    *   - in-bucket false-positive ENUMERATION ≈ b·n²/2^(r+1) sketch
+    *     comparisons — quadratic in n, halves per extra plane;
+    *   - band MASS (the banded self-join's linear shuffle + hashing
+    *     CPU) ∝ b rows per document — and holding recall while
+    *     raising r REQUIRES more bands (b(r) below), so raising r is
+    *     not free: at n = 20k a blanket log₂n rule measured q35 at
+    *     2-3× the legacy wall with 2.1× its shuffle because the
+    *     enumeration it halved was already negligible.
+    *
+    * So the rule is a budget gate, not a size ladder: r = the
+    * smallest plane count whose predicted enumeration fits a fixed
+    * budget (2e8 comparisons ≈ seconds of compare CPU across a node,
+    * the same scale as the `warnEnumeratedPairs` monitor default),
+    * capped at 20. Until the quadratic term actually threatens,
+    * small and mid corpora keep the legacy (32, 8) geometry
+    * byte-for-byte; at the measured n=200k escape point the gate
+    * engages (r=13-14 — CosineEscapeCheck measured r=14 at 15.6×
+    * fewer comparisons, 2.9× faster wall, identical pairs).
+    *
+    * bands b(r) = the smallest count whose per-pair miss probability
+    * AT the threshold, (1−s^r)^b with s = 1−acos(t)/π, does not
+    * exceed the legacy fixed design point's (1−s⁸)³²: b =
+    * ⌈32·ln(1−s⁸)/ln(1−s^r)⌉ — equal-or-better recall than the
+    * legacy default at every threshold by construction (b(8) = 32
+    * exactly).
     *
     * Deterministic, driver-side arithmetic — same (n, t) always maps
     * to the same geometry, so runs stay replayable.
     */
   private[graft] def autoLshParams(n: Long, threshold: Double): (Int, Int) = {
-    val r = math.max(8, math.min(20, math.ceil(
-      math.log(math.max(1L, n).toDouble) / math.log(2.0)).toInt - 4))
     val s = 1.0 -
       math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
-    val b =
+    def bFor(r: Int): Int =
       if (r == 8 || s <= 0.0 || s >= 1.0) 32
       else math.max(1, math.ceil(32.0 *
         math.log1p(-math.pow(s, 8)) /
         math.log1p(-math.pow(s, r))).toInt)
-    (b, r)
+    val budget = 2e8
+    // holding recall at low thresholds costs bands steeply in r
+    // (b ≈ 32·ln(1−s⁸)/s^r for small s^r) — cap the band count so
+    // the plane matrix stays a few MB of closure (512·20·dim doubles
+    // ≈ 5 MB at dim 64) instead of exploding at threshold ≲ 0.5 on a
+    // huge corpus, where LSH enumeration is intrinsically heavy and
+    // the runtime monitor is the honest signal
+    val bCap = 512
+    def enumerated(r: Int): Double =
+      bFor(r) * math.pow(math.max(1L, n).toDouble, 2) / math.pow(2.0, r + 1)
+    var r = 8
+    while (r < 20 && enumerated(r) > budget && bFor(r + 1) <= bCap) r += 1
+    (bFor(r), r)
   }
 
   /** Near-duplicate embedding pairs (cosine ≥ threshold) via
@@ -1304,18 +1326,20 @@ object Similarity {
     * pairs; all of them used to ride the exchange just to die in the
     * verify). The residual quadratic term is enumeration CPU inside
     * the band buckets (≈ b·N²/2^r sketch comparisons, no shuffle) —
-    * FP enumeration scales as 2^−r, so r must grow toward log₂N with
-    * the corpus while `bands` grows to hold the recall product. The
-    * DEFAULT (`bands = 0, planesPerBand = 0`) does this automatically
-    * from the counted corpus: r = clamp(⌈log₂N⌉ − 4, 8, 20) and b =
+    * FP enumeration scales as 2^−r, so r must grow with the corpus
+    * while `bands` grows to hold the recall product. The DEFAULT
+    * (`bands = 0, planesPerBand = 0`) does this automatically from
+    * the counted corpus via [[autoLshParams]]: the smallest r whose
+    * predicted enumeration fits a fixed comparison budget, with b
     * the smallest count whose miss probability at `threshold` is ≤
     * the legacy (r=8, b=32) design point's — so auto recall never
-    * regresses the old fixed default at any threshold, and at N ≲ 4k
-    * the derivation returns exactly (8, 32) (byte-identical rows to
-    * the legacy default). Round-11's CosineEscapeCheck measured the
-    * derivation's N=200k point (r=14, b≈90) at 15.6× fewer
-    * enumerated comparisons with an identical pair set. Explicit
-    * positive `bands`/`planesPerBand` bypass the derivation. The
+    * regresses the old fixed default at any threshold, and corpora
+    * below the budget knee (N ≲ 50k at t=0.9) keep exactly (8, 32)
+    * (byte-identical rows AND plan to the legacy default).
+    * Round-11's CosineEscapeCheck measured the N=200k escape at
+    * 15.6× fewer enumerated comparisons, 2.9× faster wall, identical
+    * pair set. Explicit positive `bands`/`planesPerBand` bypass the
+    * derivation. The
     * enumeration term stays MONITORED either way: a CollectMetrics
     * node counts the comparisons actually enumerated, and past
     * `graft.similarity.warnEnumeratedPairs` (default 1e8, <=0 off)

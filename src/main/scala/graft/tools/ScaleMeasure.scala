@@ -152,6 +152,14 @@ object ScaleMeasure {
         sum("n_tokens").as("tok_total"),
         org.apache.spark.sql.functions.max("bin").as("max_bin"))
     }),
+    // cosine LSH geometry A/B at one corpus, same harness, same rep
+    // protocol: the q35 corpus shape under the legacy fixed (32, 8)
+    // vs the corpus-scaled auto default (bands=0 ⇒ autoLshParams).
+    // The round-11 CosineEscapeCheck measured the escape 2.9× faster
+    // on a PRE-CACHED corpus; the registered-query measurements
+    // disagreed, so the default is decided by THIS harness's numbers.
+    "q35_legacy" -> ((s, dir) => cosineGeom(s, dir, 32, 8)),
+    "q35_auto" -> ((s, dir) => cosineGeom(s, dir, 0, 0)),
     // the sketch on its motivating vocabulary: the char-4-gram stream
     // (distinct grams ≫ tokens) — shuffle must stay summary-bounded
     "hh_grams" -> ((s, dir) => {
@@ -162,6 +170,20 @@ object ScaleMeasure {
             .as("g")),
         "g", k = 100)
     }))
+
+  private def cosineGeom(s: org.apache.spark.sql.SparkSession,
+                         dir: String, bands: Int, planes: Int) = {
+    import org.apache.spark.sql.functions.{col, transform}
+    val emb = graft.Tables.read(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val corpus = emb.unionByName(
+      emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("v"), x => x + 0.05).as("v")))
+    graft.llm.Similarity.cosineNearDups(corpus, "vec_id", "v",
+      threshold = 0.9, bands = bands, planesPerBand = planes)
+  }
 
   private class Listener extends SparkListener {
     private val stageGroup = TrieMap[Int, String]()
@@ -204,10 +226,11 @@ object ScaleMeasure {
     GraftSession.applyEngineConf(spark)
     // ad-hoc conf overrides for lever experiments, e.g.
     // GRAFT_CONF="graft.dedup.maxBroadcastCandidates=1"
-    sys.env.get("GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
-    })
+    sys.env.get("GRAFT_CONF").foreach(
+      _.split(";").filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     val sc = spark.sparkContext
     val listener = new Listener
     sc.addSparkListener(listener)
