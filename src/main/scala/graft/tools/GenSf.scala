@@ -53,7 +53,12 @@ object GenSf {
   }
 
   def generate(spark: SparkSession, srcDir: String, outDir: String,
-               factor: Int): Unit = {
+               factor: Int, only: Set[String] = Set.empty): Unit = {
+    // `only` restricts generation to a table subset (empty = all):
+    // a single-operator decade (e.g. the cosine/ANN family, which
+    // reads nothing but embeddings) should not pay the 600M-row
+    // lineitem replication a factor-1000 full star schema would cost
+    def wanted(name: String) = only.isEmpty || only.contains(name)
     def read(name: String) =
       spark.read.parquet(s"$srcDir/$name.parquet")
     def write(df: DataFrame, name: String): Unit = {
@@ -63,21 +68,32 @@ object GenSf {
     }
 
     // fixed dimensions: copy
-    Seq("region", "nation").foreach(n => write(read(n), n))
-    write(replicate(read("customer"), factor, Seq("c_custkey")), "customer")
-    write(replicate(read("supplier"), factor, Seq("s_suppkey")), "supplier")
-    write(replicate(read("part"), factor, Seq("p_partkey")), "part")
-    write(replicate(read("orders"), factor,
-      Seq("o_orderkey", "o_custkey")), "orders")
-    write(replicate(read("lineitem"), factor,
-      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    Seq("region", "nation").filter(wanted).foreach(n => write(read(n), n))
+    if (wanted("customer"))
+      write(replicate(read("customer"), factor, Seq("c_custkey")), "customer")
+    if (wanted("supplier"))
+      write(replicate(read("supplier"), factor, Seq("s_suppkey")), "supplier")
+    if (wanted("part"))
+      write(replicate(read("part"), factor, Seq("p_partkey")), "part")
+    if (wanted("orders"))
+      write(replicate(read("orders"), factor,
+        Seq("o_orderkey", "o_custkey")), "orders")
+    if (wanted("lineitem"))
+      write(replicate(read("lineitem"), factor,
+        Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
 
-    val nDocs = read("documents").count() * factor
-    GenDocs.generate(spark, outDir, nDocs, openVocab = true)
-    val nEvents = read("events").count() * factor
-    GenEvents.generate(spark, outDir, nEvents)
-    val nVecs = read("embeddings").count() * factor
-    genEmbeddings(spark, outDir, nVecs)
+    if (wanted("documents")) {
+      val nDocs = read("documents").count() * factor
+      GenDocs.generate(spark, outDir, nDocs, openVocab = true)
+    }
+    if (wanted("events")) {
+      val nEvents = read("events").count() * factor
+      GenEvents.generate(spark, outDir, nEvents)
+    }
+    if (wanted("embeddings")) {
+      val nVecs = read("embeddings").count() * factor
+      genEmbeddings(spark, outDir, nVecs)
+    }
   }
 
   /** Seeded random unit vectors (64-dim float) with uniform labels
@@ -101,14 +117,21 @@ object GenSf {
     println(s"wrote $outDir/embeddings.parquet ($numVecs vectors)")
   }
 
+  /** Usage: runMain graft.tools.GenSf <srcDir> <outDir> <factor>
+    *   [tables] — tables is an optional comma list restricting
+    *   generation (e.g. "embeddings" for an ANN-only decade endpoint).
+    */
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/root/repo/target/gen-sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val only = args.lift(3)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val spark = GraftSession.builder("graft-gensf", "local[32]")
       .config("spark.sql.shuffle.partitions", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, srcDir, outDir, factor)
+    generate(spark, srcDir, outDir, factor, only)
     spark.stop()
   }
 }

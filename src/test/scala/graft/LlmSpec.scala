@@ -913,6 +913,30 @@ class LlmSpec extends SparkSpec {
     } finally spark.conf.unset("graft.ann.maxDriverQueries")
   }
 
+  test("PQ probe batch that hashing cannot split fails fast, not loops") {
+    // the ONE batch chunk-and-recurse cannot handle: a single qid
+    // duplicated past the cap lands whole in every chunk of every
+    // modulus, so recursion would never shrink it — the guard must
+    // throw the documented advice instead of recursing to the depth
+    // bound doing useless work (or worse, looping)
+    val one = emb.filter($"vec_id" === 0)
+    val queries = one.union(one).union(one).union(one) // 4 copies
+    val corpus = emb.filter($"vec_id" >= 4)
+    val ivfpq = tmpDir("llm-ivfpq-unsplittable")
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", ivfpq,
+      nlist = 4, m = 8, ncodes = 16)
+    spark.conf.set("graft.ann.maxDriverQueries", "3") // 4 dup rows > 3
+    try {
+      val e = intercept[graft.exceptions.InvalidArgumentValue] {
+        Similarity.probeIvfPqIndex(ivfpq, queries,
+          "vec_id", "embedding", k = 3, nprobe = 2, shortlist = 10)
+      }
+      assert(e.getMessage.contains("cannot be hash-chunked") &&
+        e.getMessage.contains("deduplicate the query"),
+        s"wrong unsplittable-batch error: ${e.getMessage}")
+    } finally spark.conf.unset("graft.ann.maxDriverQueries")
+  }
+
   test("ivf-pq recall@10 >= 0.9 on clustered vectors at nprobe=nlist/2") {
     val rnd = new scala.util.Random(7)
     val centers = Array.fill(8, 16)(rnd.nextGaussian())
