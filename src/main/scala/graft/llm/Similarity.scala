@@ -1317,9 +1317,12 @@ object Similarity {
     * Recall at cos=c: 1−(1−(1−θ/π)^r)^b with θ=acos(c) — at c=0.99,
     * r=8, b=32 the miss probability is ~4e-17.
     *
-    * Scale shape: each banded row carries the packed whole-sketch
-    * (b·r bits), and the band join drops any pair whose sketch
-    * hamming estimates the angle beyond threshold−6σ MAP-SIDE, so the
+    * Scale shape: each banded row carries a packed estimator sketch
+    * (capped at the bits the 6σ cut needs — see the skBits sizing in
+    * the body — so the payload stays ~4 longs regardless of how large
+    * the banding geometry grows), and the band join drops any pair
+    * whose sketch hamming estimates the angle beyond threshold−6σ
+    * MAP-SIDE, so the
     * only pairs that reach the distinct's shuffle are near-certain —
     * the round-10 decade measurement had the unfiltered join shuffling
     * 541× for 10× data (random 8-bit collisions are ~b·N²/2^(r+1)
@@ -1369,13 +1372,38 @@ object Similarity {
     val nBands = bandsEff
     val r = rEff
     val nBits = nBands * r
-    val nSk = (nBits + 63) / 64
-    // each banded row carries the WHOLE packed hyperplane sketch
-    // alongside its band value: the sketch is the map-side similarity
-    // estimator that lets the band join drop random collisions BEFORE
-    // the distinct's shuffle (see the filter below). Linear payload —
-    // nSk longs per row — against the measured quadratic shuffle it
-    // removes.
+    // Each banded row carries a packed hyperplane sketch alongside its
+    // band value: the sketch is the map-side similarity estimator that
+    // lets the band join drop random collisions BEFORE the distinct's
+    // shuffle (see the filter below). The carried sketch is CAPPED at
+    // the bit count the 6σ cut actually needs, not the full b·r
+    // banding bits (round-12): estimator precision scales as
+    // 1/sqrt(bits) independently of the banding geometry, so carrying
+    // all 1001 bits of the auto (77, 13) geometry quadrupled the
+    // banded shuffle payload and the per-pair XOR/popcount cost for
+    // no separation gain over 256 bits at t = 0.9. The cap must keep
+    // the cut usefully BELOW the random-pair mean (h ≈ 0.5): cut at
+    // q + 6σ with ≥ 2σ clearance to 0.5 needs
+    // B ≥ 64·q(1−q)/(0.5−q)² bits, floored at 256 (the legacy
+    // geometry's full sketch — any geometry with b·r ≤ the cap is
+    // byte-identical to the uncapped code, which keeps every
+    // below-knee auto plan and the sf0.01 oracle rows unchanged). At
+    // q ≥ 0.5 (threshold ≤ 0) no bit count separates — keep the full
+    // sketch, matching the pre-cap degraded behavior. The estimator
+    // uses the FIRST skBits banding bits; a matched band inside the
+    // cap window still biases h low by ≤ r/skBits — conservative
+    // (keeps marginal pairs, never drops extra), same as the uncapped
+    // analysis below.
+    val qFrac = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    val skBits =
+      if (qFrac >= 0.5) nBits
+      else {
+        val need = 64.0 * qFrac * (1 - qFrac) /
+          math.pow(0.5 - qFrac, 2)
+        math.min(nBits,
+          math.max(256, (math.ceil(need / 64.0) * 64).toInt))
+      }
+    val nSk = (skBits + 63) / 64
     val banded = v.as[(Long, Seq[Double])].mapPartitions { rows =>
       rows.flatMap { case (id, vec) =>
         val a = vec.toArray
@@ -1392,7 +1420,7 @@ object Similarity {
             if (s >= 0) {
               bv |= (1L << p)
               val bit = b * r + p
-              sk(bit >> 6) |= (1L << (bit & 63))
+              if (bit < skBits) sk(bit >> 6) |= (1L << (bit & 63))
             }
             p += 1
           }
@@ -1409,17 +1437,17 @@ object Similarity {
     // an 8-bit band value collides two RANDOM vectors at 2⁻⁸, so
     // band-join enumeration is ~b·N²/2^(r+1) pairs and every doomed
     // pair used to ride the shuffle just to die in the exact verify).
-    // The whole-sketch hamming fraction estimates the pair's angle
-    // θ/π with σ = sqrt(q(1−q)/nBits); cutting at q + 6σ keeps a
-    // true threshold pair with miss probability ~1e-9 (the module's
+    // The sketch hamming fraction estimates the pair's angle θ/π with
+    // σ = sqrt(q(1−q)/skBits); cutting at q + 6σ keeps a true
+    // threshold pair with miss probability ~1e-9 (the module's
     // estimate-prefilter budget, cf. minhashNearDups' 6σ) while
-    // random pairs (h ≈ 0.5) sit tens of σ beyond the cut. The
-    // matched band's own r bits agree by construction, biasing h LOW
-    // by ≤ r/nBits — conservative (keeps marginal pairs; never drops
+    // random pairs (h ≈ 0.5) sit ≥ 2σ beyond the cut by the skBits
+    // sizing above. A matched band inside the cap window biases h LOW
+    // by ≤ r/skBits — conservative (keeps marginal pairs; never drops
     // extra). Exactness is unchanged either way: survivors are
     // exact-verified below.
-    val q = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
-    val hCut = (q + 6.0 * math.sqrt(q * (1 - q) / nBits)) * nBits
+    val q = qFrac
+    val hCut = (q + 6.0 * math.sqrt(q * (1 - q) / skBits)) * skBits
     val estHam = (0 until nSk)
       .map(k => bit_count(col("x.sk").getItem(k)
         .bitwiseXOR(col("y.sk").getItem(k))))
