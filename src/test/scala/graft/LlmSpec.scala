@@ -1653,6 +1653,49 @@ class LlmSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("capped estimator sketch (b*r > 256) matches exact cosine truth") {
+    // the round-12 sketch cap: an explicit (40, 10) geometry carries
+    // 400 banding bits but the banded rows' estimator is capped at
+    // 256 (t=0.9 needs 63) — this test pins the CAPPED path, which no
+    // below-knee corpus exercises (auto picks b*r = 256 there), against
+    // driver-computed exact truth: every returned pair is a true
+    // >= threshold pair (exact verify) and every planted near-dup is
+    // found. Deterministic: fixed vector seed, fixed plane seed.
+    val rnd = new scala.util.Random(97L)
+    val base = (0L until 300L).map(i =>
+      i -> Array.fill(24)(rnd.nextGaussian()))
+    val jitter = (0L until 40L).map { i =>
+      (i + 1000L) -> base(i.toInt)._2.map(x => x * 1.0001 + 1e-5)
+    }
+    val all = base ++ jitter
+    val df = all.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val truth = (for {
+      x <- all.indices.iterator
+      y <- (x + 1) until all.size
+      if cos(all(x)._2, all(y)._2) >= 0.9
+    } yield {
+      val (i, j) = (all(x)._1, all(y)._1)
+      (math.min(i, j), math.max(i, j))
+    }).toSet
+    assert(truth.size >= 40, "fixture lost its planted pairs")
+    val r = Similarity.cosineNearDups(df, "vec_id", "embedding",
+      threshold = 0.9, bands = 40, planesPerBand = 10)
+    val got = r.select("id_a", "id_b").as[(Long, Long)].collect()
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    r.unpersist()
+    assert(got == truth,
+      s"capped-sketch pairs diverge from exact truth: missing " +
+        s"${(truth -- got).take(5)}, extra ${(got -- truth).take(5)}")
+  }
+
   test("groupCentroidAffinity: hand-checked cosines, zero-norm is null") {
     val vecs = Seq(
       ("a", Seq(1.0f, 0.0f)), ("a", Seq(3.0f, 0.0f)), // centroid (2,0)
