@@ -12,7 +12,15 @@ import graft.{GraftSession, SparkEntry}
   * interleaved reps, job-group-keyed listener) without requiring the
   * non-documents tables the full bench needs.
   *
-  * Usage: runMain graft.tools.ScaleMeasure <sfDir> [reps]
+  * PROTOCOL for A/B comparisons (round-12 lesson): do NOT interleave
+  * the two arms in one invocation. Cross-query GC debt in the shared
+  * JVM poisons whichever arm runs later — the round-12 cosine A/B
+  * read 4.7× one way in a clean window and 0.3× the other way at a
+  * 96 GB heap, while ISOLATED per-arm invocations (one query name per
+  * run, 2-3 reps, medians) gave a stable 1.9× in both orders. Run
+  * each arm as its own `runMain` and compare the printed medians.
+  *
+  * Usage: runMain graft.tools.ScaleMeasure <sfDir> [reps] [names]
   */
 object ScaleMeasure {
 
