@@ -1254,6 +1254,43 @@ object QueriesLlm {
         col("n_novel"), col("lz_cost"), col("lz_ratio"))
       .orderBy("doc_id")
 
+  /** q138 — video container parse + uniform frame sampling, the
+    * multimodal VIDEO twin of q39: per doc a minimal-but-valid AVI
+    * payload is synthesized with header fields derived
+    * arithmetically from doc_id
+    * (`Multimodal.VideoHeaders.syntheticAvi`), parsed back
+    * byte-level by `VideoHeaders`/`withVideoMeta`, and fanned out to
+    * k=4 uniform frame samples (`sampleFrameIndices`). The DuckDB
+    * oracle derives the same fields and sample arithmetic directly
+    * from doc_id, so the hash check covers the whole synthesize →
+    * RIFF bytes → parse → sample round trip: any misread header
+    * offset or divergent sampling rule breaks the hash. (Frame PIXEL
+    * decode is the documented codec stub — `VideoFrameDecoder` — and
+    * stays out of the oracle by design.)
+    */
+  def q138VideoFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vids = t(spark, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .as[Long]
+      .map { id =>
+        (id, Multimodal.VideoHeaders.syntheticAvi(
+          usecPerFrame = (33333 + (id % 7) * 1000).toInt,
+          totalFrames = (10 + id % 90).toInt,
+          width = (320 + (id % 4) * 80).toInt,
+          height = (240 + (id % 4) * 60).toInt))
+      }.toDF("doc_id", "content")
+    val meta = Multimodal.withVideoMeta(vids, "doc_id", "content")
+    val frames = Multimodal.sampleFrameIndices(vids, "doc_id", "content",
+      k = 4)
+    meta.join(frames, "id")
+      .select(col("id").as("doc_id"), col("video_format"),
+        col("n_frames"), col("duration_ms"), col("width"), col("height"),
+        col("frame_idx"), col("ts_ms"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -1300,6 +1337,7 @@ object QueriesLlm {
     "q135_data_card_diff" -> (q135DataCardDiff _),
     "q136_decontaminate_spans" -> (q136DecontaminateSpans _),
     "q137_lz_proxy"      -> (q137LzProxy _),
+    "q138_video_frame_sample" -> (q138VideoFrameSample _),
     "q64_quality_filter" -> (q64QualityFilter _),
     "q65_remove_spans"   -> (q65RemoveSpans _),
     "q66_contamination_bloom" -> (q66ContaminationBloom _),
@@ -1569,6 +1607,28 @@ object QueriesLlm {
                        + (count(*) - count(DISTINCT g))*3) * 1.0
                       / (count(*) * 8), 6) AS lz_ratio
          FROM g GROUP BY doc_id, n_chars ORDER BY doc_id""",
+    // q138: the oracle derives the AVI header fields and the uniform
+    // sample arithmetic straight from doc_id — the Spark side goes the
+    // long way around (synthesize RIFF bytes, parse them back, sample
+    // relationally), so the hash check pins the byte-level parser
+    "q138_video_frame_sample" ->
+      """WITH p AS (SELECT doc_id,
+                33333 + (doc_id % 7) * 1000 AS usec,
+                10 + doc_id % 90 AS frames,
+                320 + (doc_id % 4) * 80 AS width,
+                240 + (doc_id % 4) * 60 AS height
+              FROM documents WHERE doc_id < 200),
+         s AS (SELECT p.*, unnest(generate_series(0, 3)) AS j FROM p)
+         SELECT DISTINCT doc_id, 'avi' AS video_format,
+                CAST(frames AS BIGINT) AS n_frames,
+                CAST(floor(frames * usec / 1000.0) AS BIGINT)
+                  AS duration_ms,
+                CAST(width AS INTEGER) AS width,
+                CAST(height AS INTEGER) AS height,
+                CAST(floor(j * frames / 4.0) AS BIGINT) AS frame_idx,
+                CAST(floor(floor(j * frames / 4.0) * usec / 1000.0)
+                     AS BIGINT) AS ts_ms
+         FROM s ORDER BY doc_id, frame_idx""",
     "q62_dup_gram_frac" ->
       """WITH toksa AS (SELECT doc_id,
                 regexp_split_to_array(trim(lower(text)), '\s+') AS t

@@ -1653,6 +1653,87 @@ class LlmSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("video headers: AVI synthesize/parse round-trip and fail-soft") {
+    import graft.llm.Multimodal.{VideoHeaders, VideoInfo}
+    val b = VideoHeaders.syntheticAvi(usecPerFrame = 40000,
+      totalFrames = 250, width = 1920, height = 1080)
+    // 250 frames * 40000 usec / 1000 = 10000 ms
+    assert(VideoHeaders.parse(b) === Some(VideoInfo("avi", Some(10000L),
+      Some(250L), Some(40000L), Some(1920), Some(1080))))
+    // the fail-soft contract: truncation, garbage, null — None, never
+    // a throw (at 100 TB some payloads WILL be garbage)
+    assert(VideoHeaders.parse(b.take(40)) === None)
+    assert(VideoHeaders.parse("not a video at all".getBytes) === None)
+    assert(VideoHeaders.parse(null) === None)
+    assert(VideoHeaders.parse(Array.empty[Byte]) === None)
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      VideoHeaders.syntheticAvi(0, 1, 1, 1)
+    }
+  }
+
+  test("video headers: minimal MP4 mvhd/tkhd parse") {
+    import graft.llm.Multimodal.{VideoHeaders, VideoInfo}
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(cc: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ cc.getBytes("ISO-8859-1") ++ payload
+    // mvhd v0: version+flags, ctime, mtime, timescale=1000,
+    // duration=7500 -> 7500 ms (minimal payload; the parser is
+    // bounds-checked, not schema-strict)
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+      be32(0) ++ be32(1000) ++ be32(7500))
+    // tkhd: the display dims are the LAST 8 bytes, 16.16 fixed point
+    val tkhd = box("tkhd",
+      Array.fill[Byte](8)(0) ++ be32(640L << 16) ++ be32(360L << 16))
+    val bytes = box("ftyp", "isomiso2".getBytes("ISO-8859-1")) ++
+      box("moov", mvhd ++ box("trak", tkhd))
+    assert(VideoHeaders.parse(bytes) === Some(VideoInfo("mp4",
+      Some(7500L), None, None, Some(640), Some(360))))
+    // mvhd v1 (64-bit ctime/mtime/duration)
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      Array.fill[Byte](16)(0) ++ be32(600) ++ be32(0) ++ be32(1200))
+    val bytes1 = box("ftyp", "isom".getBytes) ++ box("moov", mvhd1)
+    assert(VideoHeaders.parse(bytes1) ===
+      Some(VideoInfo("mp4", Some(2000L), None, None, None, None)))
+  }
+
+  test("sampleFrameIndices: uniform spacing, dedup past n, fail-soft") {
+    import graft.llm.Multimodal
+    val v1 = Multimodal.VideoHeaders.syntheticAvi(33333, 10, 320, 240)
+    val v2 = Multimodal.VideoHeaders.syntheticAvi(500000, 2, 64, 48)
+    val df = Seq(1L -> v1, 2L -> v2, 3L -> "garbage".getBytes)
+      .toDF("vid", "content")
+    val got = Multimodal.sampleFrameIndices(df, "vid", "content", k = 4)
+      .orderBy("id", "frame_idx")
+      .as[(Long, Long, Long)].collect().toSeq
+    // vid 1 (n=10): floor(j*10/4) = 0,2,5,7 at 33333 usec/frame;
+    // vid 2 (n=2): floor(j*2/4) = 0,0,1,1 -> dedup {0,1};
+    // vid 3: unparseable, skipped (fail-soft)
+    assert(got === Seq(
+      (1L, 0L, 0L), (1L, 2L, 66L), (1L, 5L, 166L), (1L, 7L, 233L),
+      (2L, 0L, 0L), (2L, 1L, 500L)))
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Multimodal.sampleFrameIndices(df, "vid", "content", k = 0)
+    }
+  }
+
+  test("sampleFrameFeatures: stubbed decode is deterministic and total") {
+    import graft.llm.Multimodal
+    val v1 = Multimodal.VideoHeaders.syntheticAvi(33333, 10, 320, 240)
+    val df = Seq(1L -> v1).toDF("vid", "content")
+    def run() = Multimodal.sampleFrameFeatures(df, "vid", "content", k = 3)
+      .orderBy("frame_idx")
+      .as[(Long, Long, Long, Option[Seq[Float]])].collect().toSeq
+    val a = run()
+    assert(a.size == 3 && a.forall(_._4.exists(
+      _.size == Multimodal.VideoFrameDecoder.FeatureDim)))
+    // the stub is a DETERMINISTIC fake (the codec seam's contract):
+    // same payload + frame -> same features, different frames differ
+    assert(run() === a)
+    assert(a.map(_._4.get).distinct.size == 3)
+  }
+
   test("capped estimator sketch (b*r > 256) matches exact cosine truth") {
     // the round-12 sketch cap: an explicit (40, 10) geometry carries
     // 400 banding bits but the banded rows' estimator is capped at
