@@ -1291,6 +1291,92 @@ object QueriesLlm {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** q139 — real image resize, oracle-checked: per doc a solid-color
+    * PNG is encoded in-engine at dimensions derived from doc_id
+    * (widths 128/256, heights 64/96/128 — the max edge is always a
+    * power-of-two multiple of maxDim=64, so the aspect-preserving
+    * scale is exact binary arithmetic with no rounding ambiguity
+    * between engines), pushed through `Multimodal.resizeImages`
+    * (ImageIO decode → bilinear scale → PNG re-encode), and the
+    * POST-RESIZE dimensions are hash-checked against a DuckDB oracle
+    * that derives them arithmetically. A broken decode, scale, or
+    * re-encode (the parsed dims come from the re-encoded payload via
+    * withImageMeta) breaks the hash.
+    */
+  def q139ResizeImages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val imgs = t(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .as[Long]
+      .map { id =>
+        val w = (128 + (id % 2) * 128).toInt
+        val h = (64 + (id % 3) * 32).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try {
+          g.setColor(new java.awt.Color(0x33, 0x66, 0x99))
+          g.fillRect(0, 0, w, h)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }.toDF("doc_id", "content")
+    val resized = Multimodal.resizeImages(imgs, "doc_id", "content",
+      maxDim = 64)
+    // parse the RE-ENCODED payload's header too: the oracle row then
+    // witnesses decode -> scale -> encode -> decode, not just the
+    // row-local arithmetic
+    Multimodal.withImageMeta(
+        resized.select(col("id"), col("content")), "id", "content")
+      .select(col("id").as("doc_id"), col("image_format"),
+        col("image_width"), col("image_height"))
+      .orderBy("doc_id")
+  }
+
+  /** q140 — real audio PCM decode, oracle-checked: per doc a 16-bit
+    * PCM WAV square wave at amplitude (doc_id % 7 + 1)·4096 (an exact
+    * 1/8-step of full scale, so rms/peak are exact in float AND in
+    * the oracle's decimal arithmetic) is byte-assembled in-engine,
+    * decoded by `Multimodal.AudioDecoder`, and the derived
+    * [channels, rate, frames, rms, peak, dc] are hash-checked against
+    * the DuckDB oracle's direct arithmetic. A misread chunk offset,
+    * sign-extension bug, or normalization error breaks the hash.
+    */
+  def q140AudioPcmStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clips = t(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .as[Long]
+      .map { id =>
+        val amp = ((id % 7 + 1) * 4096).toInt // max 28672 < 2^15
+        val out = new java.io.ByteArrayOutputStream()
+        def w16(v: Int): Unit = {
+          out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        }
+        def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+        def fcc(s: String): Unit = s.foreach(c => out.write(c.toInt))
+        val n = 400
+        fcc("RIFF"); w32(36 + n * 2); fcc("WAVE")
+        fcc("fmt "); w32(16); w16(1); w16(1); w32(8000)
+        w32(16000); w16(2); w16(16)
+        fcc("data"); w32(n * 2)
+        (0 until n).foreach(i => w16(if (i % 2 == 0) amp else -amp))
+        (id, out.toByteArray)
+      }.toDF("doc_id", "content")
+    Multimodal.extractAudioFeatures(clips, "doc_id", "content")
+      .select(col("id").as("doc_id"),
+        col("features").getItem(0).cast("int").as("channels"),
+        col("features").getItem(1).cast("int").as("sample_rate"),
+        col("features").getItem(2).cast("long").as("n_frames"),
+        round(col("features").getItem(3).cast("double"), 6).as("rms"),
+        round(col("features").getItem(4).cast("double"), 6).as("peak"),
+        round(col("features").getItem(5).cast("double"), 6).as("dc"))
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"    -> (q30DedupExact _),
     "q31_dedup_minhash"  -> (q31DedupMinhash _),
@@ -1338,6 +1424,8 @@ object QueriesLlm {
     "q136_decontaminate_spans" -> (q136DecontaminateSpans _),
     "q137_lz_proxy"      -> (q137LzProxy _),
     "q138_video_frame_sample" -> (q138VideoFrameSample _),
+    "q139_resize_images" -> (q139ResizeImages _),
+    "q140_audio_pcm_stats" -> (q140AudioPcmStats _),
     "q64_quality_filter" -> (q64QualityFilter _),
     "q65_remove_spans"   -> (q65RemoveSpans _),
     "q66_contamination_bloom" -> (q66ContaminationBloom _),
@@ -1629,6 +1717,33 @@ object QueriesLlm {
                 CAST(floor(floor(j * frames / 4.0) * usec / 1000.0)
                      AS BIGINT) AS ts_ms
          FROM s ORDER BY doc_id, frame_idx""",
+    // q139: source dims are 128/256 x 64/96/128 with maxDim 64 — the
+    // max edge is always a power-of-two multiple of 64, so the
+    // aspect-preserving scale is exact on both engines; the Spark side
+    // witnesses the full decode -> bilinear scale -> PNG re-encode ->
+    // header re-parse pipeline
+    "q139_resize_images" ->
+      """WITH p AS (SELECT doc_id,
+                128 + (doc_id % 2) * 128 AS w,
+                64 + (doc_id % 3) * 32 AS h
+              FROM documents WHERE doc_id < 100)
+         SELECT doc_id, 'png' AS image_format,
+                CAST(w * 64 / greatest(w, h) AS INTEGER) AS image_width,
+                CAST(h * 64 / greatest(w, h) AS INTEGER) AS image_height
+         FROM p ORDER BY doc_id""",
+    // q140: square wave at amplitude (doc_id%7+1)*4096 = an exact
+    // (a %8 step hit 32768, which overflows int16 to -32768 and reads
+    // back as an all--1.0 clip - caught by the oracle gate)
+    // 1/8-step of int16 full scale, so rms = peak = amp/32768 exactly
+    // in float and in decimal; dc of the +/- pairs is exactly 0
+    "q140_audio_pcm_stats" ->
+      """SELECT doc_id,
+                1 AS channels, 8000 AS sample_rate,
+                CAST(400 AS BIGINT) AS n_frames,
+                round((doc_id % 7 + 1) * 4096 / 32768.0, 6) AS rms,
+                round((doc_id % 7 + 1) * 4096 / 32768.0, 6) AS peak,
+                CAST(0 AS DOUBLE) AS dc
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
     "q62_dup_gram_frac" ->
       """WITH toksa AS (SELECT doc_id,
                 regexp_split_to_array(trim(lower(text)), '\s+') AS t

@@ -379,6 +379,160 @@ object Multimodal {
     }
   }
 
+  /** Real audio sample decode — 16-bit PCM WAV, the one mainstream
+    * audio container whose samples are readable with zero codec deps
+    * (RIFF chunk walk + little-endian int16 normalization; public
+    * format knowledge). Derives a fixed-layout feature vector
+    *   [channels, sampleRate, nFrames, rms, peak, dcOffset]
+    * over all channels' samples normalized to [−1, 1]. Compressed
+    * formats (FLAC frames, MP3, …) need a codec — they fail soft to
+    * None here exactly like garbage does, and a real decoder slots in
+    * at the same seam.
+    */
+  object AudioDecoder {
+    val FeatureDim = 6
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def le16s(b: Array[Byte], i: Int): Int =
+      ((u8(b, i) | (u8(b, i + 1) << 8)) << 16) >> 16 // sign-extended
+    private def le16(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+        (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+    private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+      b.length >= i + 4 && b(i) == s(0) && b(i + 1) == s(1) &&
+        b(i + 2) == s(2) && b(i + 3) == s(3)
+
+    def decode(bytes: Array[Byte]): Option[Array[Float]] = {
+      if (bytes == null || bytes.length < 44) return None
+      try {
+        val b = bytes
+        if (!(tag(b, 0, "RIFF") && tag(b, 8, "WAVE"))) return None
+        var i = 12
+        var fmt: Option[(Int, Int, Int)] = None // ch, rate, bits
+        var data: Option[(Int, Int)] = None // offset, size
+        while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+          val size = le32(b, i + 4)
+          if (tag(b, i, "fmt ") && i + 24 <= b.length) {
+            // format tag 1 = integer PCM — anything else needs a codec
+            if (le16(b, i + 8) != 1) return None
+            fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt,
+              le16(b, i + 22)))
+          } else if (tag(b, i, "data")) {
+            val avail = math.min(size, (b.length - i - 8).toLong).toInt
+            data = Some((i + 8, avail))
+          }
+          val step = size + (size % 2)
+          if (step > b.length.toLong) i = b.length
+          else i += 8 + step.toInt
+        }
+        (fmt, data) match {
+          case (Some((ch, rate, bits)), Some((off, len)))
+              if ch > 0 && rate > 0 && bits == 16 && len >= 2 =>
+            val n = len / 2
+            var s = 0; var sum = 0.0; var sumSq = 0.0; var peak = 0.0
+            while (s < n) {
+              val v = le16s(b, off + 2 * s) / 32768.0
+              sum += v; sumSq += v * v
+              val a = math.abs(v); if (a > peak) peak = a
+              s += 1
+            }
+            Some(Array(ch.toFloat, rate.toFloat, (n / ch).toFloat,
+              math.sqrt(sumSq / n).toFloat, peak.toFloat,
+              (sum / n).toFloat))
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Audio feature extraction over binary payloads: real decoded PCM
+    * statistics per clip (`AudioDecoder`), `features` null for
+    * payloads that don't decode — the audio analog of
+    * `extractFeatures`, same mapPartitions batching seam.
+    */
+  def extractAudioFeatures(df: DataFrame, idCol: String,
+                           binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          MediaFeatures(id,
+            if (bytes == null) 0L else bytes.length.toLong,
+            AudioDecoder.decode(bytes))
+        }
+      }.toDF("id", "sizeBytes", "features")
+  }
+
+  // NOT private — same Janino-encoder constraint as ImageMetaRow.
+  case class ResizedImageRow(id: Long, content: Option[Array[Byte]],
+                             width: Option[Int], height: Option[Int])
+
+  /** Real image RESIZE — JDK-only (ImageIO decode → Graphics2D
+    * bilinear scale → PNG re-encode; every JRE ships all three, zero
+    * external deps): payloads whose pixel dimensions exceed
+    * `maxDim` are scaled down aspect-preserving so the longer edge
+    * lands at `maxDim`; smaller images pass through UNTOUCHED (bytes
+    * identical — no decode/re-encode generation loss on the common
+    * path). Fail-soft: an unrecognized/corrupt payload yields a null
+    * content row (id kept), never a task failure.
+    *
+    * Scale shape: one mapPartitions pass, payload in → payload out,
+    * no shuffle; the per-partition seam amortizes codec init exactly
+    * like `extractFeatures`.
+    *
+    * @return (id, content, width, height) — post-resize dimensions,
+    *   null content/dims when the payload doesn't decode
+    */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String,
+                   maxDim: Int): DataFrame = {
+    if (maxDim < 1)
+      throw graft.exceptions.InvalidArgumentValue(
+        s"maxDim must be >= 1: $maxDim")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            val img =
+              if (bytes == null || bytes.isEmpty) null
+              else javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+            if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+              ResizedImageRow(id, None, None, None)
+            else if (img.getWidth <= maxDim && img.getHeight <= maxDim)
+              ResizedImageRow(id, Some(bytes),
+                Some(img.getWidth), Some(img.getHeight))
+            else {
+              val scale = maxDim.toDouble /
+                math.max(img.getWidth, img.getHeight)
+              val w = math.max(1, math.round(img.getWidth * scale).toInt)
+              val h = math.max(1, math.round(img.getHeight * scale).toInt)
+              val out = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, w, h, null)
+              } finally g.dispose()
+              val buf = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", buf)
+              ResizedImageRow(id, Some(buf.toByteArray), Some(w), Some(h))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              ResizedImageRow(id, None, None, None)
+          }
+        }
+      }.toDF()
+  }
+
   /** Parsed video container metadata. `usecPerFrame`/`nFrames` come
     * from AVI's MainAVIHeader; MP4 carries duration/timescale instead,
     * so those fields stay None there and `durationMs` is the common

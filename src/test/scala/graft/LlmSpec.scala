@@ -1653,6 +1653,81 @@ class LlmSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("extractAudioFeatures: exact PCM stats from a hand-built WAV") {
+    import graft.llm.Multimodal
+    // 1-channel 8 kHz 16-bit PCM square wave at +-8192 (= 0.25 of
+    // full scale): rms = peak = 0.25 exactly, dc offset = 0
+    def wav(samples: Seq[Int], ch: Int, rate: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+      def fcc(s: String): Unit = s.foreach(c => out.write(c.toInt))
+      val dataLen = samples.size * 2
+      fcc("RIFF"); w32(36 + dataLen); fcc("WAVE")
+      fcc("fmt "); w32(16); w16(1); w16(ch); w32(rate)
+      w32(rate * ch * 2); w16(ch * 2); w16(16)
+      fcc("data"); w32(dataLen); samples.foreach(w16)
+      out.toByteArray
+    }
+    val square = wav((0 until 400).map(i =>
+      if (i % 2 == 0) 8192 else -8192), ch = 1, rate = 8000)
+    val df = Seq(1L -> square, 2L -> "not audio".getBytes)
+      .toDF("clip_id", "content")
+    val got = Multimodal.extractAudioFeatures(df, "clip_id", "content")
+      .orderBy("id")
+      .as[(Long, Long, Option[Seq[Float]])].collect()
+    val f = got(0)._3.get
+    assert(f.size == Multimodal.AudioDecoder.FeatureDim)
+    assert(f(0) == 1.0f && f(1) == 8000.0f && f(2) == 400.0f)
+    assert(math.abs(f(3) - 0.25f) < 1e-6, s"rms ${f(3)}")
+    assert(f(4) == 0.25f, s"peak ${f(4)}")
+    assert(math.abs(f(5)) < 1e-6, s"dc ${f(5)}")
+    // compressed/garbage payloads fail soft (size kept, features null)
+    assert(got(1)._3.isEmpty && got(1)._2 > 0)
+  }
+
+  test("resizeImages: aspect-preserving downscale, pass-through, fail-soft") {
+    import graft.llm.Multimodal
+    def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val big = solidPng(100, 80, 0x2266aa) // longer edge 100 > 50
+    val small = solidPng(30, 20, 0x2266aa) // already fits
+    val df = Seq(1L -> big, 2L -> small, 3L -> "junk".getBytes)
+      .toDF("img_id", "content")
+    val out = Multimodal.resizeImages(df, "img_id", "content", maxDim = 50)
+      .orderBy("id")
+      .as[(Long, Option[Array[Byte]], Option[Int], Option[Int])]
+      .collect()
+    // downscaled aspect-preserving: 100x80 -> 50x40, and the re-encoded
+    // PNG really has those pixel dims with the fill color preserved
+    // (solid color survives bilinear resampling exactly)
+    assert(out(0)._3 == Some(50) && out(0)._4 == Some(40))
+    val re = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0)._2.get))
+    assert(re.getWidth == 50 && re.getHeight == 40)
+    assert((re.getRGB(25, 20) & 0xffffff) == 0x2266aa)
+    // already-fitting payloads pass through BYTE-identical (no
+    // generation loss on the common path)
+    assert(out(1)._2.get.sameElements(small) &&
+      out(1)._3 == Some(30) && out(1)._4 == Some(20))
+    // garbage: null row, id kept, never a throw
+    assert(out(2)._1 == 3L && out(2)._2.isEmpty && out(2)._3.isEmpty)
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Multimodal.resizeImages(df, "img_id", "content", maxDim = 0)
+    }
+  }
+
   test("video headers: AVI synthesize/parse round-trip and fail-soft") {
     import graft.llm.Multimodal.{VideoHeaders, VideoInfo}
     val b = VideoHeaders.syntheticAvi(usecPerFrame = 40000,
