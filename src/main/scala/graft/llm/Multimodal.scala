@@ -496,6 +496,10 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        // JVM-global and idempotent, set per-partition: without it an
+        // executor that never touched ImageDecoder would run ImageIO's
+        // default temp-FILE stream cache — disk I/O per image
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, bytes) =>
           try {
             val img =
