@@ -135,16 +135,39 @@ object Dedup {
     org.apache.spark.storage.StorageLevel.fromString(
       spark.conf.get("graft.dedup.probePersistLevel", "MEMORY_AND_DISK"))
 
+  /** One (id, 64-bit shingle hash) row per sliding-window OCCURRENCE —
+    * deliberately NOT deduped (round-12): minhash MIN aggregates are
+    * idempotent under duplicates, so the signature path never needed
+    * set semantics, yet the old global `.distinct()` here was a
+    * full-corpus exchange of the HASHED SHINGLE mass (~16 bytes per
+    * input character — q31's single biggest job at sf0.1: ~117 MB /
+    * 55 task-sec, corpus-sized at 100 TB) paid before ANY candidate
+    * pruning. Consumers that DO need set semantics (the exact-Jaccard
+    * verifies) dedup AFTER pruning to candidate docs, where the
+    * exchange is candidate-sized instead of corpus-sized.
+    *
+    * The (id, text) projection is hash-repartitioned by id BEFORE the
+    * explode — the one exchange this pipeline keeps, and it moves
+    * TEXT bytes (~1/16 of the shingle mass the old distinct moved).
+    * It buys three things: explode parallelism independent of the
+    * scan's file layout (a small single-file corpus otherwise runs
+    * the whole funnel's map side in ONE task — measured when the
+    * distinct's exchange was first dropped); id-clustering that the
+    * signature groupBy(id) and the downstream distinct-on-(id, s)
+    * both SATISFY without further exchanges (hash(id) ⊆ any
+    * clustering keyed on id); and per-doc locality for the verify's
+    * candidate prune scans.
+    */
   private def shingleHashRows(df: DataFrame, idCol: String,
                               textCol: String, shingleK: Int): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
         lower(col(textCol)).as("txt"))
+      .repartition(col("id"))
       .select(col("id"), col("txt"),
         explode(sequence(lit(1),
           greatest(length(col("txt")) - (shingleK - 1), lit(1)))).as("i"))
       .select(col("id"),
         xxhash64(expr(s"substring(txt, i, $shingleK)")).as("s"))
-      .distinct()
 
   /** Signatures via numHashes codegen'd MIN aggregates over the hashed
     * shingles — partial (map-side) aggregation shrinks the shuffle to
@@ -349,17 +372,27 @@ object Dedup {
       .select("id_a", "id_b")
 
     // exact verification, join-based: |A ∩ B| is a count over the
-    // shingle rows of both candidate sides, |A ∪ B| = |A|+|B|−|A∩B| —
-    // set sizes come from one aggregation. No arrays are materialized
-    // or carried through shuffles, and every step is codegen'd. The
-    // tiny `strong` side broadcasts (AQE, from its actual stage
-    // size), so each verify join streams the persisted shingle rows
-    // once — the broadcast join IS the candidate prune, applied in
-    // place during the scan; nothing corpus-sized moves.
-    val sizes = shingleRows.groupBy("id").agg(count(lit(1)).as("n"))
+    // DISTINCT shingle rows of both candidate sides,
+    // |A ∪ B| = |A|+|B|−|A∩B| — set sizes come from one aggregation.
+    // No arrays are materialized or carried through shuffles, and
+    // every step is codegen'd. Set semantics are restored HERE, after
+    // pruning to candidate docs: the semi join streams the persisted
+    // raw shingle cache once and drops non-candidates in place (the
+    // tiny candidate side broadcasts — AQE, from its actual stage
+    // size), so the dedup exchange is candidate-sized. The old shape
+    // deduped the WHOLE corpus up front — q31's single biggest job
+    // (~117 MB / 55 task-sec at sf0.1, corpus-sized at 100 TB) spent
+    // on docs that were never candidates.
+    val candIds = strong.select(col("id_a").as("id"))
+      .union(strong.select(col("id_b").as("id"))).distinct()
+    val candShingles = shingleRows
+      .join(candIds, Seq("id"), "left_semi")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = candShingles.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = strong
-      .join(shingleRows.select(col("id").as("id_a"), col("s")), "id_a")
-      .join(shingleRows.select(col("id").as("id_b"), col("s")),
+      .join(candShingles.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(candShingles.select(col("id").as("id_b"), col("s")),
         Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("ix"))
     val result = inter
@@ -377,6 +410,7 @@ object Dedup {
     result.count()
     guardReport()
     shingleRows.unpersist(blocking = false)
+    candShingles.unpersist(blocking = false)
     sig.unpersist(blocking = false)
     result
   }
@@ -598,7 +632,10 @@ object Dedup {
     val idxSig = idxScoped.select(
       col("id") +: (0 until numHashes).map(i => col(s"m$i")): _*)
 
+    // batch-side set semantics restored at batch scale (the ingest
+    // contract bounds it); the corpus side below dedups POST-prune
     val newShingles = shingleHashRows(newDf, idCol, textCol, shingleK)
+      .distinct()
       .persist(probePersistLevel(spark))
     // persisted COLUMNAR (the minhashNearDups sig rationale): the
     // 128-column signature frame is scan-hot (banding + the estimate
@@ -701,8 +738,13 @@ object Dedup {
     // 200+ MB/decade in SCALING.md round-7); broadcast keeps the
     // corpus side a scan that drops non-candidates in place
     val candA = strong.select(col("id_a").as("id")).distinct()
+    // prune FIRST, dedup AFTER: shingleHashRows is raw occurrences
+    // (round-12), so the set-semantics distinct the Jaccard needs now
+    // shuffles only candidate docs' shingles — the old global distinct
+    // paid a corpus-sized exchange before the prune could apply
     val corpusShingles = shingleHashRows(corpus, idCol, textCol, shingleK)
       .join(bcastIfSafe(candA), Seq("id"), "left_semi")
+      .distinct()
       .persist(probePersistLevel(spark))
     val sizesA = corpusShingles.groupBy("id").agg(count(lit(1)).as("na"))
     val sizesB = newShingles.groupBy("id").agg(count(lit(1)).as("nb"))
