@@ -30,6 +30,16 @@ object Plans {
       // whole-stage-codegen stage numbering depends on subtree
       // compilation order, which varies run-to-run
       .replaceAll("codegen id : \\d+", "codegen id : *")
+      // RDD ids are a global per-session counter: a Scan ExistingRDD
+      // from a localCheckpoint/createDataFrame prints
+      // `MapPartitionsRDD[4410] at …`, renumbered every run by
+      // whatever executed earlier in the session (the repeat-churn
+      // source for the quantile-family digests)
+      .replaceAll("RDD\\[\\d+\\]", "RDD[*]")
+      // AQE final plans embed runtime-MEASURED stage statistics
+      // (`Statistics(sizeInBytes=…, rowCount=…)`) — never a stable
+      // plan property
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics(*)")
       // AQE query-stage IDs (the bare-integer `Arguments:` line of
       // *QueryStage node blocks) number stages in materialization
       // order, which varies run-to-run; LocalLimit/Coalesce also
