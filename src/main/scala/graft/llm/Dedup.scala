@@ -365,11 +365,19 @@ object Dedup {
     // aggregate), so AQE re-plans their joins from ACTUAL stage
     // sizes: small sides broadcast, floods demote to sort-merge — no
     // hints, no extra counting passes
+    // persisted: `strong` (the thin post-estimate survivor set) is
+    // read THREE times below — candIds derives from both its sides
+    // and the intersection join consumes it directly. Unpersisted,
+    // each reference re-runs the whole mid-funnel (band self-join +
+    // agreement aggregate + two 128-column estimate joins) — measured
+    // as a q31/q57 bench regression when the candidate-pruned verify
+    // first landed referencing it twice more.
     val strong = candidates
       .join(aSide, "id_a")
       .join(bSide, "id_b")
       .filter(estMatches.cast("double") / numHashes >= threshold - slack)
       .select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // exact verification, join-based: |A ∩ B| is a count over the
     // DISTINCT shingle rows of both candidate sides,
@@ -410,6 +418,7 @@ object Dedup {
     result.count()
     guardReport()
     shingleRows.unpersist(blocking = false)
+    strong.unpersist(blocking = false)
     candShingles.unpersist(blocking = false)
     sig.unpersist(blocking = false)
     result
