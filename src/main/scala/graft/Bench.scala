@@ -76,6 +76,18 @@ private class StageMetricsListener extends SparkListener {
   *     degenerate-bucket guard on — the mass-duplication resilience
   *     the composed pipelines now default to; excluded (like
   *     q53_probe_only) from the headline total;
+  *   - bench-only extras run ONCE, not `reps` times (round-12 verdict
+  *     #5: flood_dedup_guard alone was ~12% of suite wall at 3 reps —
+  *     it is instrumentation, not an operator), and their summed wall
+  *     is emitted separately as "instrumentation_sec" so the record
+  *     keeps the guard evidence without taxing the suite;
+  *   - q40's in-memory Derby database is shut down (`drop=true`) at
+  *     the query boundary after each q40 run (round-12 verdict #4):
+  *     left resident it taxes every later query's GC in the one-JVM
+  *     suite — BENCHNOTES round-12 measured 76 s of q77 inflation
+  *     from exactly this co-tenancy in a ScaleMeasure batch; q40
+  *     recreates the DB itself (`create=true` + overwrite) so later
+  *     reps are unaffected;
   *   - OUTPUT (round-11 parse fix): the process' last stdout line is a
   *     TINY JSON record (~250 bytes: headline total, errors,
   *     calibration, query count, "record" pointer) printed after
@@ -204,6 +216,9 @@ object Bench {
 
     setupProbeIndex(spark, warmDir)
     setupProbeIndex(spark, sfDir)
+    // bench-only instrumentation extras: timed ONCE (not `reps`×) and
+    // summed into "instrumentation_sec" instead of the headline total
+    val extrasOnce = Set("q53_probe_only", "flood_dedup_guard")
     val all = SparkEntry.queries +
       ("q53_probe_only" -> (probeOnly _)) +
       ("flood_dedup_guard" -> (floodGuard _))
@@ -221,8 +236,10 @@ object Bench {
     val calibPre = calibrate(spark, 3)
 
     // warmup (untimed, small scale; no job group → excluded from metrics)
-    queries.foreach { case (_, fn) =>
+    queries.foreach { case (name, fn) =>
       try run(fn, warmDir) catch { case _: Throwable => () }
+      finally if (name == "q40_jdbc_roundtrip")
+        graft.db.Db.shutdownInMemoryDerby("graftq40")
     }
 
     val names = queries.keys.toSeq.sorted
@@ -234,7 +251,11 @@ object Bench {
     // (~3 s) so BENCHNOTES can attribute an ambient window shift to
     // the first or second half of the suite instead of bounding it
     // suite-wide with pre/post alone (round-10 verdict task #6)
-    val iters = for (r <- 1 to reps; name <- names) yield (r, name)
+    val iters = for {
+      r <- 1 to reps
+      name <- names
+      if r == 1 || !extrasOnce(name)
+    } yield (r, name)
     val midAt = iters.size / 2
     var calibMid = Double.NaN
     iters.zipWithIndex.foreach { case ((_, name), i) =>
@@ -243,7 +264,14 @@ object Bench {
       sc.setJobGroup(name, s"bench $name")
       try timings(name) ::= run(fn, sfDir)
       catch { case _: Throwable => failed += name }
-      finally sc.clearJobGroup()
+      finally {
+        sc.clearJobGroup()
+        // release q40's in-memory Derby at the query boundary — the
+        // resident DB taxes every LATER query's GC in the one-JVM
+        // suite (see the scaladoc); q40 rebuilds it next rep
+        if (name == "q40_jdbc_roundtrip")
+          graft.db.Db.shutdownInMemoryDerby("graftq40")
+      }
     }
     val calibPost = calibrate(spark, 3)
     // the listener bus is async; give in-flight task-end events a
@@ -264,10 +292,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // bench-only extras stay out of the headline total so it remains
-    // comparable round-over-round with the CORRECTNESS query set
+    // comparable round-over-round with the CORRECTNESS query set;
+    // their summed wall is reported separately (instrumentation, not
+    // operator time)
     val total = results.collect {
-      case (k, v) if v >= 0 && k != "q53_probe_only" &&
-        k != "flood_dedup_guard" => v
+      case (k, v) if v >= 0 && !extrasOnce(k) => v
+    }.sum
+    val instrumentationSec = results.collect {
+      case (k, v) if v >= 0 && extrasOnce(k) => v
     }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
@@ -335,16 +367,39 @@ object Bench {
     val calib =
       s""""calib_sec":${r3(math.min(calibPre, calibPost))},"calib_pre":${r3(calibPre)},"calib_mid":$calibMidStr,"calib_post":${r3(calibPost)}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"errors":$errs,$calib,"stageMetrics":$sm,"cleanMedians":$clean,"cleanTaskSec":$cleanTaskSec,"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"instrumentation_sec":${r3(instrumentationSec)},"errors":$errs,$calib,"stageMetrics":$sm,"cleanMedians":$clean,"cleanTaskSec":$cleanTaskSec,"sf":"$sfDir","queries":$qs}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
+    // round-stamped archive (round-12 verdict #3): bench_out.json is
+    // overwritten every round, so no per-query record survived for
+    // round-over-round regression math (bench_compare.py). The round
+    // number is inferred from the committed BENCH_r{N}.json files —
+    // this run's record belongs to round max+1 (the driver writes
+    // BENCH_r{N}.json only after the round closes).
+    try {
+      val rx = "BENCH_r(\\d+)\\.json".r
+      val listed = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      val round =
+        try {
+          import scala.jdk.CollectionConverters._
+          val ns = listed.iterator().asScala.flatMap { p =>
+            p.getFileName.toString match {
+              case rx(n) => Some(n.toInt)
+              case _     => None
+            }
+          }.toSeq
+          if (ns.isEmpty) 1 else ns.max + 1
+        } finally listed.close()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"bench_out_r$round%02d.json"), full + "\n")
+    } catch { case scala.util.control.NonFatal(_) => () }
     // The stdout record carries NO per-query map: the driver keeps
     // only the last 2,000 chars of stdout, and four rounds of
     // "parsed": null proved anything bigger loses its head. Per-query
     // medians live in bench_out.json ("record") and the committed
     // bench_clean_medians.json.
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"nQueries":${results.size},"errors":$errs,$calib,"record":"$out","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"nQueries":${results.size},"instrumentation_sec":${r3(instrumentationSec)},"errors":$errs,$calib,"record":"$out","sf":"$sfDir"}"""
     spark.stop()
     println(compact)
   }

@@ -1310,6 +1310,10 @@ object QueriesLlm {
       .select(col("doc_id").cast("long").as("doc_id"))
       .as[Long]
       .map { id =>
+        // JVM-global + idempotent: without it the gen stage still
+        // pays ImageIO's default temp-FILE stream cache per encoded
+        // image on executors that haven't run resizeImages yet
+        javax.imageio.ImageIO.setUseCache(false)
         val w = (128 + (id % 2) * 128).toInt
         val h = (64 + (id % 3) * 32).toInt
         val img = new java.awt.image.BufferedImage(w, h,

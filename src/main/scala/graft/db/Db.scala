@@ -144,6 +144,21 @@ object Db {
     } finally jdbc.close()
   }
 
+  /** Shut down AND DROP an embedded in-memory Derby database,
+    * releasing its heap-resident pages. Derby signals a successful
+    * in-memory drop by THROWING SQLException 08006 ("database ...
+    * dropped") — so the exception is the success path here, and a
+    * database that was never created is equally silent. Used at bench
+    * query boundaries: an in-memory Derby DB otherwise lives for the
+    * JVM and taxes every later query's GC (BENCHNOTES round-12
+    * measured 76 s of q77 inflation from this co-tenancy).
+    */
+  def shutdownInMemoryDerby(dbName: String): Unit =
+    try {
+      DriverManager.getConnection(s"jdbc:derby:memory:$dbName;drop=true")
+      ()
+    } catch { case _: java.sql.SQLException => () }
+
   /** Upsert: stage the frame, then DELETE matching primary keys from
     * the target and INSERT the staging rows, in one transaction
     * (reference: _rs_upsert, db.py:54-68 — expressed with portable

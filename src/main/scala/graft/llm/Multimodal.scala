@@ -391,6 +391,12 @@ object Multimodal {
     */
   object AudioDecoder {
     val FeatureDim = 6
+    // KSDATAFORMAT_SUBTYPE_PCM = 00000001-0000-0010-8000-00AA00389B71;
+    // the leading 2 bytes are the le16 format code (1 = PCM, checked
+    // separately below); this is the fixed 14-byte remainder
+    private val PcmGuidTail: Array[Byte] = Array(0x00, 0x00, 0x00, 0x00,
+      0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+      .map(_.toByte)
     private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
     private def le16s(b: Array[Byte], i: Int): Int =
       ((u8(b, i) | (u8(b, i + 1) << 8)) << 16) >> 16 // sign-extended
@@ -414,8 +420,19 @@ object Multimodal {
         while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
           val size = le32(b, i + 4)
           if (tag(b, i, "fmt ") && i + 24 <= b.length) {
-            // format tag 1 = integer PCM — anything else needs a codec
-            if (le16(b, i + 8) != 1) return None
+            // format tag 1 = integer PCM. Tag 0xFFFE is
+            // WAVE_FORMAT_EXTENSIBLE (common for multi-channel
+            // files): the REAL format is the SubFormat GUID in the
+            // fmt extension — accept it when that GUID is
+            // KSDATAFORMAT_SUBTYPE_PCM (format code 1 + the fixed
+            // media-subtype GUID tail), since those samples need no
+            // codec either. Anything else (compressed formats) does.
+            val ftag = le16(b, i + 8)
+            val extensiblePcm = ftag == 0xFFFE && size >= 40 &&
+              i + 48 <= b.length && le16(b, i + 32) == 1 &&
+              PcmGuidTail.indices.forall(j =>
+                b(i + 34 + j) == PcmGuidTail(j))
+            if (ftag != 1 && !extensiblePcm) return None
             fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt,
               le16(b, i + 22)))
           } else if (tag(b, i, "data")) {

@@ -1306,6 +1306,22 @@ object Similarity {
       bFor(r) * math.pow(math.max(1L, n).toDouble, 2) / math.pow(2.0, r + 1)
     var r = 8
     while (r < 20 && enumerated(r) > budget && bFor(r + 1) <= bCap) r += 1
+    // warn AT DERIVATION when the band cap (or the r ceiling) binds
+    // and the budget stays unmet (round-12 verdict #8): at threshold
+    // ≲ 0.5 on a huge corpus holding recall costs bands exponentially
+    // in r, so the cap silently pins the geometry while enumeration
+    // stays above budget — previously only the runtime monitor fired,
+    // AFTER the heavy job ran. Rows are unchanged; this is guidance.
+    if (enumerated(r) > budget) {
+      val msg = f"autoLshParams: derived geometry (bands=${bFor(r)}, " +
+        f"planesPerBand=$r) cannot meet the enumeration budget " +
+        f"(${budget}%.0f) at n=$n, threshold=$threshold — the $bCap-band " +
+        "closure cap binds. Expect ~" + f"${enumerated(r)}%.2e" +
+        " in-bucket sketch comparisons: raise the threshold, pass " +
+        "explicit bands/planesPerBand, or shrink the per-call corpus."
+      GuardEvents.record("autoLshParams", msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     (bFor(r), r)
   }
 
@@ -1356,13 +1372,29 @@ object Similarity {
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bands: Int = 0,
-                     planesPerBand: Int = 0, seed: Long = 7L): DataFrame = {
+                     planesPerBand: Int = 0, seed: Long = 7L,
+                     knownCount: Long = -1L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // geometry probes (round-12 verdict #6): the corpus size and the
+    // vector dim used to cost TWO driver jobs (count + head) against
+    // an input that is often an expensive upstream pipeline. A caller
+    // that already knows the size passes `knownCount` and pays only
+    // the single-partition dim probe; the default derives BOTH in one
+    // aggregate job. Explicit positive bands/planesPerBand never
+    // count.
+    val needN = !(bands > 0 && planesPerBand > 0) && knownCount <= 0
+    val (nRows, dim) =
+      if (needN) {
+        val r = df.agg(count(lit(1)), first(size(col(vecCol)))).head()
+        if (r.isNullAt(1))
+          throw graft.exceptions.InvalidArgumentValue(
+            "cosineNearDups: empty input")
+        (r.getLong(0), r.getInt(1))
+      } else (knownCount, df.select(size(col(vecCol))).head().getInt(0))
     val (bandsEff, rEff) =
       if (bands > 0 && planesPerBand > 0) (bands, planesPerBand)
-      else autoLshParams(df.count(), threshold)
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+      else autoLshParams(nRows, threshold)
     val rnd = new scala.util.Random(seed)
     val planes: Array[Array[Double]] =
       Array.fill(bandsEff * rEff)(Array.fill(dim)(rnd.nextGaussian()))
@@ -1535,9 +1567,10 @@ object Similarity {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, bands: Int = 0,
-                    planesPerBand: Int = 0, seed: Long = 7L): DataFrame = {
+                    planesPerBand: Int = 0, seed: Long = 7L,
+                    knownCount: Long = -1L): DataFrame = {
     val pairs = cosineNearDups(df, idCol, vecCol, threshold, bands,
-      planesPerBand, seed)
+      planesPerBand, seed, knownCount)
     try Dedup.dedupNearDups(df, idCol, pairs)
     finally pairs.unpersist(blocking = false)
   }

@@ -52,12 +52,24 @@ object GenSf {
     shifted.drop("__rep")
   }
 
+  private val KnownTables = Set("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "documents", "events",
+    "embeddings")
+
   def generate(spark: SparkSession, srcDir: String, outDir: String,
                factor: Int, only: Set[String] = Set.empty): Unit = {
     // `only` restricts generation to a table subset (empty = all):
     // a single-operator decade (e.g. the cosine/ANN family, which
     // reads nothing but embeddings) should not pay the 600M-row
-    // lineitem replication a factor-1000 full star schema would cost
+    // lineitem replication a factor-1000 full star schema would cost.
+    // Validate up front: a silently-ignored typo ('embedings')
+    // produces an EMPTY generation run whose failure surfaces later
+    // as a confusing missing-parquet error in the bench it feeds.
+    val unknown = only.diff(KnownTables)
+    if (unknown.nonEmpty)
+      throw graft.exceptions.InvalidArgumentValue(
+        s"unknown table name(s) ${unknown.toSeq.sorted.mkString(", ")}; " +
+          s"known: ${KnownTables.toSeq.sorted.mkString(", ")}")
     def wanted(name: String) = only.isEmpty || only.contains(name)
     def read(name: String) =
       spark.read.parquet(s"$srcDir/$name.parquet")

@@ -892,6 +892,25 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("autoLshParams warns AT DERIVATION when the band cap binds") {
+    // at threshold ~0.4 on a huge corpus the 512-band closure cap
+    // pins the geometry while predicted enumeration stays over the
+    // 2e8 budget — the derivation itself must record the guidance
+    // (round-12 verdict #8), not just the post-hoc runtime monitor
+    graft.llm.GuardEvents.clear("autoLshParams")
+    val (bLow, rLow) = Similarity.autoLshParams(100000000L, 0.4)
+    assert(bLow <= 512)
+    val evt = graft.llm.GuardEvents.lastFor("autoLshParams")
+    assert(evt.exists(_.contains("raise the threshold")),
+      s"cap-bound low-threshold derivation (b=$bLow, r=$rLow) left no " +
+        s"GuardEvents guidance: $evt")
+    // below-budget derivations stay silent
+    graft.llm.GuardEvents.clear("autoLshParams")
+    assert(Similarity.autoLshParams(20050L, 0.9) == (32, 8))
+    assert(graft.llm.GuardEvents.lastFor("autoLshParams").isEmpty,
+      "below-knee derivation must not record a warning")
+  }
+
   test("over-cap PQ probe with DUPLICATED query ids equals under-cap") {
     // hash chunking must pin every duplicate of a qid into ONE chunk
     // — rank-based chunking could split duplicates across chunks and
@@ -1686,6 +1705,44 @@ class LlmSpec extends SparkSpec {
     assert(got(1)._3.isEmpty && got(1)._2 > 0)
   }
 
+  test("AudioDecoder: WAVE_FORMAT_EXTENSIBLE with a PCM sub-format decodes") {
+    import graft.llm.Multimodal
+    // stereo 16-bit PCM wrapped in the EXTENSIBLE fmt chunk (tag
+    // 0xFFFE, 40-byte fmt with cbSize=22 and the
+    // KSDATAFORMAT_SUBTYPE_PCM GUID) — the common multi-channel
+    // layout; the samples need no codec (round-12 advisor finding)
+    def extWav(samples: Seq[Int], ch: Int, rate: Int,
+               subFormatCode: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+      def fcc(s: String): Unit = s.foreach(c => out.write(c.toInt))
+      val dataLen = samples.size * 2
+      fcc("RIFF"); w32(60 + dataLen); fcc("WAVE")
+      fcc("fmt "); w32(40); w16(0xFFFE); w16(ch); w32(rate)
+      w32(rate * ch * 2); w16(ch * 2); w16(16)
+      w16(22) // cbSize
+      w16(16) // wValidBitsPerSample
+      w32(3)  // dwChannelMask (FL | FR)
+      w16(subFormatCode); w16(0) // SubFormat GUID Data1 (le)
+      w16(0); w16(0x10) // Data2, Data3
+      Seq(0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+        .foreach(out.write) // Data4
+      fcc("data"); w32(dataLen); samples.foreach(w16)
+      out.toByteArray
+    }
+    // interleaved stereo square wave at +-8192: rms = peak = 0.25
+    val samples = (0 until 400).map(i => if (i % 2 == 0) 8192 else -8192)
+    val pcm = Multimodal.AudioDecoder.decode(extWav(samples, 2, 44100, 1))
+    assert(pcm.isDefined, "extensible-PCM WAV must decode")
+    val f = pcm.get
+    assert(f(0) == 2.0f && f(1) == 44100.0f && f(2) == 200.0f) // 400 samples / 2 ch
+    assert(f(4) == 0.25f && math.abs(f(3) - 0.25f) < 1e-6)
+    // a NON-PCM sub-format (e.g. IEEE float = 3) still needs a codec
+    assert(Multimodal.AudioDecoder.decode(extWav(samples, 2, 44100, 3)).isEmpty,
+      "extensible with non-PCM sub-format must fail soft")
+  }
+
   test("resizeImages: aspect-preserving downscale, pass-through, fail-soft") {
     import graft.llm.Multimodal
     def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
@@ -1850,6 +1907,25 @@ class LlmSpec extends SparkSpec {
     assert(got == truth,
       s"capped-sketch pairs diverge from exact truth: missing " +
         s"${(truth -- got).take(5)}, extra ${(got -- truth).take(5)}")
+  }
+
+  test("cosineNearDups: pre-counted knownCount yields identical pairs") {
+    // composed pipelines (semanticDedup, caller-persisted frames) can
+    // pass the corpus size and skip the input-count job (round-12
+    // verdict #6) — rows must be byte-identical to the counting path
+    val df = emb.select($"vec_id",
+      $"embedding".cast("array<double>").as("v"))
+    val n = df.count()
+    def pairs(r: org.apache.spark.sql.DataFrame) = {
+      val s = r.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      r.unpersist(); s
+    }
+    val counted = pairs(
+      Similarity.cosineNearDups(df, "vec_id", "v", threshold = 0.95))
+    val known = pairs(Similarity.cosineNearDups(df, "vec_id", "v",
+      threshold = 0.95, knownCount = n))
+    assert(counted == known,
+      s"knownCount path diverged: ${counted.size} vs ${known.size} pairs")
   }
 
   test("groupCentroidAffinity: hand-checked cosines, zero-norm is null") {
