@@ -1265,8 +1265,8 @@ object QueriesLlm {
     * from doc_id, so the hash check covers the whole synthesize →
     * RIFF bytes → parse → sample round trip: any misread header
     * offset or divergent sampling rule breaks the hash. (Frame PIXEL
-    * decode is the documented codec stub — `VideoFrameDecoder` — and
-    * stays out of the oracle by design.)
+    * decode stays out of THIS row by design — q141 oracle-checks the
+    * real MJPEG pixel decode path.)
     */
   def q138VideoFrameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1288,6 +1288,48 @@ object QueriesLlm {
       .select(col("id").as("doc_id"), col("video_format"),
         col("n_frames"), col("duration_ms"), col("width"), col("height"),
         col("frame_idx"), col("ts_ms"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** q141 — REAL video frame pixel decode, oracle-checked: per doc an
+    * MJPEG-in-AVI payload is synthesized in-engine
+    * (`VideoHeaders.syntheticMjpegAvi`) — uniform-gray baseline JPEG
+    * frames whose gray level is exact arithmetic in (doc_id,
+    * frame_idx) — then `sampleFrameFeatures` walks the RIFF 'movi'
+    * list, extracts each sampled frame's JPEG bytes, and decodes the
+    * PIXELS through ImageIO (`VideoFrameDecoder.jpegStats`). A
+    * uniform gray frame survives the JPEG round trip exactly (DC-only
+    * blocks, quantizer divides the DC step — measured across 0..255),
+    * so the DuckDB oracle derives the decoded mean/max luma
+    * arithmetically: any misread chunk offset, broken JPEG decode, or
+    * divergent sampling rule breaks the hash. The q138 codec stub is
+    * thereby REPLACED by a real decode for the MJPEG container
+    * family; other codecs keep the documented fake seam.
+    */
+  def q141MjpegFrameStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vids = t(spark, dir, "documents")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val n = (4 + id % 5).toInt
+          (id, Multimodal.VideoHeaders.syntheticMjpegAvi(
+            usecPerFrame = 40000,
+            width = (48 + (id % 3) * 16).toInt,
+            height = (32 + (id % 2) * 16).toInt,
+            frameGrays =
+              (0 until n).map(j => (((id * 37 + j * 11) % 51) * 5).toInt)))
+        }
+      }.toDF("doc_id", "content")
+    Multimodal.sampleFrameFeatures(vids, "doc_id", "content", k = 3)
+      .select(col("id").as("doc_id"), col("frame_idx"), col("ts_ms"),
+        col("features").getItem(0).cast("int").as("frame_w"),
+        col("features").getItem(1).cast("int").as("frame_h"),
+        col("features").getItem(2).cast("int").as("mean_luma"),
+        col("features").getItem(3).cast("int").as("max_luma"))
       .orderBy("doc_id", "frame_idx")
   }
 
@@ -1430,6 +1472,7 @@ object QueriesLlm {
     "q138_video_frame_sample" -> (q138VideoFrameSample _),
     "q139_resize_images" -> (q139ResizeImages _),
     "q140_audio_pcm_stats" -> (q140AudioPcmStats _),
+    "q141_mjpeg_frame_stats" -> (q141MjpegFrameStats _),
     "q64_quality_filter" -> (q64QualityFilter _),
     "q65_remove_spans"   -> (q65RemoveSpans _),
     "q66_contamination_bloom" -> (q66ContaminationBloom _),
@@ -1748,6 +1791,27 @@ object QueriesLlm {
                 round((doc_id % 7 + 1) * 4096 / 32768.0, 6) AS peak,
                 CAST(0 AS DOUBLE) AS dc
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    // q141: uniform-gray MJPEG frames round-trip JPEG exactly (DC-only
+    // blocks; measured across 0..255), so the oracle derives the
+    // DECODED pixel stats arithmetically from (doc_id, frame_idx) —
+    // the hash pins movi chunk walking + real ImageIO JPEG decode
+    "q141_mjpeg_frame_stats" ->
+      """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS n,
+                48 + (doc_id % 3) * 16 AS w,
+                32 + (doc_id % 2) * 16 AS h
+              FROM documents WHERE doc_id < 60),
+         s AS (SELECT p.*, unnest(generate_series(0, 2)) AS j FROM p),
+         f AS (SELECT DISTINCT doc_id, n, w, h,
+                CAST(floor(j * n / 3.0) AS BIGINT) AS frame_idx FROM s)
+         SELECT doc_id, frame_idx,
+                CAST(floor(frame_idx * 40000 / 1000.0) AS BIGINT) AS ts_ms,
+                CAST(w AS INTEGER) AS frame_w,
+                CAST(h AS INTEGER) AS frame_h,
+                CAST(((doc_id * 37 + frame_idx * 11) % 51) * 5
+                     AS INTEGER) AS mean_luma,
+                CAST(((doc_id * 37 + frame_idx * 11) % 51) * 5
+                     AS INTEGER) AS max_luma
+         FROM f ORDER BY doc_id, frame_idx""",
     "q62_dup_gram_frac" ->
       """WITH toksa AS (SELECT doc_id,
                 regexp_split_to_array(trim(lower(text)), '\s+') AS t

@@ -685,6 +685,110 @@ object Multimodal {
       * (u, n, w, h) arithmetically hash-checks the byte-level parser
       * end-to-end.
       */
+    /** Extract the `idx`-th VIDEO-stream chunk payload from an AVI's
+      * 'movi' LIST — chunk fourcc `##dc` (compressed frame) or `##db`
+      * (uncompressed DIB), `##` the two-digit stream number; audio
+      * (`##wb`) and text chunks don't count. Returns the raw codec
+      * bytes (for MJPEG: one baseline JPEG per chunk). None when the
+      * payload is not an AVI, has no movi list, has fewer video
+      * chunks, or any size field is nonsense — never throws.
+      */
+    def videoFrameChunk(b: Array[Byte], idx: Long): Option[Array[Byte]] = {
+      if (b == null || idx < 0 ||
+        !(tag(b, 0, "RIFF") && tag(b, 8, "AVI "))) return None
+      try {
+        def digit(x: Byte): Boolean = x >= '0' && x <= '9'
+        val riffEnd = math.min(b.length.toLong, 8 + le32(b, 4)).toInt
+        var i = 12
+        while (i + 8 <= riffEnd) {
+          val size = le32(b, i + 4)
+          if (tag(b, i, "LIST") && i + 12 <= riffEnd &&
+            tag(b, i + 8, "movi")) {
+            val end = math.min(riffEnd.toLong, i + 8 + size).toInt
+            var j = i + 12
+            var seen = 0L
+            while (j + 8 <= end) {
+              val csize = le32(b, j + 4)
+              val isVideo = digit(b(j)) && digit(b(j + 1)) &&
+                b(j + 2) == 'd' && (b(j + 3) == 'c' || b(j + 3) == 'b')
+              if (isVideo) {
+                if (seen == idx) {
+                  if (csize < 0 || j + 8 + csize > end) return None
+                  return Some(java.util.Arrays.copyOfRange(
+                    b, j + 8, j + 8 + csize.toInt))
+                }
+                seen += 1
+              }
+              val step = csize + (csize % 2)
+              if (step > end.toLong) return None
+              j += 8 + step.toInt
+            }
+            return None
+          }
+          val step = size + (size % 2)
+          if (step > riffEnd.toLong) return None
+          i += 8 + step.toInt
+        }
+        None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Deterministic MJPEG-in-AVI synthesizer — `syntheticAvi`'s
+      * header plus a 'movi' LIST of '00dc' chunks, one single-component
+      * grayscale baseline JPEG (ImageIO-encoded) per entry of
+      * `frameGrays`. A UNIFORM gray frame survives the JPEG round trip
+      * EXACTLY: the level-shifted DC coefficient 8·(v−128) is always a
+      * multiple of the DC quantizer step, every AC coefficient is 0,
+      * and grayscale has no chroma conversion — measured across the
+      * full 0..255 range, not assumed — so an oracle can derive the
+      * decoded pixel stats arithmetically (q141).
+      */
+    def syntheticMjpegAvi(usecPerFrame: Int, width: Int, height: Int,
+                          frameGrays: Seq[Int]): Array[Byte] = {
+      if (usecPerFrame <= 0 || width <= 0 || height <= 0)
+        throw graft.exceptions.InvalidArgumentValue(
+          s"bad MJPEG AVI params: usec=$usecPerFrame ${width}x$height")
+      javax.imageio.ImageIO.setUseCache(false)
+      val jpegs = frameGrays.map { v =>
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { raster.setSample(x, y, 0, v); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val out = new java.io.ByteArrayOutputStream(4096)
+      def w32le(v: Long): Unit = {
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 24) & 0xff).toInt)
+      }
+      def fcc(s: String): Unit = s.foreach(c => out.write(c.toInt))
+      val avihPayload = 56
+      val hdrlSize = 4 + 8 + avihPayload
+      val moviSize = 4 + jpegs.map(j => 8 + j.length + (j.length % 2)).sum
+      fcc("RIFF"); w32le(4 + (8 + hdrlSize) + (8 + moviSize))
+      fcc("AVI "); fcc("LIST"); w32le(hdrlSize); fcc("hdrl")
+      fcc("avih"); w32le(avihPayload)
+      w32le(usecPerFrame); w32le(0); w32le(0); w32le(0)
+      w32le(frameGrays.size) // dwTotalFrames
+      w32le(0); w32le(1); w32le(0)
+      w32le(width); w32le(height)
+      w32le(0); w32le(0); w32le(0); w32le(0)
+      fcc("LIST"); w32le(moviSize); fcc("movi")
+      jpegs.foreach { j =>
+        fcc("00dc"); w32le(j.length); out.write(j, 0, j.length)
+        if (j.length % 2 == 1) out.write(0) // RIFF word alignment
+      }
+      out.toByteArray
+    }
+
     def syntheticAvi(usecPerFrame: Int, totalFrames: Int,
                      width: Int, height: Int): Array[Byte] = {
       if (usecPerFrame <= 0)
@@ -787,35 +891,90 @@ object Multimodal {
         (col("frame_idx") * col("usec") / 1000L).cast("long").as("ts_ms"))
   }
 
-  /** Frame pixel decode — THE CODEC SEAM, STUBBED. This container has
-    * no video codec library (zero-egress environment, and the JRE
-    * ships none), so per the builder brief the decode step is a
-    * clearly-marked deterministic fake: FeatureDim floats derived from
-    * (payload length, payload first/last bytes, frameIdx) — stable
-    * across runs and partitionings, so the plumbing around it
-    * (schema, batching, fail-soft) is fully testable. A real decoder
-    * (JavaCV/ffmpeg bindings) slots in HERE without touching any
-    * Spark-side code.
+  /** Frame pixel decode — REAL for MJPEG-in-AVI, stubbed elsewhere.
+    *
+    * MJPEG is the one mainstream video codec family whose frames are
+    * decodable with zero external deps: each 'movi' chunk is a
+    * standalone baseline JPEG, and every JRE ships a JPEG ImageIO
+    * reader. For an AVI payload whose `frameIdx`-th video chunk
+    * starts with the JPEG SOI marker, the decode is real:
+    *   features = [width, height, meanLuma, maxLuma]
+    * with luma per pixel = the single gray band, or (R+G+B)/3 for
+    * 3-band rasters, in 0..255. A JPEG chunk that fails to decode
+    * yields None (fail-soft — at 100 TB some frames WILL be garbage),
+    * never a task failure.
+    *
+    * For every OTHER container/codec (H.264 in MP4, VP9, …) no
+    * decoder exists in this zero-egress sandbox, so the documented
+    * deterministic fake below stands in: FeatureDim floats in [0, 1)
+    * derived from (payload length, payload first/last bytes,
+    * frameIdx) — stable across runs and partitionings, so the
+    * plumbing (schema, batching, fail-soft) stays fully testable. A
+    * real codec (JavaCV/ffmpeg bindings) slots in at the same seam
+    * without touching any Spark-side code.
     */
   object VideoFrameDecoder {
     val FeatureDim = 4
+
+    /** Decoded-pixel stats for one standalone JPEG: [w, h, meanLuma,
+      * maxLuma] (luma 0..255). None when ImageIO can't decode it.
+      */
+    private[graft] def jpegStats(jpeg: Array[Byte]): Option[Array[Float]] =
+      try {
+        javax.imageio.ImageIO.setUseCache(false)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(jpeg))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else {
+          val r = img.getRaster
+          val nb = r.getNumBands
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0.0
+          var maxL = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val l =
+                if (nb >= 3)
+                  (r.getSample(x, y, 0) + r.getSample(x, y, 1) +
+                    r.getSample(x, y, 2)) / 3.0
+                else r.getSample(x, y, 0).toDouble
+              sum += l
+              if (l > maxL) maxL = l
+              x += 1
+            }
+            y += 1
+          }
+          Some(Array(w.toFloat, h.toFloat,
+            (sum / (w.toLong * h)).toFloat, maxL.toFloat))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     def decode(bytes: Array[Byte], frameIdx: Long): Option[Array[Float]] =
       if (bytes == null || bytes.length == 0 || frameIdx < 0) None
-      else {
-        // ---- STUB (deterministic fake pixels) ----
-        val h0 = bytes.length.toLong * 0x9E3779B97F4A7C15L ^
-          (bytes(0).toLong << 32) ^ bytes(bytes.length - 1).toLong ^
-          frameIdx * 0xC2B2AE3D27D4EB4FL
-        val out = new Array[Float](FeatureDim)
-        var i = 0
-        var h = h0
-        while (i < FeatureDim) {
-          h = h * 6364136223846793005L + 1442695040888963407L
-          out(i) = ((h >>> 40).toInt & 0xffff).toFloat / 65535.0f
-          i += 1
+      else VideoHeaders.videoFrameChunk(bytes, frameIdx) match {
+        case Some(jpeg) if jpeg.length >= 2 &&
+            (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8 =>
+          // REAL decode: MJPEG frame = standalone baseline JPEG
+          jpegStats(jpeg)
+        case _ => {
+          // ---- STUB (deterministic fake pixels; see scaladoc) ----
+          val h0 = bytes.length.toLong * 0x9E3779B97F4A7C15L ^
+            (bytes(0).toLong << 32) ^ bytes(bytes.length - 1).toLong ^
+            frameIdx * 0xC2B2AE3D27D4EB4FL
+          val out = new Array[Float](FeatureDim)
+          var i = 0
+          var h = h0
+          while (i < FeatureDim) {
+            h = h * 6364136223846793005L + 1442695040888963407L
+            out(i) = ((h >>> 40).toInt & 0xffff).toFloat / 65535.0f
+            i += 1
+          }
+          Some(out)
+          // ---- END STUB ----
         }
-        Some(out)
-        // ---- END STUB ----
       }
   }
 
@@ -841,7 +1000,9 @@ object Multimodal {
       .select(col("id"), col("frame_idx"), col("ts_ms"), col("content"))
       .as[(Long, Long, Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition init for a real codec would go here
+        // per-partition codec init: the MJPEG path decodes via
+        // ImageIO — disable its temp-FILE stream cache once per task
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, fi, ts, bytes) =>
           FrameFeatureRow(id, fi, ts, VideoFrameDecoder.decode(bytes, fi))
         }

@@ -1866,6 +1866,60 @@ class LlmSpec extends SparkSpec {
     assert(a.map(_._4.get).distinct.size == 3)
   }
 
+  test("MJPEG-in-AVI: real frame pixel decode, exact gray round trip") {
+    import graft.llm.Multimodal
+    // 5 uniform-gray JPEG frames; gray(j) spans low/mid/high values
+    val grays = Seq(0, 37, 128, 200, 255)
+    val avi = Multimodal.VideoHeaders.syntheticMjpegAvi(
+      usecPerFrame = 40000, width = 48, height = 32, frameGrays = grays)
+    // the avih header still parses (q138's parser path)
+    val info = Multimodal.VideoHeaders.parse(avi).get
+    assert(info.format == "avi" && info.nFrames.contains(5L) &&
+      info.width.contains(48) && info.height.contains(32))
+    // chunk walk: every frame extracts as a standalone JPEG (SOI) and
+    // decodes to EXACTLY its source gray (DC-only JPEG round trip)
+    grays.zipWithIndex.foreach { case (v, j) =>
+      val chunk = Multimodal.VideoHeaders.videoFrameChunk(avi, j.toLong)
+      assert(chunk.isDefined, s"frame $j missing from movi walk")
+      assert((chunk.get(0) & 0xff) == 0xff && (chunk.get(1) & 0xff) == 0xd8)
+      val st = Multimodal.VideoFrameDecoder.jpegStats(chunk.get).get
+      assert(st(0) == 48f && st(1) == 32f, s"frame $j dims ${st.toSeq}")
+      assert(st(2) == v.toFloat && st(3) == v.toFloat,
+        s"frame $j gray $v decoded to mean=${st(2)} max=${st(3)}")
+    }
+    // out-of-range / non-AVI → None from the chunk walk
+    assert(Multimodal.VideoHeaders.videoFrameChunk(avi, 5L).isEmpty)
+    assert(Multimodal.VideoHeaders
+      .videoFrameChunk("junk".getBytes, 0L).isEmpty)
+    // end-to-end through the Spark operator: sampled frames carry the
+    // REAL decoded stats
+    val df = Seq(7L -> avi).toDF("vid", "content")
+    val got = Multimodal.sampleFrameFeatures(df, "vid", "content", k = 5)
+      .orderBy("frame_idx")
+      .as[(Long, Long, Long, Option[Seq[Float]])].collect().toSeq
+    assert(got.size == 5)
+    got.foreach { case (_, fi, _, f) =>
+      assert(f.get(2) == grays(fi.toInt).toFloat,
+        s"frame $fi decoded mean ${f.get(2)} != ${grays(fi.toInt)}")
+    }
+    // a CORRUPT JPEG chunk fails soft to None (never a fake, never a
+    // task failure): truncate the last frame's JPEG mid-stream
+    val corrupt = Multimodal.VideoHeaders.syntheticMjpegAvi(
+      40000, 48, 32, Seq(100))
+    // SOI survives, body is zeroed -> ImageIO decode fails
+    val chunkOff = {
+      // locate the 00dc payload: header(12) + hdrl LIST(8+68) + LIST
+      // movi header(12) + chunk header(8)
+      12 + 76 + 12 + 8
+    }
+    java.util.Arrays.fill(corrupt, chunkOff + 2, corrupt.length, 0.toByte)
+    val bad = Multimodal.sampleFrameFeatures(
+      Seq(9L -> corrupt).toDF("vid", "content"), "vid", "content", k = 1)
+      .as[(Long, Long, Long, Option[Seq[Float]])].collect().toSeq
+    assert(bad.size == 1 && bad.head._4.isEmpty,
+      s"corrupt MJPEG frame must yield null features: ${bad.head}")
+  }
+
   test("capped estimator sketch (b*r > 256) matches exact cosine truth") {
     // the round-12 sketch cap: an explicit (40, 10) geometry carries
     // 400 banding bits but the banded rows' estimator is capped at
