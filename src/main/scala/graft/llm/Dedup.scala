@@ -183,17 +183,46 @@ object Dedup {
     hashed.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
-  /** (id, band, bh) LSH band projection of a signature table. */
-  private def bandedOf(sig: DataFrame, numHashes: Int,
-                       bands: Int): DataFrame = {
+  /** (id, band, bh) LSH band projection of a signature table. With
+    * `sketchLongs > 0` each banded row also carries sk0..sk{n-1}: the
+    * low BYTES of the first 8·n minhash components packed 8-per-long —
+    * the map-side pair estimator `minhashNearDups` cuts on BEFORE the
+    * pair-band exchange. A byte is a truncation of the component, so
+    * P(byte match) = J + (1−J)/256 — the +1/256 collision bias is
+    * folded into the cut arithmetic at the call site.
+    */
+  private def bandedOf(sig: DataFrame, numHashes: Int, bands: Int,
+                       sketchLongs: Int = 0): DataFrame = {
     val r = numHashes / bands
-    sig.select(col("id"),
-      explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band"),
-          xxhash64((lit(j) +: (0 until r).map(i =>
-            col(s"m${j * r + i}"))): _*).as("bh"))
-      }: _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val sk = (0 until sketchLongs).map { j =>
+      (0 until 8).map(b =>
+        shiftleft(col(s"m${8 * j + b}").bitwiseAND(lit(255L)), 8 * b))
+        .reduce(_.bitwiseOR(_)).as(s"sk$j")
+    }
+    sig.select((col("id") +:
+        explode(array((0 until bands).map { j =>
+          struct(lit(j).as("band"),
+            xxhash64((lit(j) +: (0 until r).map(i =>
+              col(s"m${j * r + i}"))): _*).as("bh"))
+        }: _*)).as("b") +: sk): _*)
+      .select((col("id") +: col("b.band").as("band") +:
+        col("b.bh").as("bh") +:
+        (0 until sketchLongs).map(j => col(s"sk$j"))): _*)
+  }
+
+  /** Matching-byte count between two packed-byte long columns — the
+    * codegen'd kernel of the map-side pair estimate. Per long: XOR,
+    * then an OR-spread of each byte's bits into its bit 0 (shifts stay
+    * within the byte for the sampled position, so the mask is EXACT —
+    * no SWAR borrow caveats), mask to 0x0101…, popcount = nonzero
+    * (mismatching) bytes; 8 − that = matches.
+    */
+  private def byteMatches(a: Column, b: Column): Column = {
+    val y = a.bitwiseXOR(b)
+    val nz = (1 to 7).map(s => shiftrightunsigned(y, s))
+      .foldLeft(y)(_.bitwiseOR(_))
+      .bitwiseAND(lit(0x0101010101010101L))
+    lit(8) - bit_count(nz)
   }
 
   /** MinHash-LSH near-duplicate pairs, exact-verified.
@@ -241,12 +270,15 @@ object Dedup {
     *   the result CANNOT be recomputed once released: materialize
     *   anything derived from it before unpersisting
     *
-    * Candidate funnel, widest to narrowest: band-bucket self-join →
-    * `minBandMatches` band-agreement count → signature-similarity
-    * estimate (fraction of matching minhash components ≥ threshold −
-    * 6σ) → exact join-based Jaccard. Each stage is orders of magnitude
-    * cheaper per pair than the next, so the expensive set intersection
-    * only ever sees a thin, near-certain tail.
+    * Candidate funnel, widest to narrowest: band-bucket self-join
+    * (with a MAP-SIDE 32-byte signature-sketch cut inside the join
+    * stage, before the pair exchange — see the cut comment in the
+    * body) → `minBandMatches` band-agreement count → full
+    * signature-similarity estimate (fraction of matching minhash
+    * components ≥ threshold − 6σ) → exact join-based Jaccard. Each
+    * stage is orders of magnitude cheaper per pair than the next, so
+    * the expensive set intersection only ever sees a thin,
+    * near-certain tail.
     *
     * Every bulk step is whole-stage-codegen'd: shingles come from
     * explode+substring (not interpreted array HOFs), signatures from
@@ -276,9 +308,37 @@ object Dedup {
     val sig = signaturesOf(shingleRows, numHashes, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // band signatures: a cheap projection of the persisted sig, so the
-    // self-join's two reads cost two cache scans, not two pipelines
-    val banded = bandedOf(sig, numHashes, bands)
+    // Map-side sketch cut on the PAIR-BAND exchange (round-13): the
+    // decade JobBreakdown at 500k open-vocab docs put ~85% of q31's
+    // shuffle (6.3 GB of 7.4 GB written) in ONE exchange — the
+    // (id_a, id_b) rows the band self-join emits toward the
+    // band-agreement count, a mass that grew 30×/decade while every
+    // other funnel exchange stayed ~linear (moderately-similar
+    // background pairs band-collide ever more densely as the corpus
+    // grows). The same 6σ signature-estimate the funnel already
+    // applies AFTER that exchange is applied HERE map-side, on a
+    // 32-byte truncation of the signature carried with each banded
+    // row: a pair whose byte-match estimate sits below threshold − 6σ
+    // dies inside the join stage, before the exchange. Identical to
+    // the full estimate's contract — a TRUE pair at the threshold
+    // fails the cut at ~1e-9 (the module's estimate-prefilter budget),
+    // every survivor is still exact-verified, and the cut is a pure
+    // function of the PAIR (same sketch in every band), so the
+    // band-agreement count stays conjunctive: rows unchanged, oracle
+    // hashes pinned. Byte truncation collides at 1/256, folded into
+    // the cut as P(match) = J + (1−J)/256. Cut disabled (no sketch
+    // columns, plan byte-identical to r12) when the threshold is too
+    // low for 32 bytes to separate, and BELOW the corpus-size knee:
+    // at 5k docs the cut measured −40% shuffle but +35-49% task-sec
+    // at wall parity (wider banded rows + per-pair sketch eval), at
+    // 50k docs −42% shuffle / −22/−45% task-sec / −44/−41% wall, and
+    // at 500k −71% shuffle / −71/−75% task-sec and wall — the win
+    // grows with the super-linear pair mass, so the cut engages only
+    // where the mass exists. The corpus count is free here: the
+    // funnel's own cache-materializing count() below supplies it
+    // before any cut-dependent plan is built. Knee conf'd
+    // (`graft.dedup.pairSketchMinCorpus`, default 20000, <= 0 =
+    // always) — the autoLshParams budget-gate convention.
 
     // Materialize the caches BEFORE anything downstream is planned —
     // this one count is the funnel's whole join-strategy mechanism.
@@ -294,7 +354,30 @@ object Dedup {
     // Explicit hint/count machinery was tried and measured SLOWER at
     // every scale (BENCHNOTES round 8) than priming the stats and
     // letting AQE pick per stage.
-    sig.count()
+    val nDocs = sig.count()
+
+    val sketchKnee = df.sparkSession.conf
+      .get("graft.dedup.pairSketchMinCorpus", "20000").toLong
+    val pMatch = threshold + (1 - threshold) / 256.0
+    val skLongs0 = math.min(4, numHashes / 8)
+    val kBytes = 8 * skLongs0
+    val cutBytes =
+      if (skLongs0 <= 0) 0
+      else math.floor(kBytes * pMatch -
+        6.0 * math.sqrt(kBytes * pMatch * (1 - pMatch))).toInt
+    val skLongs =
+      if (cutBytes >= 1 && (sketchKnee <= 0 || nDocs >= sketchKnee))
+        skLongs0
+      else 0
+    def skCut: Column =
+      (0 until skLongs).map(j =>
+        byteMatches(col(s"x.sk$j"), col(s"y.sk$j"))).reduce(_ + _) >=
+        lit(cutBytes)
+    val skCols = (0 until skLongs).map(j => s"sk$j")
+
+    // band signatures: a cheap projection of the persisted sig, so the
+    // self-join's two reads cost two cache scans, not two pipelines
+    val banded = bandedOf(sig, numHashes, bands, skLongs)
 
     // one row per (pair, matching band); both enumeration modes feed
     // the same band-agreement count below
@@ -305,6 +388,7 @@ object Dedup {
           .join(banded.as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
               col("x.id") < col("y.id"))
+          .filter(if (skLongs > 0) skCut else lit(true))
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       else {
         // per-bucket size + min id in one window pass (same window
@@ -316,11 +400,12 @@ object Dedup {
           .withColumn("bsz", count(lit(1)).over(w))
           .withColumn("mn", min("id").over(w))
         val small = sized.filter(col("bsz") <= maxBandBucket)
-          .select("id", "band", "bh")
+          .select(("id" +: "band" +: "bh" +: skCols).map(col): _*)
         val allPairs = small.as("x")
           .join(small.as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
               col("x.id") < col("y.id"))
+          .filter(if (skLongs > 0) skCut else lit(true))
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
         // oversized buckets: min-id star, linear in bucket size
         val (over, report) = observeStarGuard(

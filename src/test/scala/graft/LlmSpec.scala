@@ -31,6 +31,25 @@ class LlmSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("map-side pair sketch cut yields the identical pair set") {
+    // force the sketch cut ON below its corpus knee (the conf's <= 0 /
+    // tiny value path) and pin row identity against the default
+    // (cut-off at this corpus size) run — the cut is a prefilter with
+    // the funnel's 6σ recall contract; survivors are exact-verified,
+    // so the returned pairs must be byte-identical either way
+    def run() = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.8)
+    val dflt = run().as[(Long, Long, Double)].collect().toSet
+    spark.conf.set("graft.dedup.pairSketchMinCorpus", "1")
+    try {
+      val cut = run().as[(Long, Long, Double)].collect().toSet
+      assert(cut == dflt,
+        s"sketch-cut pair set diverged: only-default " +
+          s"${(dflt -- cut).take(3)}, only-cut ${(cut -- dflt).take(3)}")
+      assert(cut.nonEmpty)
+    } finally spark.conf.unset("graft.dedup.pairSketchMinCorpus")
+  }
+
   test("dupClusters labels chains with their min id; dedup keeps one per cluster") {
     // chain 1~2~3 plus isolated pair 7~8: components {1,2,3} and {7,8}
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
