@@ -225,6 +225,25 @@ object Dedup {
     lit(8) - bit_count(nz)
   }
 
+  /** Sketch-cut geometry shared by `minhashNearDups` and
+    * `probeMinhashIndex`: (packed longs, minimum matching bytes) for a
+    * 6σ one-sided cut at `threshold` on a ≤32-byte signature
+    * truncation, with the byte-truncation collision bias folded in as
+    * P(match) = J + (1−J)/256. cutBytes < 1 means the threshold is too
+    * low for the sketch to separate at 6σ — callers disable the cut.
+    */
+  private def sketchCutGeometry(numHashes: Int,
+                                threshold: Double): (Int, Int) = {
+    val pMatch = threshold + (1 - threshold) / 256.0
+    val skLongs = math.min(4, numHashes / 8)
+    val kBytes = 8 * skLongs
+    val cutBytes =
+      if (skLongs <= 0) 0
+      else math.floor(kBytes * pMatch -
+        6.0 * math.sqrt(kBytes * pMatch * (1 - pMatch))).toInt
+    (skLongs, cutBytes)
+  }
+
   /** MinHash-LSH near-duplicate pairs, exact-verified.
     *
     * @param numHashes signature length (bands × rowsPerBand)
@@ -358,13 +377,7 @@ object Dedup {
 
     val sketchKnee = df.sparkSession.conf
       .get("graft.dedup.pairSketchMinCorpus", "20000").toLong
-    val pMatch = threshold + (1 - threshold) / 256.0
-    val skLongs0 = math.min(4, numHashes / 8)
-    val kBytes = 8 * skLongs0
-    val cutBytes =
-      if (skLongs0 <= 0) 0
-      else math.floor(kBytes * pMatch -
-        6.0 * math.sqrt(kBytes * pMatch * (1 - pMatch))).toInt
+    val (skLongs0, cutBytes) = sketchCutGeometry(numHashes, threshold)
     val skLongs =
       if (cutBytes >= 1 && (sketchKnee <= 0 || nDocs >= sketchKnee))
         skLongs0
@@ -770,12 +783,34 @@ object Dedup {
     // decade measurement in SCALING.md flagged) before deciding;
     // the explicit hint keeps the index side a pure scan. An
     // over-cap batch degrades to a shuffled band join instead.
-    val newBanded = bandedOf(newSig, numHashes, bands)
+    //
+    // Map-side sketch cut (the minhashNearDups round-13 mechanism,
+    // same 6σ recall contract): each banded row carries a 32-byte
+    // signature truncation and a pair below threshold − 6σ on the
+    // byte-match estimate dies INSIDE the join stage, before the
+    // (id_a, id_b) groupBy exchange. Unlike the self-join funnel the
+    // probe has NO exchange that the extra sketch columns widen — the
+    // index side is scan → broadcast-join → filter → project and the
+    // batch side is small by contract — so there is no corpus-size
+    // knee: the cut is on whenever the threshold is 6σ-separable on
+    // 32 bytes (`graft.dedup.probePairSketch` = false opts out;
+    // below-cut survivors are unchanged — the full estimate and the
+    // exact verify still run).
+    val probeSketch = spark.conf
+      .get("graft.dedup.probePairSketch", "true").toBoolean
+    val (pSkLongs0, pCutBytes) = sketchCutGeometry(numHashes, threshold)
+    val pSkLongs = if (probeSketch && pCutBytes >= 1) pSkLongs0 else 0
+    def pSkCut: Column =
+      (0 until pSkLongs).map(j =>
+        byteMatches(col(s"x.sk$j"), col(s"y.sk$j"))).reduce(_ + _) >=
+        lit(pCutBytes)
+    val newBanded = bandedOf(newSig, numHashes, bands, pSkLongs)
     val (candidates, candRdds) = checkpointTracked(
-      bandedOf(idxSig, numHashes, bands).as("x")
+      bandedOf(idxSig, numHashes, bands, pSkLongs).as("x")
         .join((if (batchSafe) broadcast(newBanded) else newBanded).as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.id") =!= col("y.id"))
+        .filter(if (pSkLongs > 0) pSkCut else lit(true))
         .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
         .agg(count(lit(1)).as("mb"))
         .filter(col("mb") >= minBandMatches)

@@ -109,6 +109,15 @@ object ScaleMeasure {
         mass(50).as("pair_mass_cap50"),
         mass(20).as("pair_mass_cap20"))
     }),
+    // the probe-path sketch cut's opt-out (the r12 probe plan), for
+    // the A/B against the default-on q53_dedup_incremental arm — the
+    // conf is read at plan-build time inside the probe, so wrapping
+    // the call is enough
+    "q53_nosketch" -> ((s, dir) => {
+      s.conf.set("graft.dedup.probePairSketch", "false")
+      try SparkEntry.queries("q53_dedup_incremental")(s, dir)
+      finally s.conf.unset("graft.dedup.probePairSketch")
+    }),
     // the simhash chunk join's opt-out, for the capped-vs-raw decade
     // comparison (q52 itself runs the default capped+map-side-filter
     // path)

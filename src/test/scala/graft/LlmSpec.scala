@@ -184,6 +184,31 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("probe map-side sketch cut yields the identical pair set") {
+    // the probe's cut is on by default (no corpus knee — see the
+    // no-widened-exchange rationale at the call site); pin the
+    // opted-out plan row-identical: the cut is a prefilter under the
+    // funnel's 6σ recall contract, survivors still exact-verified
+    val corpus = docs.filter($"doc_id" < 400)
+    val batch = docs.filter($"doc_id" >= 400)
+    val idx = tmpDir("mh-probe-sketch")
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+    def probe() = Dedup.probeMinhashIndex(idx, corpus, batch,
+        "doc_id", "text", threshold = 0.8, minBandMatches = 3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val withCut = probe()
+    spark.conf.set("graft.dedup.probePairSketch", "false")
+    val without =
+      try probe()
+      finally spark.conf.unset("graft.dedup.probePairSketch")
+    assert(withCut == without,
+      s"probe sketch-cut pair set diverged: only-cut " +
+        s"${(withCut -- without).take(3)}, only-plain " +
+        s"${(without -- withCut).take(3)}")
+    assert(withCut.nonEmpty)
+  }
+
   test("probe over-cap shuffled fallback returns identical pairs") {
     // graft.dedup.maxBroadcastCandidates is the probe's 8 GB-limit
     // escape hatch: past the cap every static broadcast (batch bands,
