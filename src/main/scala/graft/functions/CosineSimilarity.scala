@@ -131,7 +131,11 @@ object GraftFunctions {
       { case Seq(a, b) => CosineSimilarity(a, b) }),
     Spec("nfc_normalize", classOf[NfcNormalize].getName,
       "nfc_normalize(s) - Unicode NFC canonical composition", 1,
-      { case Seq(s) => NfcNormalize(s) }))
+      { case Seq(s) => NfcNormalize(s) }),
+    Spec("minhash_fold", classOf[MinhashAffineFold].getName,
+      "minhash_fold(h, a, b) - (h*a + b) mod 2147483647 without a " +
+        "division; h in [0, 2^31-1), constant a, b in [0, 2^31)", 3,
+      { case Seq(h, a, b) => MinhashAffineFold(h, a, b) }))
 
   def register(spark: SparkSession): Unit = specs.foreach { spec =>
     val registry = spark.sessionState.functionRegistry

@@ -172,13 +172,34 @@ object Dedup {
   /** Signatures via numHashes codegen'd MIN aggregates over the hashed
     * shingles — partial (map-side) aggregation shrinks the shuffle to
     * |docs|·numHashes longs. Output schema (id, m0..m{n-1}).
+    *
+    * The per-hash reduction `(h·a + b) mod P` is the native
+    * `minhash_fold` expression (division-free Mersenne fold with
+    * codegen LOCALS — a `Column`-composed fold was measured ~2×
+    * SLOWER than `pmod` because codegen re-inlines every subtree
+    * reference; see MinhashAffineFold's scaladoc). The row hash `h`
+    * keeps Spark's `pmod` (one per ROW, and its signed-negative
+    * semantics differ from an unsigned fold). Both signature paths
+    * are byte-identical: PropertySpec pins fold == pmod across the
+    * affine domain, FunctionsSpec pins codegen == interpreted.
+    * `graft.dedup.sigModFold` = false keeps the legacy `pmod`
+    * reduction — a measurement lever for same-window A/Bs, not a
+    * semantics switch.
     */
   private def signaturesOf(shingleRows: DataFrame, numHashes: Int,
                            seed: Long): DataFrame = {
+    val spark = shingleRows.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     val params = hashParams(numHashes, seed)
     val hashed = shingleRows.withColumn("h", pmod(col("s"), lit(P)))
+    val fold = spark.conf
+      .get("graft.dedup.sigModFold", "true").toBoolean
+    def reduce(a: Long, b: Long): Column =
+      if (fold)
+        call_function("minhash_fold", col("h"), lit(a), lit(b))
+      else pmod(col("h") * lit(a) + lit(b), lit(P))
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
+      min(reduce(a, b)).as(s"m$i")
     }
     hashed.groupBy("id").agg(mins.head, mins.tail: _*)
   }

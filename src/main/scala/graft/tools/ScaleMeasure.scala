@@ -118,6 +118,13 @@ object ScaleMeasure {
       try SparkEntry.queries("q53_dedup_incremental")(s, dir)
       finally s.conf.unset("graft.dedup.probePairSketch")
     }),
+    // the signature reduction's legacy-division arm (byte-identical
+    // rows either way — the A/B compares pure CPU)
+    "q31_sigpmod" -> ((s, dir) => {
+      s.conf.set("graft.dedup.sigModFold", "false")
+      try SparkEntry.queries("q31_dedup_minhash")(s, dir)
+      finally s.conf.unset("graft.dedup.sigModFold")
+    }),
     // the simhash chunk join's opt-out, for the capped-vs-raw decade
     // comparison (q52 itself runs the default capped+map-side-filter
     // path)

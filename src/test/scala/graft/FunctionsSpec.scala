@@ -120,6 +120,44 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("minhash_fold: codegen == interpreted; misuse fails loudly") {
+    val P = 2147483647L
+    val df = Seq(Some(0L), Some(1L), Some(P - 1), Some(123456789L),
+      None).toDF("h")
+    val expr = call_function("minhash_fold", $"h",
+      lit(Int.MaxValue - 1L), lit(987654321L))
+    val ref = df.select(pmod($"h" * (Int.MaxValue - 1L) + 987654321L,
+      lit(P)).as("r")).collect().toSeq
+    val got = df.select(expr.as("r")).collect().toSeq
+    assert(got == ref) // null propagated, values == pmod
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(df.select(expr.as("r")).collect().toSeq == ref)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    // SQL callable with constant args
+    assert(spark.sql("SELECT minhash_fold(5L, 3L, 1L) AS r")
+      .head().getLong(0) == 16L)
+    // non-constant a/b rejected at analysis (they embed into codegen)
+    intercept[Exception] {
+      df.select(call_function("minhash_fold", $"h", $"h", lit(0L)))
+        .collect()
+    }
+    // out-of-range multiplier rejected loudly, not silently wrapped
+    intercept[Exception] {
+      df.select(call_function("minhash_fold", $"h",
+        lit(1L << 40), lit(0L))).collect()
+    }
+    // non-bigint argument rejected at analysis
+    intercept[Exception] {
+      Seq("x").toDF("s")
+        .select(call_function("minhash_fold", $"s", lit(1L), lit(0L)))
+        .collect()
+    }
+  }
+
   test("GraftExtensions installs the functions via spark.sql.extensions") {
     import org.apache.spark.sql.SparkSession
     // a NEW SparkSession over the existing SparkContext, created with

@@ -643,4 +643,35 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(v - shuffled(id)) < 1e-9, s"doc $id: $v vs ${shuffled(id)}")
     }
   }
+
+  test("minhash_fold equals pmod(h*a + b, P) on the affine domain") {
+    // the division-free fold must be VALUE-identical to the pmod
+    // reduction on every input signaturesOf can produce — h < P,
+    // a, b < 2^31 — or signatures (and every persisted index)
+    // silently change. Random interior points plus boundary cases
+    // where the conditional subtract engages (h·a + b landing on
+    // multiples of P and the fold's carry edges).
+    graft.functions.GraftFunctions.register(spark)
+    val P = 2147483647L
+    val rnd = new scala.util.Random(17)
+    // h sweeps the full row domain (edges + random); (a, b) is a
+    // fixed panel of per-hash constants, mirroring how signaturesOf
+    // embeds them (every hash's params are literals in the plan)
+    val hs = Seq(0L, 1L, 2L, P - 2, P - 1) ++
+      Seq.fill(20000)(math.abs(rnd.nextLong()) % P)
+    val params = Seq((1L, 0L), (1L, P - 1), (2L, 2L),
+      (Int.MaxValue - 1L, Int.MaxValue - 1L), (1L << 30, 1L),
+      (Int.MaxValue - 1L, 0L)) ++
+      Seq.fill(6)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
+        rnd.nextInt(Int.MaxValue).toLong))
+    val checks = params.zipWithIndex.map { case ((a, b), i) =>
+      (call_function("minhash_fold", col("h"), lit(a), lit(b)) ===
+        pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"ok$i")
+    }
+    val bad = hs.toDF("h").select(col("h") +: checks: _*)
+      .filter(!params.indices.map(i => col(s"ok$i")).reduce(_ && _))
+      .collect()
+    assert(bad.isEmpty,
+      s"fold != pmod at ${bad.take(5).mkString(", ")}")
+  }
 }
