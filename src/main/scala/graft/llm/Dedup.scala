@@ -192,16 +192,42 @@ object Dedup {
     graft.functions.GraftFunctions.register(spark)
     val params = hashParams(numHashes, seed)
     val hashed = shingleRows.withColumn("h", pmod(col("s"), lit(P)))
-    val fold = spark.conf
-      .get("graft.dedup.sigModFold", "true").toBoolean
-    def reduce(a: Long, b: Long): Column =
-      if (fold)
-        call_function("minhash_fold", col("h"), lit(a), lit(b))
-      else pmod(col("h") * lit(a) + lit(b), lit(P))
-    val mins = params.zipWithIndex.map { case ((a, b), i) =>
-      min(reduce(a, b)).as(s"m$i")
+    // DEFAULT: the one-buffer typed aggregate — measured −25/−31%
+    // task-sec on q31 at 500k docs and −15/−20% at 50k vs the
+    // 128-MIN-expression formulation, both orders, identical shuffle
+    // (SCALING.md round-13); `graft.dedup.sigAgg=false` restores the
+    // per-column MIN path (which itself honors sigModFold)
+    if (spark.conf.get("graft.dedup.sigAgg", "true").toBoolean) {
+      // one-buffer typed aggregate (`minhash_sigs`): all components
+      // min'd in a primitive long[] per group. ObjectHashAggregate's
+      // Spark-default sort fallback engages at 128 keys/partition —
+      // far below any shingle corpus — so raise it unless the user
+      // pinned it; signature buffers are ~8·numHashes bytes, so the
+      // 256k ceiling is ~256 MB/partition worst case
+      if (spark.conf.getOption(
+          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+          .forall(_ == "128"))
+        spark.conf.set(
+          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+          "262144")
+      hashed.groupBy("id")
+        .agg(call_function("minhash_sigs", col("h"),
+          typedlit(params.map(_._1).toArray),
+          typedlit(params.map(_._2).toArray)).as("ms"))
+        .select(col("id") +:
+          (0 until numHashes).map(i => col("ms")(i).as(s"m$i")): _*)
+    } else {
+      val fold = spark.conf
+        .get("graft.dedup.sigModFold", "true").toBoolean
+      def reduce(a: Long, b: Long): Column =
+        if (fold)
+          call_function("minhash_fold", col("h"), lit(a), lit(b))
+        else pmod(col("h") * lit(a) + lit(b), lit(P))
+      val mins = params.zipWithIndex.map { case ((a, b), i) =>
+        min(reduce(a, b)).as(s"m$i")
+      }
+      hashed.groupBy("id").agg(mins.head, mins.tail: _*)
     }
-    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   /** (id, band, bh) LSH band projection of a signature table. With

@@ -125,6 +125,14 @@ object ScaleMeasure {
       try SparkEntry.queries("q31_dedup_minhash")(s, dir)
       finally s.conf.unset("graft.dedup.sigModFold")
     }),
+    // the per-column MIN-expression signature arm (the pre-round-13
+    // default; byte-identical rows — the A/B compares agg machinery:
+    // 128 codegen'd MIN expressions vs one primitive long[] loop)
+    "q31_sigmins" -> ((s, dir) => {
+      s.conf.set("graft.dedup.sigAgg", "false")
+      try SparkEntry.queries("q31_dedup_minhash")(s, dir)
+      finally s.conf.unset("graft.dedup.sigAgg")
+    }),
     // the simhash chunk join's opt-out, for the capped-vs-raw decade
     // comparison (q52 itself runs the default capped+map-side-filter
     // path)

@@ -50,6 +50,25 @@ class LlmSpec extends SparkSpec {
     } finally spark.conf.unset("graft.dedup.pairSketchMinCorpus")
   }
 
+  test("one-buffer signature aggregate yields the identical pair set") {
+    // graft.dedup.sigAgg (the default) swaps 128 codegen'd MIN
+    // aggregates for one typed aggregate over a primitive long[] —
+    // same affine family, so signatures (and therefore bands,
+    // candidates, and verified pairs) must be byte-identical to the
+    // per-column MIN formulation (the opt-out arm)
+    def run() = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.8)
+    val agg = run().as[(Long, Long, Double)].collect().toSet
+    spark.conf.set("graft.dedup.sigAgg", "false")
+    val mins =
+      try run().as[(Long, Long, Double)].collect().toSet
+      finally spark.conf.unset("graft.dedup.sigAgg")
+    assert(agg == mins,
+      s"sigAgg pair set diverged: only-mins ${(mins -- agg).take(3)}, " +
+        s"only-agg ${(agg -- mins).take(3)}")
+    assert(agg.nonEmpty)
+  }
+
   test("dupClusters labels chains with their min id; dedup keeps one per cluster") {
     // chain 1~2~3 plus isolated pair 7~8: components {1,2,3} and {7,8}
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
