@@ -50,6 +50,23 @@ object QueriesLlm {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** q142 — q31's funnel on the ONE-PERMUTATION signature family
+    * (`sigFamily = "oph"`: one bucket update per shingle occurrence
+    * in place of 128 affine evaluations — the 100-TB signature-CPU
+    * formulation, Li/Owen/Zhang 2012 + rotation densification).
+    * Signatures, bands, and candidates all differ from q31's, but
+    * every surviving pair is exact-verified, so the oracle is the
+    * SAME DuckDB brute-force exact Jaccard — a hash match pins OPH
+    * recall = 1 at these parameters on this corpus, not merely
+    * plausible signatures.
+    */
+  def q142DedupMinhashOph(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(t(spark, dir, "documents"), "doc_id", "text",
+        shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8,
+        minBandMatches = 3, sigFamily = "oph")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
   /** q32 — SimHash near-dup pairs; pigeonhole chunking makes the
     * candidate set a guaranteed superset at Hamming ≤ 3. Runs the
     * DEFAULT path — which since round 9 includes the chunk-bucket
@@ -1473,6 +1490,7 @@ object QueriesLlm {
     "q139_resize_images" -> (q139ResizeImages _),
     "q140_audio_pcm_stats" -> (q140AudioPcmStats _),
     "q141_mjpeg_frame_stats" -> (q141MjpegFrameStats _),
+    "q142_dedup_minhash_oph" -> (q142DedupMinhashOph _),
     "q64_quality_filter" -> (q64QualityFilter _),
     "q65_remove_spans"   -> (q65RemoveSpans _),
     "q66_contamination_bloom" -> (q66ContaminationBloom _),
@@ -1514,6 +1532,25 @@ object QueriesLlm {
                   AS n_dup_groups,
                 CAST(sum(cnt) - count(*) AS BIGINT) AS n_removed
          FROM g""",
+    // q142: same exact-Jaccard oracle as q31 — the OPH family must
+    // reproduce the identical verified pair set (recall = 1 at these
+    // parameters), not merely plausible signatures
+    "q142_dedup_minhash_oph" ->
+      """WITH pos AS (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(length(text) - 3, 1))) AS i
+              FROM documents),
+         sh AS (SELECT DISTINCT doc_id, substr(lower(text), i::INT, 4) AS s
+                FROM pos),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(ix * 1.0 / (sa.n + sb.n - ix), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.8""",
     "q31_dedup_minhash" ->
       """WITH pos AS (SELECT doc_id, text,
                 unnest(generate_series(1, greatest(length(text) - 3, 1))) AS i

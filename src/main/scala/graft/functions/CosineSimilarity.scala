@@ -140,7 +140,12 @@ object GraftFunctions {
       "minhash_sigs(h, a_array, b_array) - aggregate: all minhash " +
         "signature components min((h*a_i + b_i) mod 2147483647) in " +
         "one primitive buffer", 3,
-      { case Seq(h, a, b) => MinhashSignaturesAgg(h, a, b) }))
+      { case Seq(h, a, b) => MinhashSignaturesAgg(h, a, b) }),
+    Spec("minhash_oph_sigs", classOf[MinhashOphAgg].getName,
+      "minhash_oph_sigs(s, nBins, seed) - aggregate: one-permutation " +
+        "minhash signature (nBins high-bit buckets, min per bucket, " +
+        "rotation densification); one bucket update per row", 3,
+      { case Seq(s, nb, sd) => MinhashOphAgg(s, nb, sd) }))
 
   def register(spark: SparkSession): Unit = specs.foreach { spec =>
     val registry = spark.sessionState.functionRegistry

@@ -186,6 +186,43 @@ object Dedup {
     * reduction — a measurement lever for same-window A/Bs, not a
     * semantics switch.
     */
+  /** ObjectHashAggregate's Spark-default sort fallback engages at 128
+    * keys/partition — far below any shingle corpus — so raise it
+    * unless the user pinned it; signature buffers are ~8·numHashes
+    * bytes, so the 256k ceiling is ~256 MB/partition worst case.
+    */
+  private def raiseObjectAggThreshold(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    if (spark.conf.getOption(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+        .forall(_ == "128"))
+      spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "262144")
+
+  /** One-permutation signatures (`minhash_oph_sigs`): numHashes
+    * high-bit buckets over ONE hash per shingle occurrence, min per
+    * bucket, rotation densification — one bucket update per row in
+    * place of numHashes affine evaluations + buffer updates, the
+    * 100-TB formulation of signature CPU. A DIFFERENT hash family:
+    * signatures, bands, and candidates all differ from the affine
+    * family's, but every surviving pair is still exact-verified, so
+    * the returned pair set agrees wherever both families' LSH recall
+    * is 1 (LlmSpec pins oph == affine == exact on the spec corpus;
+    * q142 pins it against the DuckDB brute-force oracle).
+    */
+  private def ophSignaturesOf(shingleRows: DataFrame, numHashes: Int,
+                              seed: Long): DataFrame = {
+    val spark = shingleRows.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    raiseObjectAggThreshold(spark)
+    shingleRows.groupBy("id")
+      .agg(call_function("minhash_oph_sigs", col("s"),
+        lit(numHashes.toLong), lit(seed)).as("ms"))
+      .select(col("id") +:
+        (0 until numHashes).map(i => col("ms")(i).as(s"m$i")): _*)
+  }
+
   private def signaturesOf(shingleRows: DataFrame, numHashes: Int,
                            seed: Long): DataFrame = {
     val spark = shingleRows.sparkSession
@@ -198,18 +235,7 @@ object Dedup {
     // (SCALING.md round-13); `graft.dedup.sigAgg=false` restores the
     // per-column MIN path (which itself honors sigModFold)
     if (spark.conf.get("graft.dedup.sigAgg", "true").toBoolean) {
-      // one-buffer typed aggregate (`minhash_sigs`): all components
-      // min'd in a primitive long[] per group. ObjectHashAggregate's
-      // Spark-default sort fallback engages at 128 keys/partition —
-      // far below any shingle corpus — so raise it unless the user
-      // pinned it; signature buffers are ~8·numHashes bytes, so the
-      // 256k ceiling is ~256 MB/partition worst case
-      if (spark.conf.getOption(
-          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
-          .forall(_ == "128"))
-        spark.conf.set(
-          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-          "262144")
+      raiseObjectAggThreshold(spark)
       hashed.groupBy("id")
         .agg(call_function("minhash_sigs", col("h"),
           typedlit(params.map(_._1).toArray),
@@ -358,10 +384,14 @@ object Dedup {
                       bands: Int = 32, threshold: Double = 0.8,
                       minBandMatches: Int = 1,
                       maxBandBucket: Int = 2000,
-                      seed: Long = 42L): DataFrame = {
+                      seed: Long = 42L,
+                      sigFamily: String = "affine"): DataFrame = {
     if (numHashes % bands != 0)
       throw InvalidArgumentValue(
         s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    if (sigFamily != "affine" && sigFamily != "oph")
+      throw InvalidArgumentValue(
+        s"sigFamily must be 'affine' or 'oph', got '$sigFamily'")
 
     // persisted: signatures and the exact-verify both read it
     val shingleRows = shingleHashRows(df, idCol, textCol, shingleK)
@@ -371,7 +401,9 @@ object Dedup {
     // band projection reads it twice and the 128-column estimate
     // joins twice more (a lineage-cut checkpoint was tried here and
     // measured ~3× slower per scan: row blocks vs columnar batches)
-    val sig = signaturesOf(shingleRows, numHashes, seed)
+    val sig = (if (sigFamily == "oph")
+        ophSignaturesOf(shingleRows, numHashes, seed)
+      else signaturesOf(shingleRows, numHashes, seed))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Map-side sketch cut on the PAIR-BAND exchange (round-13): the

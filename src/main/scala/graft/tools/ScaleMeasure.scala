@@ -133,6 +133,15 @@ object ScaleMeasure {
       try SparkEntry.queries("q31_dedup_minhash")(s, dir)
       finally s.conf.unset("graft.dedup.sigAgg")
     }),
+    // q31 on the one-permutation family (q142's path at q31's corpus
+    // scale — different signatures, same verified pair set where
+    // recall is 1; the A/B against q31_dedup_minhash compares ONE
+    // bucket update vs 128 per shingle occurrence)
+    "q31_oph" -> ((s, dir) =>
+      graft.llm.Dedup.minhashNearDups(
+        graft.Tables.read(s, dir, "documents"), "doc_id", "text",
+        shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8,
+        minBandMatches = 3, sigFamily = "oph")),
     // the simhash chunk join's opt-out, for the capped-vs-raw decade
     // comparison (q52 itself runs the default capped+map-side-filter
     // path)

@@ -69,6 +69,27 @@ class LlmSpec extends SparkSpec {
     assert(agg.nonEmpty)
   }
 
+  test("OPH signature family finds the identical verified pair set") {
+    // a DIFFERENT hash family (one-permutation + rotation
+    // densification): signatures, bands, and candidates all differ
+    // from the affine family's, but at these parameters both
+    // families' LSH recall is 1 on this corpus and every survivor is
+    // exact-verified — so the RETURNED pair sets (with exact
+    // jaccards) must agree, and misuse must fail loudly
+    def run(fam: String) = Dedup.minhashNearDups(docs, "doc_id",
+        "text", threshold = 0.8, sigFamily = fam)
+      .as[(Long, Long, Double)].collect().toSet
+    val affine = run("affine")
+    val oph = run("oph")
+    assert(oph == affine,
+      s"family pair sets diverged: only-affine ${(affine -- oph).take(3)}, " +
+        s"only-oph ${(oph -- affine).take(3)}")
+    assert(oph.nonEmpty)
+    intercept[graft.exceptions.InvalidArgumentValue] {
+      Dedup.minhashNearDups(docs, "doc_id", "text", sigFamily = "simd")
+    }
+  }
+
   test("dupClusters labels chains with their min id; dedup keeps one per cluster") {
     // chain 1~2~3 plus isolated pair 7~8: components {1,2,3} and {7,8}
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
