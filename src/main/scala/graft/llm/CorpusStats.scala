@@ -124,20 +124,32 @@ object CorpusStats {
     * eval source is the corpus-level leakage alarm that doc-level
     * contamination checks (q59/q66) localize afterwards.
     *
-    * Scale shape: one explode + distinct to (group, gram) — the hash
+    * Scale shape: ONE explode + distinct to (group, gram) — the hash
     * aggregate partial-combines map-side so the shuffle carries
     * distinct (group, gram) rows, bounded by gram-space × groups, not
     * by corpus size; the pair join is an equi-join ON gram whose
     * output is |pairs sharing a gram| ≤ groups² × gram-space. With
     * tens of groups this is dimension-table sized at any corpus size.
+    * The gram set is persisted and the (tiny) result materialized
+    * before returning (round-13): the sizes aggregate and the two
+    * self-join sides are three separate subtrees Catalyst does not
+    * dedup, so unpersisted they re-ran the full corpus explode three
+    * times (measured: 2 of q110's 3 explode jobs were duplicates).
+    * The result frame is persisted — `.unpersist()` it when done (the
+    * `minhashNearDups` caller contract).
     */
   def sourceOverlapMatrix(df: DataFrame, groupCol: String,
                           textCol: String, n: Int = 4): DataFrame = {
     if (n < 1) throw InvalidArgumentValue(s"n must be >= 1, got $n")
-    val grams = df
-      .select(col(groupCol).as("grp"),
-        explode(Dedup.shingles(col(textCol), n)).as("g"))
+    // spreadSmallScan: the explode + partial-aggregated distinct
+    // below otherwise runs in ONE task on a single-file corpus (the
+    // wordGramRows rationale); the gate adds no exchange at scale
+    val grams = InputSpread.spreadSmallScan(
+        df.select(col(groupCol).as("grp"), col(textCol).as("__txt")),
+        "__txt")
+      .select(col("grp"), explode(Dedup.shingles(col("__txt"), n)).as("g"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy("grp").agg(count(lit(1)).as("n_grams"))
     val a = grams.as("a")
     val b = grams.as("b")
@@ -145,7 +157,7 @@ object CorpusStats {
         col("a.grp") < col("b.grp"))
       .groupBy(col("a.grp").as("group_a"), col("b.grp").as("group_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("grp", "group_a")
         .withColumnRenamed("n_grams", "n_a"), "group_a")
       .join(sizes.withColumnRenamed("grp", "group_b")
@@ -156,6 +168,10 @@ object CorpusStats {
           .as("jaccard"),
         (col("n_common") / least(col("n_a"), col("n_b")))
           .as("containment"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    grams.unpersist(blocking = false)
+    out
   }
 
   /** Per-row Shannon character entropy (bits): −Σ p(c)·log₂ p(c) over

@@ -988,10 +988,21 @@ object Dedup {
     * every downstream shuffle fixed-width (same rationale as
     * `shingleHashRows`).
     */
+  /** The pre-explode projection goes through
+    * `InputSpread.spreadSmallScan` (round-13): a single-file corpus
+    * otherwise runs every gram consumer's explode + partial aggregate
+    * in ONE task (the same layout hazard `shingleHashRows` documents);
+    * the gate adds the exchange only when file metadata proves the
+    * scan can't reach the session's parallelism, so no shuffle is
+    * added at scale.
+    */
   private def wordGramRows(df: DataFrame, idCol: String,
                            textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
-        split(trim(lower(col(textCol))), "\\s+").as("t"))
+    InputSpread.spreadSmallScan(
+        df.select(col(idCol).cast("long").as("id"),
+          col(textCol).as("__txt")), "id")
+      .select(col("id"),
+        split(trim(lower(col("__txt"))), "\\s+").as("t"))
       .select(col("id"), col("t"),
         explode(sequence(lit(1),
           greatest(size(col("t")) - (n - 1), lit(1)))).as("i"))

@@ -1058,9 +1058,24 @@ object TextAnalysis {
     * SQL, hence oracle-checkable, unlike deflate's library-private
     * output.
     *
-    * Scale shape: one explode (k bytes per input char, the q62 gram
-    * convention) into a partial-aggregated (id, gram) distinct — the
-    * only data-proportional shuffle; no windows, no driver state.
+    * Scale shape (round-13): a ZERO-SHUFFLE `mapPartitions` kernel —
+    * the distinct-gram count is per-DOCUMENT, so it never needed a
+    * cross-partition exchange at all. The previous formulation
+    * (gram explode → partial-aggregated (id, gram) distinct) paid a
+    * data-proportional shuffle of the exploded gram mass (~k bytes
+    * per input char; 17.6 MB shuffled at sf0.1, corpus×k-sized at
+    * 100 TB) to compute a quantity each map task can produce from its
+    * own rows (guide §2.3/§2.4 — the cheapest shuffle is the deleted
+    * one). The kernel walks each doc's CODE POINTS (Spark's
+    * `substring`/`length` semantics, so astral characters gram
+    * exactly like the relational path) with one reused HashSet;
+    * per-doc state is O(doc grams), the same bound the old
+    * per-group aggregate buffer had. `lz_cost`/`lz_ratio` stay
+    * COLUMN expressions so the rounding is bit-identical to the
+    * relational path (and the DuckDB oracle).
+    * `graft.text.lzMapKernel=false` restores the explode+distinct
+    * formulation (same rows — LlmSpec pins kernel == relational,
+    * astral chars included).
     *
     * @return (id, n_chars, n_grams, n_novel, lz_cost, lz_ratio) for
     *         docs with at least k chars — shorter docs have no k-gram
@@ -1070,16 +1085,52 @@ object TextAnalysis {
                    k: Int = 8): DataFrame = {
     if (k < 2)
       throw InvalidArgumentValue(s"k must be >= 2: $k")
-    val grams = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .filter(length(col("t")) >= k)
-      .select(col("id"), length(col("t")).cast("long").as("n_chars"),
-        explode(expr(
-          s"transform(sequence(1, length(t) - ${k - 1}), " +
-            s"i -> substring(t, i, $k))")).as("g"))
-    grams.groupBy("id", "n_chars")
-      .agg(count(lit(1)).as("n_grams"),
-        countDistinct(col("g")).as("n_novel"))
+    val spark = df.sparkSession
+    val counts =
+      if (spark.conf.get("graft.text.lzMapKernel", "true").toBoolean) {
+        import spark.implicits._
+        df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+          .as[(Long, String)]
+          .mapPartitions { rows =>
+            // reused across rows; cleared per doc. Strings are built
+            // from the code-point array so gram boundaries match
+            // Spark's substring (code points, not UTF-16 units).
+            val seen = new java.util.HashSet[String](1 << 12)
+            rows.flatMap { case (id, t) =>
+              if (t == null) None
+              else {
+                val cps = t.codePoints().toArray
+                val n = cps.length
+                if (n < k) None
+                else {
+                  seen.clear()
+                  var novel = 0L
+                  var i = 0
+                  val last = n - k
+                  while (i <= last) {
+                    if (seen.add(new String(cps, i, k))) novel += 1
+                    i += 1
+                  }
+                  Some((id, n.toLong, (n - k + 1).toLong, novel)
+                  )
+                }
+              }
+            }
+          }
+          .toDF("id", "n_chars", "n_grams", "n_novel")
+      } else {
+        val grams = df
+          .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+          .filter(length(col("t")) >= k)
+          .select(col("id"), length(col("t")).cast("long").as("n_chars"),
+            explode(expr(
+              s"transform(sequence(1, length(t) - ${k - 1}), " +
+                s"i -> substring(t, i, $k))")).as("g"))
+        grams.groupBy("id", "n_chars")
+          .agg(count(lit(1)).as("n_grams"),
+            countDistinct(col("g")).as("n_novel"))
+      }
+    counts
       .select(col("id"), col("n_chars"), col("n_grams"), col("n_novel"),
         (col("n_novel") * k + (col("n_grams") - col("n_novel")) * 3)
           .as("lz_cost"),

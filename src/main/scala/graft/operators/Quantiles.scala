@@ -136,17 +136,31 @@ object Quantiles {
     val narrow =
       workDf.select((g :+ col(valueCol).cast("double").as("__v")): _*)
     var data = narrow.persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE full pass computes everything the driver needs up front —
+    // per-group n/min/max, the NaN presence flag, and the complete
+    // group spine (all-NULL groups included) — where three separate
+    // scans used to run: the old NaN `limit(1).count()` probe, the
+    // stats aggregate, and the final `data.select(g).distinct()`
+    // spine. The probe and the spine were each a full scan (and the
+    // spine a data-keyed exchange) folded here into the aggregate's
+    // map-side combine for free (guide §1.2: remove redundant passes).
+    val statsAll = data.groupBy(g: _*).agg(
+        count(col("__v")).as("__n"),
+        min(col("__v")).as("__gmin"), max(col("__v")).as("__gmax"),
+        max(when(isnan(col("__v")), 1).otherwise(0)).as("__hasnan"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var nonNull = data.filter(col("__v").isNotNull)
-      if (nonNull.filter(isnan(col("__v"))).limit(1).count() > 0)
+      // this count is the operator's first action: it materializes
+      // `data` and `statsAll` in one pass and surfaces the NaN flag
+      if (statsAll.filter(col("__hasnan") === 1).limit(1).count() > 0)
         throw InvalidArgumentValue(
           s"$valueCol contains NaN — exactQuantiles requires NaN-free input")
 
       // per-group n/min/max → one target per needed RANK (0-indexed);
-      // floor and ceil ranks of every p, deduplicated
-      val stats = nonNull.groupBy(g: _*).agg(
-        count(lit(1)).as("__n"),
-        min(col("__v")).as("__gmin"), max(col("__v")).as("__gmax"))
+      // floor and ceil ranks of every p, deduplicated. All-NULL
+      // groups (n = 0) carry no targets — they rejoin via the spine.
+      val stats = statsAll.filter(col("__n") > 0).drop("__hasnan")
       val psFrame = {
         import spark.implicits._
         ps.toDF("__p")
@@ -302,9 +316,11 @@ object Quantiles {
                 (col("__pos") - col("__kl").cast("double")) * col("__vh"))
             .as("q")): _*)
 
-      // all-NULL groups vanished with the null filter but `percentile`
-      // still emits them with q = NULL — restore via the group spine
-      val spine = data.select(g: _*).distinct()
+      // all-NULL groups carry no targets but `percentile` still emits
+      // them with q = NULL — restore via the group spine, read from
+      // the cached stats pass instead of a second full-data
+      // scan+distinct (the stats aggregate already IS the distinct)
+      val spine = statsAll.select(g: _*)
         .crossJoin(broadcast(psFrame.select(col("__p").as("p"))))
       val out = spine.join(interpolated, groupKey :+ "p", "left")
         .select((groupCols.map(col) :+ col("p") :+ col("q")): _*)
@@ -331,6 +347,9 @@ object Quantiles {
       targetRdds.foreach(_.unpersist(blocking = false))
       posMap.unpersist(blocking = false)
       finalDf
-    } finally data.unpersist(blocking = false)
+    } finally {
+      statsAll.unpersist(blocking = false)
+      data.unpersist(blocking = false)
+    }
   }
 }

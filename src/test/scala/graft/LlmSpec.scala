@@ -2348,6 +2348,27 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("lzProxyRatio map kernel == relational formulation, astral chars") {
+    // the kernel walks CODE POINTS so astral (surrogate-pair) chars
+    // must gram exactly like Spark's substring in the relational path
+    val docs = Tables.read(spark, sf, "documents").limit(200)
+      .select($"doc_id", $"text")
+    val astral = Seq(
+      (9001L, "a😀b😀" * 6),
+      (9002L, "abécdé " * 10),
+      (9003L, null.asInstanceOf[String]),
+      (9004L, "short")).toDF("doc_id", "text")
+    val corpus = docs.unionByName(astral)
+    def rows(kernel: Boolean): Seq[String] = {
+      spark.conf.set("graft.text.lzMapKernel", kernel.toString)
+      try TextAnalysis.lzProxyRatio(corpus, "doc_id", "text")
+        .orderBy("id").collect().map(_.toString).toSeq
+      finally spark.conf.unset("graft.text.lzMapKernel")
+    }
+    val kernel = rows(true)
+    assert(kernel.nonEmpty && kernel == rows(false))
+  }
+
   test("ngramContainmentJoin equals all-pairs exact containment") {
     val docs = Tables.read(spark, sf, "documents")
       .filter($"doc_id" < 40)
