@@ -474,6 +474,7 @@ object Dedup {
     // one row per (pair, matching band); both enumeration modes feed
     // the same band-agreement count below
     var guardReport: () => Unit = () => ()
+    var sizedCache: Option[DataFrame] = None
     val pairBands =
       if (maxBandBucket <= 0)
         banded.as("x")
@@ -485,12 +486,25 @@ object Dedup {
       else {
         // per-bucket size + min id in one window pass (same window
         // spec → one shuffle+sort); a hot bucket lands in one task
-        // but costs O(B), never the join's O(B²)
+        // but costs O(B), never the join's O(B²).
+        // PERSISTED + materialized (round-13): the windowed frame
+        // feeds THREE subtrees Catalyst does not dedup — the join's
+        // x side, its y side, and the oversized-bucket star — and
+        // unpersisted each re-ran the banded projection + window
+        // exchange+sort (measured at sf0.1: three identical-size
+        // exchange writes, ~23 of q31's ~106 task-sec). The count
+        // materializes REAL cache stats before the self-join is
+        // planned — the round-8 rule: an unmaterialized cache's
+        // near-zero estimate would let the planner broadcast a
+        // corpus-proportional side.
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bh")
         val sized = banded
           .withColumn("bsz", count(lit(1)).over(w))
           .withColumn("mn", min("id").over(w))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sized.count()
+        sizedCache = Some(sized)
         val small = sized.filter(col("bsz") <= maxBandBucket)
           .select(("id" +: "band" +: "bh" +: skCols).map(col): _*)
         val allPairs = small.as("x")
@@ -597,6 +611,7 @@ object Dedup {
     shingleRows.unpersist(blocking = false)
     strong.unpersist(blocking = false)
     candShingles.unpersist(blocking = false)
+    sizedCache.foreach(_.unpersist(blocking = false))
     sig.unpersist(blocking = false)
     result
   }
@@ -1662,28 +1677,68 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        val hexDigits = "0123456789abcdef".toCharArray
-        def hash60(s: String): Long = {
-          md.reset()
-          val d = md.digest(s.getBytes("UTF-8"))
-          val sb = new java.lang.StringBuilder(15)
-          var bi = 0
-          while (sb.length < 15) {
-            val b = d(bi) & 0xff
-            sb.append(hexDigits(b >> 4))
-            if (sb.length < 15) sb.append(hexDigits(b & 0xf))
-            bi += 1
-          }
-          java.lang.Long.parseLong(sb.toString, 16)
+        // the first 15 hex digits of the MD5 are the digest's first
+        // 60 bits read big-endian (7 full bytes + the high nibble of
+        // byte 7) — computed directly instead of the round-trip
+        // through a hex string and Long.parseLong the kernel used to
+        // pay per gram (bit-identical values; the q128–q130 oracle
+        // hashes pin it)
+        def hash60(d: Array[Byte]): Long = {
+          var v = 0L
+          var i = 0
+          while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+          (v << 4) | ((d(7) & 0xff) >>> 4)
         }
+        def utf8Len(c: Char): Int =
+          if (c < 0x80) 1 else if (c < 0x800) 2 else 3
         rows.flatMap { case (id, txt) =>
           val len = txt.length
           val g = math.max(len - k + 1, 1)
           val h = new Array[Long](g + 1) // 1-based
+          // Surrogate-free text (the overwhelmingly common case)
+          // encodes each UTF-16 unit independently in UTF-8, so every
+          // gram's bytes are a SLICE of the whole doc's encoding —
+          // one encode per doc plus a per-char byte-offset table
+          // replaces a substring + getBytes allocation pair per gram.
+          // Text with surrogates keeps the per-gram substring path:
+          // a window boundary can split a surrogate pair, and
+          // String.getBytes replaces the orphan half with '?', which
+          // a byte slice of the full encoding would not reproduce.
+          var hasSurrogate = false
+          var ci = 0
+          while (ci < len && !hasSurrogate) {
+            val c = txt.charAt(ci)
+            if (c >= 0xD800 && c <= 0xDFFF) hasSurrogate = true
+            ci += 1
+          }
           var j = 1
-          while (j <= g) {
-            h(j) = hash60(txt.substring(j - 1, math.min(j - 1 + k, len)))
-            j += 1
+          if (!hasSurrogate) {
+            val bytes = txt.getBytes("UTF-8")
+            val offs = new Array[Int](len + 1)
+            var bo = 0
+            var i2 = 0
+            while (i2 < len) {
+              offs(i2) = bo
+              bo += utf8Len(txt.charAt(i2))
+              i2 += 1
+            }
+            offs(len) = bo
+            while (j <= g) {
+              val from = offs(j - 1)
+              val until = offs(math.min(j - 1 + k, len))
+              md.reset()
+              md.update(bytes, from, until - from)
+              h(j) = hash60(md.digest())
+              j += 1
+            }
+          } else {
+            while (j <= g) {
+              md.reset()
+              md.update(txt.substring(j - 1, math.min(j - 1 + k, len))
+                .getBytes("UTF-8"))
+              h(j) = hash60(md.digest())
+              j += 1
+            }
           }
           // rightmost-minimal selection per window; a position selected
           // by several windows emits once

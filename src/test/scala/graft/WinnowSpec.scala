@@ -46,6 +46,29 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("winnowFingerprints reference replay: multibyte and surrogate text") {
+    // pins the round-13 kernel's two encodings against the hex-string
+    // reference: the byte-slice fast path (surrogate-free multibyte)
+    // and the per-gram substring fallback (astral chars, where a
+    // window can split a surrogate pair)
+    val docs = Seq(
+      (1L, "abécdé fghîj klmnö pqrsü vwxyz aébcd"),
+      (2L, "aa😀bb😀cc ddee ff😀gg hh iii jj"),
+      (3L, "plain ascii text with several words here"),
+      (4L, "😀" * 12)).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(docs, "doc_id", "text",
+        k = 4, w = 8)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet)
+      .toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      assert(got.getOrElse(r.getLong(0), Set.empty) ===
+        refFps(r.getString(1).toLowerCase, 4, 8),
+        s"doc ${r.getLong(0)} diverges")
+    }
+  }
+
   test("local guarantee: a shared >= w+k-1 substring shares a hash") {
     // B embeds an 11-char (= w + k − 1) substring of A inside
     // otherwise-disjoint text; the guarantee promises >= 1 shared
