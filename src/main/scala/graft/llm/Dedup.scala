@@ -2523,8 +2523,10 @@ object Dedup {
     val sigs = simhashSignatures(df, idCol, textCol)
     var guardReport: () => Unit = () => ()
 
-    // persisted (|docs|·chunks rows of longs): read twice by the
-    // candidate self-join
+    // |docs|·chunks rows of longs; which frame to persist depends on
+    // the enumeration mode below — the capped path reads the chunk
+    // rows only once (through the window), the uncapped self-join
+    // reads them twice
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until chunks).map { j =>
         struct(lit(j).as("ci"),
@@ -2533,26 +2535,37 @@ object Dedup {
       }: _*)).as("c"))
       .select(col("id"), col("sig"),
         col("c.ci").as("ci"), col("c.cv").as("cv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cache: DataFrame = null
 
     def hammingOf(a: Column, b: Column): Column =
       bit_count(a.bitwiseXOR(b)).cast("long")
     val candidates =
-      if (maxChunkBucket <= 0)
-        chunked.as("x")
-          .join(chunked.as("y"),
+      if (maxChunkBucket <= 0) {
+        cache = chunked
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cache.as("x")
+          .join(cache.as("y"),
             col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
               col("x.id") < col("y.id"))
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
             hammingOf(col("x.sig"), col("y.sig")).as("hamming"))
-      else {
+      } else {
         // per-bucket size + min (id, sig) in one window pass; struct
-        // min orders by id first, so mn.id is the bucket's min id
+        // min orders by id first, so mn.id is the bucket's min id.
+        // PERSISTED + materialized (the minhashNearDups round-13
+        // rationale): the windowed frame feeds three subtrees
+        // Catalyst does not dedup (join x/y sides, over-cap star),
+        // and unpersisted each re-ran the chunk explode + window
+        // exchange+sort; the count gives the self-join real cache
+        // stats before it is planned
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("ci", "cv")
         val sized = chunked
           .withColumn("bsz", count(lit(1)).over(w))
           .withColumn("mn", min(struct(col("id"), col("sig"))).over(w))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sized.count()
+        cache = sized
         val small = sized.filter(col("bsz") <= maxChunkBucket)
           .select("id", "sig", "ci", "cv")
         val allPairs = small.as("x")
@@ -2575,10 +2588,11 @@ object Dedup {
       .filter(col("hamming") <= maxHamming) // BEFORE the distinct's shuffle
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize, then release the chunk table (see minhashNearDups)
+    // materialize, then release the chunk/window cache (see
+    // minhashNearDups)
     result.count()
     guardReport()
-    chunked.unpersist(blocking = false)
+    if (cache != null) cache.unpersist(blocking = false)
     result
   }
 

@@ -41,8 +41,14 @@ object Selection {
   private def gramBucketRows(df: DataFrame, idCol: String,
                              textCol: String,
                              numBuckets: Int): DataFrame = {
-    val toks = df.select(col(idCol).cast("long").as("id"),
-        filter(split(trim(lower(col(textCol))), "\\s+"),
+    // spreadSmallScan: the unigram+bigram explode below otherwise
+    // runs in ONE task on a single-file corpus (the wordGramRows
+    // rationale); the file-metadata gate adds no exchange at scale
+    val toks = graft.llm.InputSpread.spreadSmallScan(
+        df.select(col(idCol).cast("long").as("id"),
+          col(textCol).as("__txt")), "id")
+      .select(col("id"),
+        filter(split(trim(lower(col("__txt"))), "\\s+"),
           w => length(w) > 0).as("t"))
       .filter(size(col("t")) > 0)
     val L = size(col("t"))
