@@ -2267,8 +2267,14 @@ object Dedup {
                                   textCol: String, n: Int,
                                   matchGrams: DataFrame => DataFrame)
       : DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("id"),
-      split(trim(lower(col(textCol))), "\\s+").as("t"))
+    // spreadSmallScan: the posexplode/gram-explode subtrees below
+    // otherwise run in ONE task on a single-file corpus (the
+    // wordGramRows rationale); the file-metadata gate adds no
+    // exchange at scale
+    val base = InputSpread.spreadSmallScan(
+        df.select(col(idCol).cast("long").as("id"),
+          col(textCol).as("__txt")), "id")
+      .select(col("id"), split(trim(lower(col("__txt"))), "\\s+").as("t"))
     // (id, pos, tok), pos 1-based over the normalized token sequence
     val toks = base.select(col("id"),
         posexplode(col("t")).as(Seq("pos0", "tok")))
