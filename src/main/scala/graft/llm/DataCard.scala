@@ -34,6 +34,12 @@ object DataCard {
                      langCol: String, sourceCol: String,
                      rules: TextAnalysis.QualityRules =
                        TextAnalysis.QualityRules()): DataFrame = {
+    // scoped cached-plan AQE (see AdaptiveCache): the card is a union
+    // of six dimension-sized sections over a persisted narrow base;
+    // without the scope its materialization fans every section's
+    // exchange to cores-proportional width (measured r14: q134 752
+    // tasks → 66, q135 1401 → 122, walls 0.92×/0.91×)
+    graft.operators.AdaptiveCache.withCoalescedCaches(df.sparkSession) {
     val base = df.select(col(idCol).cast("long").as("id"),
         col(textCol).as("text"),
         col(langCol).cast("string").as("lang"),
@@ -116,6 +122,7 @@ object DataCard {
     lenRaw.unpersist(blocking = true)
     base.unpersist(blocking = false)
     card
+    }
   }
 
   /** Row-by-row diff of two data cards (same long format — from

