@@ -261,6 +261,20 @@ object Bench {
     iters.zipWithIndex.foreach { case ((_, name), i) =>
       if (i == midAt) calibMid = calibrate(spark, 3)
       val fn = queries(name)
+      // Single-rep extras get ONE untimed warm pass at the bench
+      // scale immediately before their timed rep (round-13 verdict
+      // #9): a cold single shot inherits whatever GC/codegen debt the
+      // previous queries left behind and swings wildly — the driver's
+      // r13 record read q53_probe_only at 31.3 s at 32 cores vs 3.0 s
+      // at 8, while the same code path inside q53/q54's 3-rep medians
+      // IMPROVED; this session's isolated rerun read 4.1 s. The warm
+      // pass runs outside the job group (excluded from stage metrics)
+      // and run()'s boundary cleanup leaves a GC'd JVM for the timed
+      // rep. Headline totals are unaffected (extras were already
+      // excluded); instrumentation_sec now reports a warm timing.
+      if (extrasOnce(name)) {
+        try run(fn, sfDir) catch { case _: Throwable => () }
+      }
       sc.setJobGroup(name, s"bench $name")
       try timings(name) ::= run(fn, sfDir)
       catch { case _: Throwable => failed += name }

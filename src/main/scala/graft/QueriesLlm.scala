@@ -612,10 +612,22 @@ object QueriesLlm {
     val rules = TextAnalysis.QualityRules(minTokens = 30, maxTokens = 90,
       minAvgTokenLen = 3.0, maxAvgTokenLen = 4.5, maxSymbolFrac = 0.1,
       minAlphaTokenFrac = 0.8, minStopwordHits = 1)
-    val quality = docs.join(
-      TextAnalysis.qualityFilter(docs, "doc_id", "text", rules)
-        .filter(col("keep") === 1).select("doc_id"),
-      "doc_id")
+    // The quality gate is computed ONCE on a spread scan and the
+    // surviving (doc_id, text) rows persisted: the pre-r14 shape
+    // re-ran qualityFilter's regex stats inside every downstream
+    // subtree (the pair funnel, the dedup anti-join, two funnel
+    // aggregates, the packing input) — four serial ~2.2 task-sec
+    // single-task re-evaluations of the same gate at sf0.1
+    // (JobBreakdown r14). Values are unchanged: the same rows flow
+    // into every stage, they are just computed once.
+    val docsS = graft.llm.InputSpread.spreadSmallScan(
+      docs.select(col("doc_id"), col("text")), "doc_id")
+    val quality = docsS.join(
+        TextAnalysis.qualityFilter(docsS, "doc_id", "text", rules)
+          .filter(col("keep") === 1).select("doc_id"),
+        "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    quality.count()
     val pairs = Dedup.ngramJaccardNearDups(quality, "doc_id", "text",
       n = 3, threshold = 0.5)
     // dedupNearDups' cluster propagation is eager (it runs during this
@@ -631,7 +643,9 @@ object QueriesLlm {
       df.agg(count(lit(1)).as("n_units"),
           sum(tok).cast("long").as("n_tokens"))
         .select(lit(stage).as("stage"), col("n_units"), col("n_tokens"))
-    funnel(docs, "0_raw")
+    // the 4-row result is materialized so the quality cache can be
+    // released before returning (the minhashNearDups convention)
+    val out = funnel(docs, "0_raw")
       .unionByName(funnel(quality, "1_quality"))
       .unionByName(funnel(deduped, "2_dedup"))
       .unionByName(packed.agg(
@@ -640,6 +654,10 @@ object QueriesLlm {
         .select(lit("3_packed").as("stage"), col("n_units"),
           col("n_tokens")))
       .orderBy("stage")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    quality.unpersist(blocking = false)
+    out
   }
 
   /** q68 — corpus-trained unigram cross-entropy per document (the

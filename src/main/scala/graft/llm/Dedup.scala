@@ -1011,11 +1011,23 @@ object Dedup {
     * scan can't reach the session's parallelism, so no shuffle is
     * added at scale.
     */
+  /** @param spread route the pre-explode projection through
+    *   `InputSpread.spreadSmallScan` (default). Callers whose
+    *   downstream work is BOUNDED relative to the explode — no
+    *   self-join or rank window inheriting the gram cache's
+    *   partitioning — opt out: for them the spread's exchange plus
+    *   per-task overhead exceeds the serial map it parallelizes
+    *   (driver r13 measured q126_gram_novelty 0.72× wall from
+    *   exactly this; r14 JobBreakdown: the whole query is ~2.4
+    *   task-sec, nothing to parallelize). At production scale the
+    *   gate is inert either way (files ≥ cores).
+    */
   private def wordGramRows(df: DataFrame, idCol: String,
-                           textCol: String, n: Int): DataFrame =
-    InputSpread.spreadSmallScan(
-        df.select(col(idCol).cast("long").as("id"),
-          col(textCol).as("__txt")), "id")
+                           textCol: String, n: Int,
+                           spread: Boolean = true): DataFrame = {
+    val proj = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("__txt"))
+    (if (spread) InputSpread.spreadSmallScan(proj, "id") else proj)
       .select(col("id"),
         split(trim(lower(col("__txt"))), "\\s+").as("t"))
       .select(col("id"), col("t"),
@@ -1024,6 +1036,7 @@ object Dedup {
       .select(col("id"),
         xxhash64(concat_ws(" ", slice(col("t"), col("i"), lit(n)))).as("g"))
       .distinct()
+  }
 
   /** Gram-space saturation guard for the prefix-filter joins
     * (measured hazard, SCALING.md round 5): prefix filtering is
@@ -2010,8 +2023,15 @@ object Dedup {
                        n: Int = 5): DataFrame = {
     if (n <= 0)
       throw InvalidArgumentValue(s"n must be positive, got $n")
-    val grams = wordGramRows(df, idCol, textCol, n)
-    val refGrams = wordGramRows(reference, refIdCol, refTextCol, n)
+    // spread = false on both sides (r13-verdict #3): novelty is one
+    // linear explode + a broadcast membership join + a partial-
+    // aggregated per-doc count — no downstream stage inherits the
+    // gram cache's partitioning, so the spread only added two
+    // exchanges and cores-proportional micro-tasks (driver r13:
+    // q126 0.72× wall; reverting restores the r12 shape exactly)
+    val grams = wordGramRows(df, idCol, textCol, n, spread = false)
+    val refGrams = wordGramRows(reference, refIdCol, refTextCol, n,
+        spread = false)
       .select(col("g")).distinct()
       .withColumn("__seen", lit(1))
     grams.join(refGrams, Seq("g"), "left")
