@@ -65,6 +65,9 @@ object CorpusStats {
     if (smoothing <= 0 || smoothing.isNaN)
       throw InvalidArgumentValue(
         s"smoothing must be positive, got $smoothing")
+    // scoped cached-plan AQE (see AdaptiveCache): every persisted
+    // frame here is dimension-sized (≤ groups × buckets rows)
+    graft.operators.AdaptiveCache.withCoalescedCaches(df.sparkSession) {
     val lam = smoothing
     val lamB = smoothing * numBuckets
     val toks = df.select(col(groupCol).as("grp"),
@@ -112,6 +115,7 @@ object CorpusStats {
     out.count()
     gb.unpersist(blocking = false)
     out
+    }
   }
 
   /** Cross-group character n-gram overlap matrix.
@@ -141,6 +145,9 @@ object CorpusStats {
   def sourceOverlapMatrix(df: DataFrame, groupCol: String,
                           textCol: String, n: Int = 4): DataFrame = {
     if (n < 1) throw InvalidArgumentValue(s"n must be >= 1, got $n")
+    // scoped cached-plan AQE (see AdaptiveCache): the gram set and
+    // the pair matrix are dimension-bounded persists
+    graft.operators.AdaptiveCache.withCoalescedCaches(df.sparkSession) {
     // spreadSmallScan: the explode + partial-aggregated distinct
     // below otherwise runs in ONE task on a single-file corpus (the
     // wordGramRows rationale); the gate adds no exchange at scale
@@ -172,6 +179,7 @@ object CorpusStats {
     out.count()
     grams.unpersist(blocking = false)
     out
+    }
   }
 
   /** Per-row Shannon character entropy (bits): −Σ p(c)·log₂ p(c) over

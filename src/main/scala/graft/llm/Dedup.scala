@@ -393,6 +393,8 @@ object Dedup {
       throw InvalidArgumentValue(
         s"sigFamily must be 'affine' or 'oph', got '$sigFamily'")
 
+    graft.operators.AdaptiveCache.withCoalescedCaches(df.sparkSession,
+        minPartitionSize = Some("64KB")) {
     // persisted: signatures and the exact-verify both read it
     val shingleRows = shingleHashRows(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -543,10 +545,40 @@ object Dedup {
     // the persisted sig — at 5B docs the TB-scale signature table
     // never shuffles and never builds.
     val slack = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    val aSide = sig.select(
+    // Estimate-join input (round-13 verdict #6): the two estimate
+    // joins each scanned the FULL 128-column signature cache — at the
+    // design point that is a TB-scale table read twice per funnel run.
+    // Above the same corpus knee as the sketch cut, the candidate set
+    // is first materialized (lineage-cut checkpoint, real stats), the
+    // signature cache is semi-joined ONCE down to candidate ids, and
+    // both estimate sides read that candidate-bounded frame: one
+    // corpus-sized scan instead of two, at the price of one extra
+    // (checkpoint + semi-join) materialization — the wrong trade on a
+    // tiny corpus, which is why the knee gates it (same convention as
+    // pairSketchMinCorpus). Values are unchanged: the estimate joins
+    // only ever match candidate ids, so restricting their scan side
+    // to candidate ids is a pure plan change.
+    val estSemiKnee = df.sparkSession.conf
+      .get("graft.dedup.estimateSemiJoinMinCorpus", "20000").toLong
+    var estRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    var sigCandCache: Option[DataFrame] = None
+    val (estCandidates, estSig) =
+      if (estSemiKnee > 0 && nDocs < estSemiKnee) (candidates, sig)
+      else {
+        val (candCk, rdds) = checkpointTracked(candidates)
+        estRdds = rdds
+        val ids = candCk.select(col("id_a").as("id"))
+          .union(candCk.select(col("id_b").as("id"))).distinct()
+        val sigCand = sig.join(ids, Seq("id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sigCand.count()
+        sigCandCache = Some(sigCand)
+        (candCk, sigCand)
+      }
+    val aSide = estSig.select(
       col("id").as("id_a") +:
         (0 until numHashes).map(i => col(s"m$i").as(s"a$i")): _*)
-    val bSide = sig.select(
+    val bSide = estSig.select(
       col("id").as("id_b") +:
         (0 until numHashes).map(i => col(s"m$i").as(s"b$i")): _*)
     val estMatches = (0 until numHashes)
@@ -563,7 +595,7 @@ object Dedup {
     // agreement aggregate + two 128-column estimate joins) — measured
     // as a q31/q57 bench regression when the candidate-pruned verify
     // first landed referencing it twice more.
-    val strong = candidates
+    val strong = estCandidates
       .join(aSide, "id_a")
       .join(bSide, "id_b")
       .filter(estMatches.cast("double") / numHashes >= threshold - slack)
@@ -612,8 +644,11 @@ object Dedup {
     strong.unpersist(blocking = false)
     candShingles.unpersist(blocking = false)
     sizedCache.foreach(_.unpersist(blocking = false))
+    sigCandCache.foreach(_.unpersist(blocking = false))
+    estRdds.foreach(_.unpersist(blocking = false))
     sig.unpersist(blocking = false)
     result
+    }
   }
 
   /** Materialize a reusable minhash signature index for `df` at
@@ -833,6 +868,8 @@ object Dedup {
     val idxSig = idxScoped.select(
       col("id") +: (0 until numHashes).map(i => col(s"m$i")): _*)
 
+    graft.operators.AdaptiveCache.withCoalescedCaches(spark,
+        minPartitionSize = Some("64KB")) {
     // batch-side set semantics restored at batch scale (the ingest
     // contract bounds it); the corpus side below dedups POST-prune
     val newShingles = shingleHashRows(newDf, idCol, textCol, shingleK)
@@ -995,6 +1032,7 @@ object Dedup {
     strong.unpersist(blocking = false)
     corpusShingles.unpersist(blocking = false)
     result
+    }
   }
 
   /** Distinct (id, 64-bit word-n-gram hash) rows — tokens come from a

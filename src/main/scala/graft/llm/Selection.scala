@@ -106,6 +106,10 @@ object Selection {
                      numBuckets: Int = 10000,
                      smoothing: Double = 1.0): DataFrame = {
     checkArgs(numBuckets, smoothing)
+    // scoped cached-plan AQE (see AdaptiveCache): the gram-bucket
+    // cache and the per-doc weight result are the only persists —
+    // both shuffle-bounded by buckets/docs, never CPU-dense per byte
+    graft.operators.AdaptiveCache.withCoalescedCaches(raw.sparkSession) {
     val rawGrams = gramBucketRows(raw, idCol, textCol, numBuckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tgtCnt = gramBucketRows(target, idCol, textCol, numBuckets)
@@ -142,6 +146,7 @@ object Selection {
     out.count()
     rawGrams.unpersist(blocking = false)
     out
+    }
   }
 
   /** Hash-derived uniform in (0, 1) and its Gumbel transform — the

@@ -504,6 +504,9 @@ object TextAnalysis {
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
                      smoothK: Double = 0.5): DataFrame = {
     require(smoothK > 0, s"smoothK must be positive: $smoothK")
+    // scoped cached-plan AQE (see AdaptiveCache): doc/vocab-bounded
+    // persists, broadcast-model joins — the winning shape
+    graft.operators.AdaptiveCache.withCoalescedCaches(df.sparkSession) {
     val toks = df.select(col(idCol).cast("long").as("id"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("g"))
@@ -522,6 +525,7 @@ object TextAnalysis {
     out.count()
     toks.unpersist(blocking = false)
     out
+    }
   }
 
   /** TF-IDF top terms per document — the classic keyword extractor,
@@ -893,6 +897,8 @@ object TextAnalysis {
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
                     smoothK: Double = 0.5): DataFrame = {
     require(smoothK > 0, s"smoothK must be positive: $smoothK")
+    // scoped cached-plan AQE (see AdaptiveCache; unigramLogProb note)
+    graft.operators.AdaptiveCache.withCoalescedCaches(df.sparkSession) {
     val toksArr = split(trim(lower(col(textCol))), "\\s+")
     val bi = df.select(col(idCol).cast("long").as("id"),
         toksArr.as("__t"))
@@ -926,6 +932,7 @@ object TextAnalysis {
     out.count()
     bi.unpersist(blocking = false)
     out
+    }
   }
 
   /** C4-style line rules (Raffel et al. 2020 §2.2: keep lines that

@@ -33,14 +33,38 @@ import org.apache.spark.sql.SparkSession
 object AdaptiveCache {
 
   val Key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+  val MinPartKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
 
-  def withCoalescedCaches[T](spark: SparkSession)(body: => T): T = {
+  /** @param minPartitionSize optional scoped override of AQE's
+    *   coalescing floor. The default floor (1 MB) is right for
+    *   byte-bound stages, but the dedup funnels are CPU-DENSE AT TINY
+    *   BYTES — milliseconds of work per kilobyte — and coalescing
+    *   their exchanges to 1 partition serializes them (measured r14:
+    *   q53's probe collapsed from 601 tasks / 66 task-sec to 42 tasks
+    *   / 8.3 task-sec — an 8× CPU-overhead saving — but wall went
+    *   6.2 → 8.0 s because the 8 real task-seconds ran on one core).
+    *   A 64 KB floor keeps ~8–16-way parallelism on those exchanges
+    *   while still deleting the hundreds of empty micro-tasks. At
+    *   production scale exchanges are ≫ the floor either way — the
+    *   override only matters in the tiny-bytes regime it is for.
+    */
+  def withCoalescedCaches[T](spark: SparkSession,
+                             minPartitionSize: Option[String] = None)
+      (body: => T): T = {
     val prev = spark.conf.getOption(Key)
+    val prevMin = spark.conf.getOption(MinPartKey)
     spark.conf.set(Key, "true")
+    minPartitionSize.foreach(spark.conf.set(MinPartKey, _))
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(Key, v)
-      case None    => spark.conf.unset(Key)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set(Key, v)
+        case None    => spark.conf.unset(Key)
+      }
+      if (minPartitionSize.isDefined) prevMin match {
+        case Some(v) => spark.conf.set(MinPartKey, v)
+        case None    => spark.conf.unset(MinPartKey)
+      }
     }
   }
 }

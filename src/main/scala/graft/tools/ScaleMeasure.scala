@@ -261,8 +261,13 @@ object ScaleMeasure {
       case Some(list)  => list.split(",").toSeq
       case None        => Heavies
     }
-    val spark = GraftSession.builder("graft-scale", "local[32]")
-      .config("spark.sql.shuffle.partitions", "32").getOrCreate()
+    // cores from SPARK_GRAFT_CPUS (default 32) so the decade harness
+    // can measure the CORES axis too (round-13 verdict #4: nothing in
+    // the repo demonstrated parallel speedup); shuffle partitions
+    // track the core count exactly like Bench
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder("graft-scale", s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.applyEngineConf(spark)
     // ad-hoc conf overrides for lever experiments, e.g.

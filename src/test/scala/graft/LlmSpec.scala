@@ -50,6 +50,27 @@ class LlmSpec extends SparkSpec {
     } finally spark.conf.unset("graft.dedup.pairSketchMinCorpus")
   }
 
+  test("estimate-join semi-filter yields the identical pair set") {
+    // graft.dedup.estimateSemiJoinMinCorpus gates the r14 shape that
+    // materializes the candidate set and semi-joins the signature
+    // cache down to candidate ids before the two estimate joins (one
+    // corpus-sized scan instead of two). The estimate joins only ever
+    // match candidate ids, so restricting their scan side is a pure
+    // plan change — pairs must be byte-identical to the default
+    // (below-knee, two-full-scans) path on this corpus
+    def run() = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.8)
+    val dflt = run().as[(Long, Long, Double)].collect().toSet
+    spark.conf.set("graft.dedup.estimateSemiJoinMinCorpus", "1")
+    try {
+      val semi = run().as[(Long, Long, Double)].collect().toSet
+      assert(semi == dflt,
+        s"estimate-semi pair set diverged: only-default " +
+          s"${(dflt -- semi).take(3)}, only-semi ${(semi -- dflt).take(3)}")
+      assert(semi.nonEmpty)
+    } finally spark.conf.unset("graft.dedup.estimateSemiJoinMinCorpus")
+  }
+
   test("one-buffer signature aggregate yields the identical pair set") {
     // graft.dedup.sigAgg (the default) swaps 128 codegen'd MIN
     // aggregates for one typed aggregate over a primitive long[] —
